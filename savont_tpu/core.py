@@ -1,0 +1,166 @@
+"""Core data types: TwinRead, SnpmerInfo, ConsensusSequence.
+
+Python equivalents of the reference's types.rs, holding NumPy arrays so the
+per-base math can be dispatched to vector kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .constants import LSH_BUCKET_SIZE, LSH_NUM_TABLES
+from .ops.encode import (
+    U64,
+    decode_seq,
+    expand_binned_qualities,
+    fxhash64_seeded,
+    homopolymer_decompress,
+)
+from .ops.kmers import kmer_at_position
+
+
+@dataclass
+class SnpmerInfo:
+    """A biallelic split-k-mer site (types.rs:818-824)."""
+
+    split_kmer: int
+    mid_bases: tuple[int, int]
+    counts: tuple[int, int]
+    k: int
+
+    def variants(self) -> tuple[int, int]:
+        """The two full k-mers: split_kmer | mid_base << (k-1)."""
+        k = self.k
+        return (
+            self.split_kmer | (self.mid_bases[0] << (k - 1)),
+            self.split_kmer | (self.mid_bases[1] << (k - 1)),
+        )
+
+
+@dataclass
+class KmerGlobalInfo:
+    """types.rs:800-808."""
+
+    snpmer_info: list[SnpmerInfo]
+    high_freq_kmers: np.ndarray  # sorted u64 canonical kmers with count > thresh
+    high_freq_thresh: float
+    read_files: list[str]
+
+    def snpmer_set_sorted(self) -> np.ndarray:
+        vs = []
+        for s in self.snpmer_info:
+            vs.extend(s.variants())
+        return np.unique(np.array(vs, dtype=U64)) if vs else np.zeros(0, dtype=U64)
+
+
+@dataclass
+class TwinRead:
+    """Positions-only seed storage over a 2-bit sequence (types.rs:385-412).
+
+    Parity notes (important, matches reference retain_* quirk):
+      - ``mini_kmers_all`` / ``snp_kmers_all`` are the UNFILTERED k-mer lists
+        captured at construction (the reference's ``minimizer_kmers`` /
+        ``snpmer_kmers`` vectors are never filtered — types.rs:702-715 only
+        filters the positions vectors).
+      - ``mini_pos`` / ``snp_pos`` are the filtered positions; ``*_vec()``
+        recomputes canonical k-mers from them with forward-preferred
+        tie-break (types.rs:622-663).
+    """
+
+    id: str
+    base_id: str
+    codes: np.ndarray  # uint8 2-bit codes, N sanitized to A
+    k: int
+    l: int
+    qual_levels: np.ndarray | None = None  # QualCompact3 levels (one per 4-base bin)
+    est_id: float | None = None
+    mini_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    mini_kmers_all: np.ndarray = field(default_factory=lambda: np.zeros(0, U64))
+    snp_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    snp_kmers_all: np.ndarray = field(default_factory=lambda: np.zeros(0, U64))
+    blockmer_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    blockmer_canonical: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    lsh_signatures: list[int | None] = field(default_factory=list)
+    file_idx: int = 0
+
+    @property
+    def base_length(self) -> int:
+        return len(self.codes)
+
+    def seq_bytes(self) -> bytes:
+        return decode_seq(self.codes)
+
+    def expanded_qual_ascii(self) -> np.ndarray:
+        """Per-base ASCII qualities from the binned codec (alignment.rs:233-258)."""
+        if self.qual_levels is None:
+            return np.full(len(self.codes), 33, dtype=np.uint8)
+        return expand_binned_qualities(self.qual_levels, len(self.codes))
+
+    def minimizer_kmers(self) -> np.ndarray:
+        """UNFILTERED minimizer k-mers (reference minimizer_kmers())."""
+        return self.mini_kmers_all
+
+    def snpmer_kmers(self) -> np.ndarray:
+        """UNFILTERED SNPmer k-mers (reference snpmer_kmers())."""
+        return self.snp_kmers_all
+
+    def minimizers_vec(self) -> tuple[np.ndarray, np.ndarray]:
+        """(filtered positions, recomputed canonical k-mers) — types.rs:686."""
+        return self.mini_pos, kmer_at_position(self.codes, self.mini_pos, self.k)
+
+    def snpmers_vec(self) -> tuple[np.ndarray, np.ndarray]:
+        """(filtered positions, recomputed canonical k-mers) — types.rs:696."""
+        return self.snp_pos, kmer_at_position(self.codes, self.snp_pos, self.k)
+
+    def compute_lsh_signatures(self) -> None:
+        """20-table bottom-3 LSH signatures over the UNFILTERED minimizer
+        k-mers (types.rs:719-747): per table, FxHash64(seed, kmer) ranks the
+        k-mers; signature = XOR_i kmer_i * (i+1) over the 3 lowest ranks.
+        Ties in hash keep input order (Rust stable sort_by_key)."""
+        minis = self.mini_kmers_all
+        sigs: list[int | None] = []
+        for t in range(LSH_NUM_TABLES):
+            if len(minis) < LSH_BUCKET_SIZE:
+                sigs.append(None)
+                continue
+            h = fxhash64_seeded(t, minis)
+            order = np.argsort(h, kind="stable")[:LSH_BUCKET_SIZE]
+            sig = U64(0)
+            with np.errstate(over="ignore"):
+                for i, idx in enumerate(order):
+                    sig ^= minis[idx] * U64(i + 1)
+            sigs.append(int(sig))
+        self.lsh_signatures = sigs
+
+
+@dataclass
+class ConsensusSequence:
+    """HPC consensus + metadata (types.rs:161-226)."""
+
+    sequence: np.ndarray  # HPC consensus as ASCII bytes array (uint8), may contain N
+    hp_lengths: np.ndarray  # run length per HPC base (uint8)
+    depth: int
+    id: int
+    cluster: list[int]
+    appended_depth: int = 0
+    low_quality_positions: list[int] = field(default_factory=list)
+    chimera_score: int | None = None
+    decompressed: np.ndarray | None = None
+    unambig_best_read_map_count: int | None = None
+    ambig_read_map_count: int | None = None
+    num_map_leq_10nm: int | None = None
+    per_sample_depths: list[int] = field(default_factory=list)
+
+    def decompress(self) -> None:
+        """Expand HPC runs, then trim leading/trailing N (types.rs:212-217)."""
+        full = homopolymer_decompress(self.sequence, self.hp_lengths)
+        non_n = np.flatnonzero(full != ord("N"))
+        if len(non_n):
+            full = full[non_n[0] : non_n[-1] + 1]
+        self.decompressed = full
+
+    def get_decompressed(self) -> np.ndarray:
+        if self.decompressed is None:
+            self.decompress()
+        return self.decompressed

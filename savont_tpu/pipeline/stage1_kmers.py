@@ -1,0 +1,271 @@
+"""Stage 1: k-mer counting and SNPmer calling; Stage 1.5: TwinRead building.
+
+Reference: seq_parse.rs (counting passes), kmer_comp.rs (SNPmer calling and
+TwinRead construction).  The reference's 3-tier thread/channel pipeline and
+sharded hash maps become a sort/segment-reduce over all reads' split k-mers.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..config import ClusterArgs
+from ..constants import MAX_KMER_COUNT_IN_READ
+from ..core import KmerGlobalInfo, SnpmerInfo, TwinRead
+from ..io.fastx import read_fastx
+from ..ops.encode import (
+    U64,
+    bin_qualities,
+    encode_seq,
+    estimate_sequence_identity,
+    phred_from_ascii,
+    quantize_qual_bin,
+    revcomp_bytes,
+)
+from ..ops.kmers import (
+    count_flagged_kmers,
+    filter_counted_kmers,
+    masked_kmer,
+    mid_base,
+    split_kmer_mid,
+    syncmer_and_snpmer_scan,
+)
+from ..ops.stats import binomial_test_gt, snpmer_strand_test
+
+log = logging.getLogger("savont")
+
+
+def _iter_reads_for_counting(files: list[str]):
+    """Counting passes handle the cutadapt 'rc' header suffix by
+    reverse-complementing (seq_parse.rs:139-147)."""
+    for path in files:
+        for rec in read_fastx(path):
+            fields = rec.id.split()
+            if fields and fields[-1] == "rc":
+                seq = revcomp_bytes(rec.seq)
+                qual = rec.qual[::-1] if rec.qual is not None else None
+            else:
+                seq, qual = rec.seq, rec.qual
+            yield seq, qual
+
+
+def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
+    """Count canonical split k-mers with strand-split counts over all input
+    files (seq_parse.rs:12-78).  Returns (kmers sorted, counts[n,2]) after
+    the both-strands/multiplicity filter."""
+    k = args.kmer_size
+    per_read = []
+    n_reads = 0
+    for seq, qual in _iter_reads_for_counting(args.input_files):
+        codes = encode_seq(seq)
+        phred = phred_from_ascii(qual) if qual is not None else None
+        per_read.append(split_kmer_mid(codes, phred, k, args.minimum_base_quality))
+        n_reads += 1
+    kmers, counts = count_flagged_kmers(per_read)
+    raw_n = len(kmers)
+    kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
+    log.info("counted %d reads; %d split-kmers, %d retained after strand filter", n_reads, raw_n, len(kmers))
+    if raw_n > 0 and len(kmers) < raw_n / 1000:
+        raise SystemExit(
+            "Less than 0.1% of SNPmers have counts > 1 in both strands and > 2 "
+            "multiplicity (seq_parse.rs:69-72). Consider --single-strand."
+        )
+    return kmers, counts
+
+
+def get_snpmers(kmers: np.ndarray, counts: np.ndarray, args: ClusterArgs) -> KmerGlobalInfo:
+    """SNPmer calling via masked-kmer grouping + binomial/Fisher tests
+    (kmer_comp.rs:454-642)."""
+    k = args.kmer_size
+    if len(kmers) == 0:
+        raise SystemExit("No k-mers found. Exiting.")
+
+    totals = counts.sum(axis=1).astype(np.int64)
+    sorted_totals = np.sort(totals)
+    hf_idx = len(sorted_totals) - (len(sorted_totals) // 100000) - 1
+    high_freq_thresh = max(int(sorted_totals[hf_idx]), 100)
+    high_freq_kmers = np.sort(kmers[totals > high_freq_thresh])
+
+    info = KmerGlobalInfo(
+        snpmer_info=[],
+        high_freq_kmers=high_freq_kmers,
+        high_freq_thresh=float(high_freq_thresh),
+        read_files=list(args.input_files),
+    )
+    if args.no_snpmers:
+        return info
+
+    # group by (masked kmer, mid base) — vectorized sort then segment walk
+    masked = masked_kmer(kmers, k)
+    mids = mid_base(kmers, k)
+    order = np.lexsort((mids, masked))
+    masked_s, mids_s, kmers_s, counts_s, totals_s = (
+        masked[order], mids[order], kmers[order], counts[order], totals[order],
+    )
+    if not args.single_strand:
+        strand_ok = (counts_s[:, 0] > 0) & (counts_s[:, 1] > 0)
+    else:
+        strand_ok = np.ones(len(kmers_s), dtype=bool)
+    masked_s, mids_s, kmers_s, counts_s, totals_s = (
+        masked_s[strand_ok], mids_s[strand_ok], kmers_s[strand_ok],
+        counts_s[strand_ok], totals_s[strand_ok],
+    )
+
+    # segment boundaries over masked kmer
+    if len(masked_s) == 0:
+        return info
+    bound = np.flatnonzero(np.concatenate(([True], masked_s[1:] != masked_s[:-1])))
+    seg_starts = bound
+    seg_ends = np.append(bound[1:], len(masked_s))
+    multi = (seg_ends - seg_starts) >= 2
+
+    # batch the binomial tests for the top-2 of each multi group
+    tops, seconds, groups = [], [], []
+    for s, e in zip(seg_starts[multi], seg_ends[multi]):
+        seg_tot = totals_s[s:e]
+        # stable sort by total desc (ties keep (masked, mid) order — matches
+        # Rust insertion-sort behavior on tiny groups)
+        ordg = np.argsort(-seg_tot, kind="stable") + s
+        tops.append(int(totals_s[ordg[0]]))
+        seconds.append(int(totals_s[ordg[1]]))
+        groups.append(ordg)
+    if not groups:
+        return info
+    pvals = binomial_test_gt(np.array(tops), np.array(seconds), 0.025)
+
+    snpmers: list[SnpmerInfo] = []
+    for gi, ordg in enumerate(groups):
+        if pvals[gi] > 0.05:  # cond1: second allele consistent with noise
+            continue
+        i0, i1 = ordg[0], ordg[1]
+        p, odds = snpmer_strand_test(counts_s[i0], counts_s[i1])
+        if not args.single_strand and odds == 0.0:
+            continue
+        if p > 0.005 or (1.0 / 1.5 < odds < 1.5):
+            snpmers.append(
+                SnpmerInfo(
+                    split_kmer=int(masked_s[i0]),
+                    mid_bases=(int(mids_s[i0]), int(mids_s[i1])),
+                    counts=(int(totals_s[i0]), int(totals_s[i1])),
+                    k=k,
+                )
+            )
+    snpmers.sort(key=lambda s: (s.split_kmer, s.mid_bases, s.counts, s.k))
+    info.snpmer_info = snpmers
+    log.info("Number of snpmers: %d (high-freq thresh %d)", len(snpmers), high_freq_thresh)
+    return info
+
+
+def build_twin_read(
+    seq: bytes,
+    qual: bytes | None,
+    read_id: str,
+    args: ClusterArgs,
+    snpmer_sorted: np.ndarray,
+) -> TwinRead | None:
+    """get_twin_read_syncmer equivalent (seeding.rs:317-658)."""
+    k, c = args.kmer_size, args.c
+    if len(seq) < k:
+        return None
+    codes = encode_seq(seq)
+    phred = phred_from_ascii(qual) if qual is not None else None
+
+    mini_pos, mini_kmers, snp_pos, snp_kmers = syncmer_and_snpmer_scan(
+        codes, phred, k, c, snpmer_sorted, args.minimum_base_quality
+    )
+
+    all_equal_q = phred is not None and len(phred) > 0 and bool((phred == phred[0]).all())
+    est_id = None if (phred is None or all_equal_q) else estimate_sequence_identity(phred)
+
+    qual_levels = None
+    if qual is not None:
+        binned = bin_qualities(np.frombuffer(qual, dtype=np.uint8))
+        qual_levels = quantize_qual_bin(binned)
+
+    return TwinRead(
+        id=read_id,
+        base_id=read_id.split()[0] if read_id.split() else read_id,
+        codes=codes,
+        k=k,
+        l=args.blockmer_length,
+        qual_levels=qual_levels,
+        est_id=est_id,
+        mini_pos=mini_pos,
+        mini_kmers_all=mini_kmers,
+        snp_pos=snp_pos,
+        snp_kmers_all=snp_kmers,
+    )
+
+
+def _apply_solid_filters(tr: TwinRead, args: ClusterArgs, high_freq_sorted: np.ndarray) -> bool:
+    """In-read multiplicity + high-frequency filters (kmer_comp.rs:163-208).
+
+    Filters only the POSITION vectors (reference retain_* quirk).  Returns
+    False if the read is repetitive (< 5% solid minimizers) and must drop.
+    """
+    minis = tr.mini_kmers_all
+    solid = np.ones(len(minis), dtype=bool)
+    if len(minis):
+        uniq, cnt = np.unique(minis, return_counts=True)
+        j = np.searchsorted(uniq, minis)
+        solid &= cnt[j] <= MAX_KMER_COUNT_IN_READ
+        if len(high_freq_sorted):
+            hj = np.clip(np.searchsorted(high_freq_sorted, minis), 0, len(high_freq_sorted) - 1)
+            solid &= high_freq_sorted[hj] != minis
+    if solid.sum() < tr.base_length // args.c // 20:
+        return False
+    tr.mini_pos = tr.mini_pos[solid]
+
+    snps = tr.snp_kmers_all
+    if len(snps) and len(high_freq_sorted):
+        hj = np.clip(np.searchsorted(high_freq_sorted, snps), 0, len(high_freq_sorted) - 1)
+        solid_snp = high_freq_sorted[hj] != snps
+        tr.snp_pos = tr.snp_pos[solid_snp]
+    return True
+
+
+def twin_reads_from_files(kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:
+    """Third pass over the FASTQ: TwinRead construction + filters
+    (kmer_comp.rs:68-258 + driver sort at main.rs:533)."""
+    snpmer_sorted = kmer_info.snpmer_set_sorted()
+    high_freq = kmer_info.high_freq_kmers
+    twin_reads: list[TwinRead] = []
+    n_len_filtered = 0
+    n_repetitive = 0
+    for file_idx, path in enumerate(args.input_files):
+        for rec in read_fastx(path):
+            if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
+                n_len_filtered += 1
+                continue
+            tr = build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted)
+            if tr is None:
+                continue
+            if not _apply_solid_filters(tr, args, high_freq):
+                n_repetitive += 1
+                continue
+            tr.compute_lsh_signatures()
+            tr.file_idx = file_idx
+            twin_reads.append(tr)
+
+    twin_reads.sort(key=lambda t: t.id)
+    n_below = sum(1 for t in twin_reads if t.est_id is not None and t.est_id < args.quality_value_cutoff)
+    log.info(
+        "valid reads %d; %d below quality cutoff; %d length-filtered; %d repetitive",
+        len(twin_reads), n_below, n_len_filtered, n_repetitive,
+    )
+    twin_reads = [t for t in twin_reads if t.est_id is None or t.est_id >= args.quality_value_cutoff]
+    # driver sorts by est accuracy desc, stable (main.rs:533)
+    twin_reads.sort(key=lambda t: -(t.est_id if t.est_id is not None else 100.0))
+    return twin_reads
+
+
+def twin_reads_from_fasta(path, kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:
+    """Reload ASVs as TwinReads for EM (kmer_comp.rs:39-66) — no filters."""
+    snpmer_sorted = kmer_info.snpmer_set_sorted()
+    out = []
+    for rec in read_fastx(str(path)):
+        tr = build_twin_read(rec.seq, None, rec.id, args, snpmer_sorted)
+        if tr is not None:
+            out.append(tr)
+    return out

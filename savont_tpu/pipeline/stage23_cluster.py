@@ -1,0 +1,333 @@
+"""Stages 2-3: greedy k-mer clustering (LSH) + SNPmer sub-clustering with
+iterative consensus reclustering.  Reference: asv_cluster.rs.
+
+The greedy outer loops are order-dependent by design and stay on the host
+(thousands of iterations); the per-candidate similarity math is vectorized.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import ClusterArgs
+from ..constants import KMER_CLUSTER_THRESHOLD, LSH_NUM_TABLES, TOP_N_LSH_CANDIDATES
+from ..core import TwinRead
+from ..ops.encode import U64
+
+log = logging.getLogger("savont")
+
+
+def _split_mask(k: int) -> U64:
+    return U64(np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1)))
+
+
+# ── Stage 2: greedy k-mer (LSH) clustering ──────────────────────────────────
+
+
+def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> list[list[int]]:
+    """asv_cluster.rs:72-249.  Sequential greedy over reads (quality order);
+    candidates from 20 LSH tables; verification by exact minimizer
+    containment ratio^(1/k) > 0.950."""
+    k = args.kmer_size
+    bucket_index: list[dict[int, list[int]]] = [dict() for _ in range(LSH_NUM_TABLES)]
+    assignment: dict[int, int] = {}
+    representatives: list[int] = []
+    rep_kmer_sets: dict[int, np.ndarray] = {}  # rep -> sorted unique kmers
+    rep_vec_len: dict[int, int] = {}
+
+    for read_id, read in enumerate(twin_reads):
+        sigs = read.lsh_signatures
+        hits: dict[int, int] = {}
+        for t in range(LSH_NUM_TABLES):
+            sig = sigs[t] if t < len(sigs) else None
+            if sig is None:
+                continue
+            for cand in bucket_index[t].get(sig, ()):  # type: ignore[arg-type]
+                hits[cand] = hits.get(cand, 0) + 1
+
+        best_rep = None
+        if hits:
+            # sort by (hits desc, cand_id desc) — asv_cluster.rs:111
+            candidates = sorted(hits.items(), key=lambda x: (-x[1], -x[0]))
+            max_hits = candidates[0][1]
+            to_check = []
+            for cand, h in candidates:
+                if h == max_hits or len(to_check) < TOP_N_LSH_CANDIDATES:
+                    to_check.append(cand)
+                else:
+                    break
+
+            read_set = np.unique(read.minimizer_kmers())
+            best_sim = 0.0
+            for cand in to_check:
+                rep_set = rep_kmer_sets[cand]
+                count = int(np.isin(read_set, rep_set, assume_unique=True).sum())
+                denom = max(len(read_set), rep_vec_len[cand])
+                if denom == 0:
+                    continue
+                sim = (count / denom) ** (1.0 / k)
+                if sim > best_sim:
+                    best_sim = sim
+                    best_rep = cand
+            if best_sim <= KMER_CLUSTER_THRESHOLD:
+                best_rep = None
+
+        if best_rep is not None:
+            assignment[read_id] = best_rep
+        else:
+            for t in range(LSH_NUM_TABLES):
+                sig = sigs[t] if t < len(sigs) else None
+                if sig is not None:
+                    bucket_index[t].setdefault(sig, []).append(read_id)
+            assignment[read_id] = read_id
+            representatives.append(read_id)
+            km = read.minimizer_kmers()
+            rep_kmer_sets[read_id] = np.unique(km)
+            rep_vec_len[read_id] = len(km)
+
+    clusters_map: dict[int, list[int]] = {}
+    for read_id, rep in assignment.items():
+        clusters_map.setdefault(rep, []).append(read_id)
+    clusters = [sorted(c) for c in clusters_map.values()]
+    clusters.sort(key=lambda c: (-len(c), c[0]))
+    clusters = [c for c in clusters if len(c) >= args.min_cluster_size]
+    log.info("Stage 2: %d reps, %d clusters >= min size", len(representatives), len(clusters))
+    return clusters
+
+
+# ── Stage 3: greedy SNPmer sub-clustering ───────────────────────────────────
+
+
+def _snpmer_subcluster(
+    cluster: list[int], twin_reads: list[TwinRead], k: int, min_cluster_size: int
+) -> list[list[int]]:
+    """Greedy zero-mismatch SNPmer clustering within one k-mer cluster
+    (asv_cluster.rs:593-693).  Uses UNFILTERED snpmer_kmers()."""
+    mask = _split_mask(k)
+    index: dict[int, list[tuple[int, int]]] = {}  # splitmer -> [(rep, kmer)]
+    assignment: dict[int, int] = {}
+    rep_size: dict[int, int] = {}
+    representatives: list[int] = []
+
+    for read_id in cluster:
+        snps = twin_reads[read_id].snpmer_kmers()
+        stats: dict[int, list[int]] = {}  # cand -> [matches, mismatches]
+        for km in snps:
+            sm = int(km & mask)
+            for cand, ck in index.get(sm, ()):  # order = insertion order
+                st = stats.setdefault(cand, [0, 0])
+                if int(km) == ck:
+                    st[0] += 1
+                else:
+                    st[1] += 1
+        compat = [
+            (-m, rep_size[cand], cand)
+            for cand, (m, mm) in stats.items()
+            if mm == 0 and m > 0
+        ]
+        if compat:
+            compat.sort()
+            rep = compat[0][2]
+            assignment[read_id] = rep
+            rep_size[rep] = rep_size.get(rep, 0) + 1
+        else:
+            representatives.append(read_id)
+            for km in snps:
+                index.setdefault(int(km & mask), []).append((read_id, int(km)))
+            assignment[read_id] = read_id
+            rep_size[read_id] = 1
+
+    cluster_map: dict[int, list[int]] = {}
+    for read_id, rep in assignment.items():
+        cluster_map.setdefault(rep, []).append(read_id)
+    local = [sorted(c) for c in cluster_map.values()]
+    local.sort(key=lambda c: (-len(c), c[0]))
+    return [c for c in local if len(c) >= min_cluster_size]
+
+
+# ── Consensus SNPmer machinery for reclustering ─────────────────────────────
+
+
+@dataclass
+class ConsensusPoly:
+    position: int
+    splitmer: int
+    kmer: int
+    count: int
+
+
+def build_consensus_snpmers(
+    cluster: list[int], twin_reads: list[TwinRead], k: int, top_n: int | None = None
+) -> list[ConsensusPoly]:
+    """asv_cluster.rs:840-894 — per splitmer: most common FULL k-mer (from
+    the FILTERED snpmers_vec view), kept if count >= max(len(cluster)/6, 1);
+    median position; result sorted by (position, splitmer).
+
+    Tie-break on equal counts: larger kmer value (the reference's
+    FxHashMap::max_by_key tie order is unspecified; this is deterministic).
+    """
+    mask = _split_mask(k)
+    data: dict[int, dict[int, tuple[int, list[int]]]] = {}
+    n_use = len(cluster) if top_n is None else min(len(cluster), top_n)
+    for read_id in cluster[:n_use]:
+        pos, kms = twin_reads[read_id].snpmers_vec()
+        for p, km in zip(pos, kms):
+            sm = int(km & mask)
+            kd = data.setdefault(sm, {})
+            cnt, plist = kd.get(int(km), (0, []))
+            plist = plist + [int(p)] if cnt else [int(p)]
+            kd[int(km)] = (cnt + 1, plist)
+    out: list[ConsensusPoly] = []
+    min_count = max(len(cluster) // 6, 1)
+    for sm, kd in data.items():
+        best_km, (cnt, plist) = max(kd.items(), key=lambda x: (x[1][0], x[0]))
+        if cnt >= min_count:
+            plist.sort()
+            out.append(ConsensusPoly(plist[len(plist) // 2], sm, best_km, cnt))
+    out.sort(key=lambda cp: (cp.position, cp.splitmer))
+    return out
+
+
+def compare_consensus(c1: list[ConsensusPoly], c2: list[ConsensusPoly]) -> tuple[int, int]:
+    """asv_cluster.rs:968-994."""
+    idx = {cp.splitmer: cp.kmer for cp in c2}
+    matches = mismatches = 0
+    for cp in c1:
+        km = idx.get(cp.splitmer)
+        if km is not None:
+            if km == cp.kmer:
+                matches += 1
+            else:
+                mismatches += 1
+    return matches, mismatches
+
+
+def _concordant(c1: list[ConsensusPoly], c2: list[ConsensusPoly]) -> bool:
+    m, mm = compare_consensus(c1, c2)
+    return mm == 0 and m >= min(len(c1), max(len(c2), 2))
+
+
+def _recluster_one_round(
+    clusters: list[list[int]], twin_reads: list[TwinRead], k: int
+) -> tuple[list[list[int]], int]:
+    """Merge concordant clusters, larger-first (asv_cluster.rs:1146-1270)."""
+    allc = [(c, build_consensus_snpmers(c, twin_reads, k)) for c in clusters if c]
+    allc.sort(key=lambda x: (-len(x[0]), x[0][0] if x[0] else 0))
+    merged_flag = [False] * len(allc)
+    needs_rebuild = [False] * len(allc)
+    merged_clusters: list[list[int]] = []
+    num_merges = 0
+
+    for i in range(len(allc)):
+        if merged_flag[i]:
+            continue
+        if needs_rebuild[i]:
+            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k))
+            needs_rebuild[i] = False
+        for j in range(i + 1, len(allc)):
+            if merged_flag[j]:
+                continue
+            ci, cj = allc[i][1], allc[j][1]
+            concordant = _concordant(ci, cj) and _concordant(cj, ci)
+            m, mm = compare_consensus(ci, cj)
+            max_len = max(len(allc[i][0]), len(allc[j][0]))
+            min_len = min(len(allc[i][0]), len(allc[j][0]))
+            if mm == 0 and m > min(len(ci), len(cj)) * 0.975 and max_len // min_len > 50:
+                concordant = True
+            if mm == 0 and max_len // min_len > 500 and min_len <= 2:
+                concordant = True
+            if concordant:
+                allc[i][0].extend(allc[j][0])
+                needs_rebuild[i] = True
+                merged_flag[j] = True
+                num_merges += 1
+        if needs_rebuild[i]:
+            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k))
+        merged_clusters.append(list(allc[i][0]))
+
+    merged_clusters.sort(key=lambda c: (-len(c), c[0] if c else 0))
+    return merged_clusters, num_merges
+
+
+def _reassign_reads(
+    clusters: list[list[int]], twin_reads: list[TwinRead], k: int, min_cluster_size: int
+) -> tuple[list[list[int]], int]:
+    """Reassign every read to the argmin-(mismatch, -match) cluster
+    (asv_cluster.rs:1007-1130).  Initial best = first candidate evaluated
+    (index 0) since any mismatch count beats usize::MAX."""
+    consensus = [build_consensus_snpmers(c, twin_reads, k) for c in clusters]
+    maps = [{cp.splitmer: cp.kmer for cp in cons} for cons in consensus]
+    mask = _split_mask(k)
+    new_clusters: list[list[int]] = [[] for _ in clusters]
+    reassigned = 0
+    for ci, cluster in enumerate(clusters):
+        for read_id in cluster:
+            _, kms = twin_reads[read_id].snpmers_vec()
+            best_cluster = ci
+            best = (np.inf, 0)
+            for cand in range(len(clusters)):
+                mp = maps[cand]
+                m = mm = 0
+                for km in kms:
+                    ck = mp.get(int(km & mask))
+                    if ck is not None:
+                        if ck == int(km):
+                            m += 1
+                        else:
+                            mm += 1
+                if mm < best[0] or (mm == best[0] and m > best[1]):
+                    best = (mm, m)
+                    best_cluster = cand
+            new_clusters[best_cluster].append(read_id)
+            if best_cluster != ci:
+                reassigned += 1
+    out = [sorted(c) for c in new_clusters if c and len(c) >= min_cluster_size]
+    return out, reassigned
+
+
+def cluster_reads_by_snpmers(
+    twin_reads: list[TwinRead], kmer_clusters: list[list[int]], args: ClusterArgs
+) -> list[list[int]]:
+    """Stage 3 driver (asv_cluster.rs:561-795 + 1272-1433)."""
+    if args.low_polymorphism:
+        clusters = [c for c in kmer_clusters if len(c) >= args.min_cluster_size]
+        clusters.sort(key=lambda c: (-len(c), c[0] if c else 0))
+        log.info("Stage 3 skipped (low-polymorphism): %d clusters pass through", len(clusters))
+        return clusters
+
+    k = args.kmer_size
+    groups: dict[int, list[list[int]]] = {}
+    for gid, cluster in enumerate(kmer_clusters):
+        if len(cluster) < 1:
+            continue
+        groups[gid] = _snpmer_subcluster(cluster, twin_reads, k, args.min_cluster_size)
+
+    n0 = sum(len(v) for v in groups.values())
+    log.info("Stage 3 greedy: %d SNPmer clusters in %d k-mer groups", n0, len(groups))
+
+    # iterative reclustering: merge + reassign until no merges
+    for iteration in range(args.max_iterations_recluster):
+        total_merges = 0
+        total_reassign = 0
+        new_groups: dict[int, list[list[int]]] = {}
+        for gid, clusters in groups.items():
+            merged, nm = _recluster_one_round(clusters, twin_reads, k)
+            total_merges += nm
+            reassigned, nr = _reassign_reads(merged, twin_reads, k, args.min_cluster_size)
+            total_reassign += nr
+            if reassigned:
+                new_groups[gid] = reassigned
+        groups = new_groups
+        log.info("recluster iter %d: %d merges, %d reassignments", iteration + 1, total_merges, total_reassign)
+        if total_merges == 0:
+            break
+
+    final: list[list[int]] = []
+    for gid in sorted(groups):
+        final.extend(c for c in groups[gid] if c)
+    final.sort(key=lambda c: (-len(c), c[0] if c else 0))
+    final = [c for c in final if len(c) >= args.min_cluster_size]
+    log.info("Stage 3 final: %d clusters", len(final))
+    return final
