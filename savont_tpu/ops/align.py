@@ -1,0 +1,396 @@
+"""Seed-chain-extend aligner (the reference's minimap2 role).
+
+Design (TPU-first):
+- minimizer anchors + host chaining pick strand and a diagonal corridor;
+- a BANDED affine Smith-Waterman fills the corridor.  The row recurrence is
+  expressed with a prefix-max scan (no within-row sequential dependency):
+
+      F[i,j] = max(H[i-1,j] - o, F[i-1,j]) - e            (vertical)
+      G[i,j] = max(0, H[i-1,j-1] + s(i,j), F[i,j])
+      E[i,j] = max_{j'<j} (G[i,j'] - o - e*(j-j'))        (prefix-max scan)
+      H[i,j] = max(G[i,j], E[i,j])
+
+  The usual E-from-H circularity is removed: an E path passing through
+  another E cell is always dominated by extending the originating G cell,
+  so E depends only on G of the same row.  Every row is then a handful of
+  elementwise/scan vector ops of width = band; this exact formulation runs
+  vectorized in NumPy here and batched on TPU in align_jax.py (rows =
+  lax.scan steps, band = VPU lanes).
+
+Replaces reference call sites: alignment.rs:284,432,1232,1545,1841 and
+chimera.rs:88,416 and classify.rs:131-145 (minimap2 map_ont / lrhq).
+
+CIGAR ops: 0=M (match/mismatch), 1=I (insertion in query), 2=D (deletion).
+NM = mismatches + inserted + deleted bases over the aligned region,
+matching minimap2's NM tag.
+"""
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import numpy as np
+
+from .encode import U64, mm_hash64, revcomp_bytes
+from .kmers import rolling_kmers
+
+# scoring (map_ont-like single affine)
+MATCH = 2
+MISMATCH = -4
+GAP_OPEN = 4  # first gap base costs GAP_OPEN + GAP_EXT
+GAP_EXT = 2
+NEG = -(10**8)
+
+_ASCII_CODE = np.full(256, 4, dtype=np.uint8)  # 4 = ambiguous, mismatches everything
+for _b, _c in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"TtUu", 3)):
+    for _ch in _b:
+        _ASCII_CODE[_ch] = _c
+
+
+def ascii_to_align_codes(seq: bytes | np.ndarray) -> np.ndarray:
+    """ASCII -> 0..3 codes with 4 for N/ambiguous (never matches)."""
+    if isinstance(seq, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        arr = np.asarray(seq, dtype=np.uint8)
+    return _ASCII_CODE[arr]
+
+
+@dataclass
+class Mapping:
+    """One alignment hit (the fields the reference consumes from minimap2)."""
+
+    target_id: int
+    strand: int  # +1 forward, -1 reverse
+    query_start: int  # on the FORWARD query
+    query_end: int
+    target_start: int
+    target_end: int
+    nm: int
+    cigar: list[tuple[int, int]]  # (length, op) on the ORIENTED query
+    score: int
+    is_primary: bool = True
+    mapq: int = 60
+
+    @property
+    def query_span(self) -> int:
+        return self.query_end - self.query_start
+
+
+# ── seeding / anchors ────────────────────────────────────────────────────────
+
+
+def _window_minimizers(codes4: np.ndarray, w: int, k: int):
+    """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
+
+    Windows containing ambiguous bases (code 4) are excluded."""
+    n = len(codes4) - k + 1
+    if n <= 0:
+        return np.zeros(0, U64), np.zeros(0, np.int64), np.zeros(0, bool)
+    clean = np.minimum(codes4, 3)
+    fwd, rev = rolling_kmers(clean, k)
+    bad = np.convolve((codes4 > 3).astype(np.int32), np.ones(k, np.int32), "valid") > 0
+    canon_is_fwd = fwd <= rev
+    canon = np.where(canon_is_fwd, fwd, rev)
+    h = mm_hash64(canon)
+    h[bad] = np.iinfo(np.uint64).max
+    if n < w:
+        pos = np.array([int(np.argmin(h))])
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        pos = np.unique(win.argmin(axis=1) + np.arange(len(win)))
+    keep = h[pos] != np.iinfo(np.uint64).max
+    pos = pos[keep]
+    return h[pos], pos.astype(np.int64), canon_is_fwd[pos]
+
+
+class TargetIndex:
+    """Minimizer index over a set of target sequences (ASCII byte arrays)."""
+
+    def __init__(self, targets: list[np.ndarray | bytes], w: int = 10, k: int = 15):
+        self.w, self.k = w, k
+        self.raw = [
+            np.frombuffer(bytes(t), dtype=np.uint8) if isinstance(t, (bytes, bytearray)) else np.asarray(t, dtype=np.uint8)
+            for t in targets
+        ]
+        self.targets = [ascii_to_align_codes(t) for t in self.raw]
+        self.index: dict[int, list[tuple[int, int, bool]]] = {}
+        self.n_minis = np.zeros(len(targets), dtype=np.int64)
+        for tid, tc in enumerate(self.targets):
+            h, pos, isf = _window_minimizers(tc, w, k)
+            self.n_minis[tid] = len(h)
+            for hh, pp, ff in zip(h, pos, isf):
+                self.index.setdefault(int(hh), []).append((tid, int(pp), bool(ff)))
+
+
+def _chain_anchors(qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:
+    """Longest co-linear chain: LIS on tpos after sorting by (qpos, tpos)."""
+    order = np.lexsort((tpos, qpos))
+    t = tpos[order]
+    n = len(t)
+    if n == 0:
+        return order[:0]
+    tails: list[int] = []
+    tails_vals: list[int] = []
+    parent = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        v = int(t[i])
+        pos = bisect.bisect_left(tails_vals, v)
+        if pos > 0:
+            parent[i] = tails[pos - 1]
+        if pos == len(tails):
+            tails.append(i)
+            tails_vals.append(v)
+        else:
+            tails[pos] = i
+            tails_vals[pos] = v
+    chain = []
+    cur = tails[-1]
+    while cur != -1:
+        chain.append(cur)
+        cur = parent[cur]
+    chain.reverse()
+    return order[np.array(chain, dtype=np.int64)]
+
+
+def _band_centers(m: int, qa: np.ndarray, ta: np.ndarray) -> np.ndarray:
+    """Per-query-row target center from chained anchors (piecewise linear,
+    diagonal extrapolation at the ends, forced non-decreasing)."""
+    if len(qa) == 0:
+        return np.arange(m, dtype=np.int64)
+    centers = np.interp(np.arange(m, dtype=np.float64), qa.astype(np.float64), ta.astype(np.float64))
+    head = np.arange(int(qa[0]))
+    centers[: int(qa[0])] = ta[0] - (qa[0] - head)
+    if int(qa[-1]) < m - 1:
+        tail = np.arange(int(qa[-1]) + 1, m)
+        centers[int(qa[-1]) + 1 :] = ta[-1] + (tail - qa[-1])
+    return np.maximum.accumulate(np.round(centers).astype(np.int64))
+
+
+# ── banded affine Smith-Waterman (NumPy reference backend) ───────────────────
+
+
+def banded_sw(q: np.ndarray, t: np.ndarray, centers: np.ndarray, band: int = 128):
+    """Local banded affine alignment.
+
+    q, t: alignment codes (0..3, 4=ambiguous); centers: per-row band center.
+    Returns (score, q_start, q_end, t_start, t_end, cigar, nm) or None.
+    """
+    m, n = len(q), len(t)
+    if m == 0 or n == 0:
+        return None
+    band = min(band, max(8, n))
+    lo = np.clip(centers - band // 2, 0, max(n - band, 0))
+    lo = np.maximum.accumulate(lo)
+    lo_full = np.concatenate(([lo[0]], lo))  # row r (1-based) uses lo_full[r]
+
+    H = np.zeros((m + 1, band), dtype=np.int32)
+    E = np.full((m + 1, band), NEG, dtype=np.int32)
+    F = np.full((m + 1, band), NEG, dtype=np.int32)
+    G = np.zeros((m + 1, band), dtype=np.int32)
+
+    ooe = GAP_OPEN + GAP_EXT
+    je = np.arange(band, dtype=np.int32)
+
+    def shift(arr: np.ndarray, d: int, fill: int) -> np.ndarray:
+        """out[bj] = arr[bj + d] (d >= 0), fill beyond the end."""
+        if d == 0:
+            return arr
+        out = np.full(band, fill, dtype=np.int32)
+        if d < band:
+            out[: band - d] = arr[d:]
+        return out
+
+    for r in range(1, m + 1):
+        qc = int(q[r - 1])
+        l = int(lo_full[r])
+        dl = l - int(lo_full[r - 1])
+        cols = l + je
+        valid = cols < n
+        tc = t[np.minimum(cols, n - 1)]
+        s = np.where((tc == qc) & (qc < 4) & (tc < 4), MATCH, MISMATCH).astype(np.int32)
+
+        Hup = shift(H[r - 1], dl, NEG)
+        Fup = shift(F[r - 1], dl, NEG)
+        if dl >= 1:
+            Hdiag = shift(H[r - 1], dl - 1, NEG)
+        else:
+            Hdiag = np.empty(band, dtype=np.int32)
+            Hdiag[1:] = H[r - 1][:-1]
+            Hdiag[0] = 0 if l == 0 else NEG  # left of band: free only at col -1
+        Fr = np.maximum(Hup - GAP_OPEN, Fup) - GAP_EXT
+        Gr = np.maximum(np.maximum(np.zeros(band, np.int32), Hdiag + s), Fr)
+        run = np.maximum.accumulate(Gr + GAP_EXT * je)
+        Er = np.full(band, NEG, dtype=np.int32)
+        Er[1:] = run[:-1] - ooe - GAP_EXT * je[1:] + GAP_EXT
+        Hr = np.maximum(Gr, Er)
+        Hr = np.where(valid, Hr, NEG)
+        Gr = np.where(valid, Gr, NEG)
+        H[r], E[r], F[r], G[r] = Hr, Er, Fr, Gr
+
+    flat = int(np.argmax(H[1:]))
+    ri, bj = divmod(flat, band)
+    ri += 1
+    score = int(H[ri, bj])
+    if score <= 0:
+        return None
+    return _traceback(H, E, F, G, lo_full, q, t, ri, bj, score)
+
+
+def _traceback(H, E, F, G, lo_full, q, t, ri, bj, score):
+    band = H.shape[1]
+    n = len(t)
+    ops: list[int] = []  # per-base ops from END to START
+    r, j = ri, bj
+    state = "H"
+    while r > 0 and 0 <= j < band:
+        l = int(lo_full[r])
+        dl = l - int(lo_full[r - 1])
+        if state == "H":
+            state = "G" if H[r, j] == G[r, j] else "E"
+            continue
+        if state == "G":
+            g = int(G[r, j])
+            if g == 0:
+                break
+            if g == F[r, j]:
+                state = "F"
+                continue
+            ops.append(0)  # diagonal (match/mismatch)
+            r -= 1
+            j = j + dl - 1
+            state = "H"
+            if j < 0:
+                break  # entered via the free zero boundary at column -1
+            continue
+        if state == "E":
+            # horizontal: consumes a target base (deletion, op 2)
+            ops.append(2)
+            if j - 1 >= 0 and E[r, j] == G[r, j - 1] - GAP_OPEN - GAP_EXT:
+                state = "G"
+            j -= 1
+            continue
+        if state == "F":
+            # vertical: consumes a query base (insertion, op 1)
+            ops.append(1)
+            up = j + dl
+            if up < band and F[r, j] == H[r - 1, up] - GAP_OPEN - GAP_EXT:
+                state = "H"
+            r -= 1
+            j = up
+            if j >= band:
+                break
+            continue
+
+    q_end = ri
+    t_end = int(lo_full[ri]) + bj + 1
+    q_len = sum(1 for o in ops if o != 2)
+    t_len = sum(1 for o in ops if o != 1)
+    q_start = q_end - q_len
+    t_start = t_end - t_len
+
+    ops.reverse()
+    cigar: list[tuple[int, int]] = []
+    for o in ops:
+        if cigar and cigar[-1][1] == o:
+            cigar[-1] = (cigar[-1][0] + 1, o)
+        else:
+            cigar.append((1, o))
+
+    nm = 0
+    qp, tp = q_start, t_start
+    for length, op in cigar:
+        if op == 0:
+            qs = q[qp : qp + length]
+            ts = t[tp : tp + length]
+            nm += int((qs != ts).sum()) + int(((qs == 4) & (ts == 4)).sum())
+            qp += length
+            tp += length
+        elif op == 1:
+            nm += length
+            qp += length
+        else:
+            nm += length
+            tp += length
+    return score, q_start, q_end, t_start, t_end, cigar, nm
+
+
+# ── top-level mapping ────────────────────────────────────────────────────────
+
+
+def map_query(
+    index: TargetIndex,
+    query_ascii: np.ndarray | bytes,
+    band: int = 128,
+    min_anchors: int = 3,
+    max_hits: int | None = None,
+    no_diag_id: int | None = None,
+) -> list[Mapping]:
+    """Map a query against all indexed targets.
+
+    Returns hits sorted by score desc (primary first), at most one hit per
+    (target, best strand).  mapq>0 only when the best hit's score strictly
+    beats the runner-up (the only mapq use in the reference is `mapq > 0` at
+    alignment.rs:1574)."""
+    if isinstance(query_ascii, (bytes, bytearray)):
+        qbytes = bytes(query_ascii)
+    else:
+        qbytes = np.asarray(query_ascii, dtype=np.uint8).tobytes()
+    qf = ascii_to_align_codes(qbytes)
+    hq, pq, fq = _window_minimizers(qf, index.w, index.k)
+    qlen = len(qf)
+
+    per_ts: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for hh, qp, qf_canon in zip(hq, pq, fq):
+        for tid, tp, tf_canon in index.index.get(int(hh), ()):  # type: ignore[arg-type]
+            if no_diag_id is not None and tid == no_diag_id:
+                continue
+            if qf_canon == tf_canon:
+                per_ts.setdefault((tid, 1), []).append((int(qp), int(tp)))
+            else:
+                rqp = qlen - index.k - int(qp)
+                per_ts.setdefault((tid, -1), []).append((rqp, int(tp)))
+
+    qr = ascii_to_align_codes(revcomp_bytes(qbytes))
+    best_by_target: dict[int, Mapping] = {}
+    for (tid, strand), anchors in per_ts.items():
+        if len(anchors) < min_anchors:
+            continue
+        qa = np.array([a[0] for a in anchors], dtype=np.int64)
+        ta = np.array([a[1] for a in anchors], dtype=np.int64)
+        chain = _chain_anchors(qa, ta)
+        if len(chain) < min_anchors:
+            continue
+        qa_c, ta_c = qa[chain], ta[chain]
+        qcodes = qf if strand == 1 else qr
+        centers = _band_centers(len(qcodes), qa_c, ta_c)
+        res = banded_sw(qcodes, index.targets[tid], centers, band=band)
+        if res is None:
+            continue
+        score, q0, q1, t0, t1, cigar, nm = res
+        if strand == 1:
+            fq0, fq1 = q0, q1
+        else:
+            fq0, fq1 = qlen - q1, qlen - q0
+        m = Mapping(
+            target_id=tid, strand=strand, query_start=fq0, query_end=fq1,
+            target_start=t0, target_end=t1, nm=nm, cigar=cigar, score=score,
+        )
+        prev = best_by_target.get(tid)
+        if prev is None or m.score > prev.score:
+            best_by_target[tid] = m
+
+    results = sorted(best_by_target.values(), key=lambda m: (-m.score, m.target_id))
+    for i, m in enumerate(results):
+        m.is_primary = i == 0
+        m.mapq = 60 if (i == 0 and (len(results) < 2 or results[1].score < m.score)) else 0
+    if max_hits is not None:
+        results = results[:max_hits]
+    return results
+
+
+def align_pair(query_ascii, target_ascii, band: int = 128) -> Mapping | None:
+    """Single-pair alignment (one-target index)."""
+    idx = TargetIndex([target_ascii])
+    hits = map_query(idx, query_ascii, band=band, min_anchors=2)
+    return hits[0] if hits else None
