@@ -1,0 +1,131 @@
+"""The `asv` subcommand driver — 7-stage pipeline (main.rs:49-196)."""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from pathlib import Path
+
+from ..config import ClusterArgs
+from ..constants import ASV_FILE
+from . import stage1_kmers, stage23_cluster, stage4_consensus, stage5_merge, stage6_chimera, stage7_em
+from .outputs import write_clusters_tsv, write_consensus_fasta, write_feature_table
+
+log = logging.getLogger("savont")
+
+
+def run_cluster(args: ClusterArgs) -> Path:
+    args.apply_presets()
+    if args.kmer_size % 2 == 0:
+        raise SystemExit("K-mer size must be odd")
+    out_dir = Path(args.output_dir)
+    temp_dir = out_dir / "temp"
+    temp_dir.mkdir(parents=True, exist_ok=True)
+    t_start = time.time()
+
+    log.info("=== STAGE 1: k-mers and polymorphic markers ===")
+    kmers, counts = stage1_kmers.read_to_split_kmers(args)
+    kmer_info = stage1_kmers.get_snpmers(kmers, counts, args)
+
+    log.info("=== STAGE 1.5: TwinRead construction ===")
+    twin_reads = stage1_kmers.twin_reads_from_files(kmer_info, args)
+    n_no_snp = sum(1 for t in twin_reads if len(t.snp_pos) == 0)
+    frac_no_snp = n_no_snp / max(len(twin_reads), 1)
+    log.info("reads without SNPmers: %.1f%%", frac_no_snp * 100)
+    if frac_no_snp > 0.75 and not args.low_polymorphism:
+        log.warning("Auto-enabling --low-polymorphism (>75%% of reads have no SNPmers)")
+        args.low_polymorphism = True
+
+    log.info("=== STAGE 2: k-mer clustering ===")
+    clusters = stage23_cluster.cluster_reads_by_kmers(twin_reads, args)
+    _write_simple_clusters(temp_dir / "kmer_clusters_stage2.tsv", clusters)
+
+    log.info("=== STAGE 3: SNPmer clustering ===")
+    clusters = stage23_cluster.cluster_reads_by_snpmers(twin_reads, clusters, args)
+    _write_final_snpmer_clusters(temp_dir / "final_snpmer_clusters_stage3.tsv", clusters, twin_reads)
+
+    log.info("=== STAGE 4: consensus + polish ===")
+    consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)
+    write_consensus_fasta_hpc(consensuses, temp_dir / "consensus_sequences.fasta", "initial")
+    pileups = stage4_consensus.generate_consensus_pileups(twin_reads, consensuses, args)
+    quality_error_map = stage4_consensus.estimate_quality_error_rates(pileups, consensuses, 0.1)
+    low_qual = stage4_consensus.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)
+    for c in consensuses:
+        c.decompress()
+    for c in low_qual:
+        c.decompress()
+    write_clusters_tsv(low_qual, twin_reads, temp_dir / "low_quality_clusters.tsv", "low_quality")
+    write_clusters_tsv(consensuses, twin_reads, temp_dir / "clusters_after_quality_filter_stage4.tsv", "prefilter")
+    write_consensus_fasta(low_qual, temp_dir / "low_quality_consensus_sequences.fasta", "lowqual")
+
+    log.info("=== STAGE 5: merge similar consensuses ===")
+    consensuses = stage5_merge.merge_similar_consensuses(consensuses, low_qual, args)
+    write_clusters_tsv(consensuses, twin_reads, temp_dir / "final_clusters_merged_stage5.tsv", "final")
+    write_consensus_fasta(consensuses, temp_dir / "merged_consensus_sequences.fasta", "merged")
+
+    if not args.skip_chimera_detection:
+        log.info("=== STAGE 6: chimera detection ===")
+        chimeric = stage6_chimera.detect_chimeras(consensuses, args)
+        consensuses = stage6_chimera.filter_chimeras(consensuses, chimeric)
+    else:
+        log.info("Skipping chimera detection as per user request.")
+        return out_dir
+
+    log.info("=== STAGE 7: EM depth refinement ===")
+    em_fasta = temp_dir / "final_asvs_for_em.fasta"
+    write_consensus_fasta(consensuses, em_fasta, "em_refinement")
+
+    def build_asv_trs():
+        return stage1_kmers.twin_reads_from_fasta(em_fasta, kmer_info, args)
+
+    if args.low_polymorphism:
+        consensuses, _, _ = stage7_em.refine_asv_depths_with_minimap(twin_reads, consensuses, args)
+    else:
+        consensuses, _, _ = stage7_em.refine_asv_depths_with_em(
+            twin_reads, consensuses, kmer_info, args, build_asv_trs
+        )
+    consensuses.sort(key=lambda c: -c.depth)
+
+    sample_names = [Path(f).name.split(".")[0] for f in args.input_files]
+    if args.pooled_samples and len(args.input_files) > 1:
+        log.info("=== STAGE 7b: per-sample quantification ===")
+        per_sample = stage7_em.compute_per_sample_depths(
+            twin_reads, len(args.input_files), consensuses, kmer_info, args, build_asv_trs
+        )
+        for i, c in enumerate(consensuses):
+            c.per_sample_depths = per_sample[i]
+
+    write_consensus_fasta(consensuses, out_dir / ASV_FILE, "final")
+    ft_names = sample_names if (args.pooled_samples and len(args.input_files) > 1) else sample_names[:1]
+    write_feature_table(consensuses, out_dir / "feature-table.tsv", ft_names)
+    for i, c in enumerate(consensuses):
+        c.id = i
+    write_clusters_tsv(consensuses, twin_reads, out_dir / "final_clusters.tsv", "final")
+    log.info("=== SAVONT-TPU COMPLETED in %.1f s: %d ASVs ===", time.time() - t_start, len(consensuses))
+    return out_dir
+
+
+def write_consensus_fasta_hpc(consensuses, path, prefix):
+    """Pre-decompression dump of HPC consensus (stage-4 intermediate)."""
+    with open(path, "w") as f:
+        for i, c in enumerate(consensuses):
+            f.write(f">{prefix}_consensus_{i}_depth_{c.depth}\n")
+            f.write(c.sequence.tobytes().decode())
+            f.write("\n")
+
+
+def _write_simple_clusters(path, clusters):
+    with open(path, "w") as f:
+        f.write("cluster_id\tsize\trepresentative\tmembers\n")
+        for i, c in enumerate(clusters):
+            f.write(f"cluster_{i}\t{len(c)}\t{c[0]}\t{','.join(map(str, c))}\n")
+
+
+def _write_final_snpmer_clusters(path, clusters, twin_reads):
+    with open(path, "w") as f:
+        for i, c in enumerate(clusters):
+            members = "\n".join(
+                f"{twin_reads[x].id} {twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0}"
+                for x in c
+            )
+            f.write(f"final_cluster_{i}\tsize_{len(c)}\trepresentative_{c[0]}\tmembers\n{members}\n")

@@ -1,0 +1,211 @@
+"""Stage 5: consensus dedup + merge (alignment.rs:97-188, 1155-1510)."""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..config import ClusterArgs
+from ..core import ConsensusSequence
+from ..ops.align import Mapping, TargetIndex, ascii_to_align_codes, map_query
+from ..ops.encode import revcomp_bytes
+from ..ops.kmers import minimizer_sketch
+
+log = logging.getLogger("savont")
+
+
+def _has_homopolymer_context(seq: np.ndarray, pos: int, window: int) -> bool:
+    """Run of length > 2 within +-window of pos (alignment.rs:75-95)."""
+    n = len(seq)
+    if n == 0:
+        return False
+    start = max(pos - window, 0)
+    end = min(pos + window + 1, n)
+    if end <= start + 2:
+        return False
+    for i in range(start, max(end - 2, start)):
+        if i + 2 < n and seq[i] == seq[i + 1] == seq[i + 2]:
+            return True
+    return False
+
+
+def calculate_adjusted_errors(
+    cigar: list[tuple[int, int]],
+    query_seq: np.ndarray,
+    target_seq: np.ndarray,
+    query_start: int,
+    target_start: int,
+) -> int:
+    """Gap-collapsed, end-buffered, homopolymer-aware error count
+    (alignment.rs:101-188)."""
+    errors = 0
+    buffer = 35
+    qp, tp = query_start, target_start
+    for length, op in cigar:
+        if op == 0:
+            for j in range(length):
+                if qp + j < len(query_seq) and tp + j < len(target_seq):
+                    qb, tb = query_seq[qp + j], target_seq[tp + j]
+                    if qb != tb and qb != ord("N") and tb != ord("N"):
+                        if qp + j > buffer and qp + j + buffer < len(query_seq):
+                            errors += 1
+            qp += length
+            tp += length
+        elif op == 1:
+            in_hp = _has_homopolymer_context(query_seq, qp, 2) or _has_homopolymer_context(target_seq, tp, 2)
+            if not in_hp and qp > buffer and qp + length + buffer < len(query_seq):
+                errors += 1 if length < 10 else length
+            qp += length
+        elif op == 2:
+            in_hp = _has_homopolymer_context(query_seq, qp, 2) or _has_homopolymer_context(target_seq, tp, 2)
+            if not in_hp and tp > buffer and tp + length + buffer < len(target_seq):
+                errors += 1 if length < 10 else length
+            tp += length
+    return errors
+
+
+def remove_similar_seqs_kmers(consensuses: list[ConsensusSequence]) -> list[ConsensusSequence]:
+    """Drop consensuses whose full (w=10,k=21) sketch over [25, len-25] of the
+    HPC sequence is contained in a consensus with > 2x depth
+    (alignment.rs:1155-1201).  Sequences shorter than 100 bp are dropped
+    entirely (the reference never re-adds them)."""
+    sketches: dict[int, np.ndarray] = {}
+    kmer_index: dict[int, set[int]] = {}
+    for i, cons in enumerate(consensuses):
+        if len(cons.sequence) < 100:
+            continue
+        vals, _ = minimizer_sketch(cons.sequence[25 : len(cons.sequence) - 25], 10, 21)
+        sketches[i] = vals
+        for v in vals:
+            kmer_index.setdefault(int(v), set()).add(i)
+    kept = []
+    for i in sorted(sketches):
+        minis = sketches[i]
+        if len(minis) == 0:
+            kept.append(consensuses[i])
+            continue
+        cands = {
+            j
+            for j in kmer_index.get(int(minis[0]), set())
+            if consensuses[j].depth // 2 > consensuses[i].depth
+        }
+        for v in minis[1:]:
+            if not cands:
+                break
+            cands &= kmer_index.get(int(v), set())
+        if not cands:
+            kept.append(consensuses[i])
+    return kept
+
+
+def merge_similar_consensuses(
+    consensuses: list[ConsensusSequence],
+    low_qual: list[ConsensusSequence],
+    args: ClusterArgs,
+) -> list[ConsensusSequence]:
+    """alignment.rs:1206-1510."""
+    if not consensuses:
+        return consensuses
+
+    prev = len(consensuses)
+    consensuses = remove_similar_seqs_kmers(consensuses)
+    log.info("Stage 5 dedup: %d -> %d consensuses", prev, len(consensuses))
+
+    for c in consensuses:
+        c.decompress()
+    index = TargetIndex([c.get_decompressed() for c in consensuses])
+
+    # (b) merge low-quality consensuses in (NM <= 10); note the reference
+    # zeroes appended_depth when rebuilding consensuses below, so this only
+    # affects logs — kept for structural parity.
+    for lc in low_qual:
+        lc.decompress()
+        hits = map_query(index, lc.get_decompressed(), max_hits=1)
+        if hits and hits[0].nm <= 10:
+            consensuses[hits[0].target_id].appended_depth += lc.depth
+
+    # (c) all-vs-all with adjusted errors
+    mappings: list[tuple[int, int, int, int]] = []  # (q, t, adj_nm, t_depth)
+    for qi, cons in enumerate(consensuses):
+        qseq = cons.get_decompressed()
+        hits = map_query(index, qseq, no_diag_id=qi, max_hits=75)
+        for m in hits:
+            if m.query_end - m.query_start < len(qseq) * 3 // 4 or m.nm > 30:
+                continue
+            tseq = consensuses[m.target_id].get_decompressed()
+            if m.strand == -1:
+                rq = np.frombuffer(revcomp_bytes(qseq.tobytes()), dtype=np.uint8)
+                adj = calculate_adjusted_errors(m.cigar, rq, tseq, len(qseq) - m.query_end, m.target_start)
+            else:
+                adj = calculate_adjusted_errors(m.cigar, qseq, tseq, m.query_start, m.target_start)
+            adj = min(adj, m.nm)
+            mappings.append((qi, m.target_id, adj, consensuses[m.target_id].depth))
+
+    # merge decisions (alignment.rs:1364-1444)
+    merge_map: dict[int, int] = {}
+    for qi in range(len(consensuses)):
+        qd = consensuses[qi].depth
+        valid: list[tuple[int, int, int]] = []
+        for (q, t, nm, td) in mappings:
+            if q != qi or t == qi:
+                continue
+            rel = qd / td
+            thresh = 0.5 ** (nm * 0.75 + 1.25)
+            if nm == 0:
+                thresh = 0.999999
+                if qd == td:
+                    if qi > t:
+                        valid.append((t, nm, td))
+                    continue
+            if rel < thresh or 1.0 / rel < thresh:
+                valid.append((t, nm, td))
+        if not valid:
+            continue
+        q_to_ref = []
+        ref_to_q = []
+        for t, nm, td in valid:
+            if consensuses[t].depth == qd:
+                if nm == 0 and qi > t:
+                    merge_map[qi] = t
+                continue
+            if consensuses[t].depth > qd:
+                q_to_ref.append((t, nm, td))
+            else:
+                ref_to_q.append(t)
+        if q_to_ref:
+            q_to_ref.sort(key=lambda x: -x[2])
+            merge_map[qi] = q_to_ref[0][0]
+        for t in ref_to_q:
+            if t not in merge_map:
+                merge_map[t] = qi
+
+    # resolve chains (alignment.rs:1450-1459)
+    merged_into: dict[int, int] = {}
+    for qi in list(merge_map):
+        t = merge_map[qi]
+        seen = {qi}
+        while t in merge_map and t not in seen:
+            seen.add(t)
+            t = merge_map[t]
+        merged_into[qi] = t
+
+    new_clusters = [list(c.cluster) for c in consensuses]
+    for qi, t in merged_into.items():
+        new_clusters[t].extend(new_clusters[qi])
+        new_clusters[qi] = []
+
+    out: list[ConsensusSequence] = []
+    for idx, cons in enumerate(consensuses):
+        if new_clusters[idx]:
+            nc = ConsensusSequence(
+                sequence=cons.sequence,
+                hp_lengths=cons.hp_lengths,
+                depth=len(new_clusters[idx]),
+                id=cons.id,
+                cluster=new_clusters[idx],
+            )
+            nc.decompress()
+            out.append(nc)
+    out.sort(key=lambda c: -c.depth)
+    log.info("Stage 5 merge: %d -> %d consensuses (%d merges)", len(consensuses), len(out), len(merged_into))
+    return out

@@ -1,0 +1,5 @@
+import os
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")

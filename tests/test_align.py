@@ -1,0 +1,105 @@
+"""Aligner tests: NM correctness, CIGAR consistency, strand handling."""
+import numpy as np
+import pytest
+
+from savont_tpu.ops.align import TargetIndex, align_pair, map_query
+from savont_tpu.ops.encode import revcomp_bytes
+
+RNG = np.random.default_rng(11)
+
+
+def rand_seq(n):
+    return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
+
+
+def check_cigar_consistency(m, qlen, tlen):
+    q_span = sum(l for l, op in m.cigar if op != 2)
+    t_span = sum(l for l, op in m.cigar if op != 1)
+    assert m.query_end - m.query_start == q_span
+    assert m.target_end - m.target_start == t_span
+    assert 0 <= m.query_start <= m.query_end <= qlen
+    assert 0 <= m.target_start <= m.target_end <= tlen
+
+
+def test_identical():
+    t = rand_seq(1500)
+    m = align_pair(t, t)
+    assert m.nm == 0 and m.strand == 1
+    assert (m.query_start, m.query_end, m.target_start, m.target_end) == (0, 1500, 0, 1500)
+    check_cigar_consistency(m, 1500, 1500)
+
+
+def test_substitutions_counted():
+    t = rand_seq(1500)
+    q = bytearray(t)
+    for p in [100, 400, 700, 1000, 1300]:
+        q[p] = ord("A") if q[p] != ord("A") else ord("C")
+    m = align_pair(bytes(q), t)
+    assert m.nm == 5
+    check_cigar_consistency(m, 1500, 1500)
+
+
+def test_reverse_complement():
+    t = rand_seq(1500)
+    m = align_pair(revcomp_bytes(t), t)
+    assert m.nm == 0 and m.strand == -1
+    check_cigar_consistency(m, 1500, 1500)
+
+
+def test_indels():
+    t = rand_seq(1500)
+    q = bytearray(t)
+    del q[500:502]
+    q[900:900] = b"GGG"
+    m = align_pair(bytes(q), t)
+    assert m.nm == 5
+    gaps = sorted((l, op) for l, op in m.cigar if op != 0)
+    assert gaps == [(2, 2), (3, 1)]
+
+
+def test_containment_and_overlap():
+    t = rand_seq(1500)
+    m = align_pair(t[200:1200], t)
+    assert m.nm == 0 and (m.target_start, m.target_end) == (200, 1200)
+    q = t[800:] + rand_seq(400)
+    m = align_pair(q, t)
+    assert m.nm == 0 and m.target_start == 800 and m.query_start == 0
+
+
+def test_n_never_matches():
+    t = rand_seq(600)
+    q = bytearray(t)
+    q[300] = ord("N")
+    m = align_pair(bytes(q), t)
+    assert m.nm == 1
+
+
+def test_multi_target_ranking():
+    t0 = rand_seq(1500)
+    t1 = bytearray(t0)
+    for p in range(0, 1500, 50):
+        t1[p] = ord("A") if t1[p] != ord("A") else ord("G")
+    idx = TargetIndex([t0, bytes(t1)])
+    hits = map_query(idx, t0)
+    assert hits[0].target_id == 0 and hits[0].is_primary and hits[0].nm == 0
+    assert len(hits) == 2 and hits[1].nm > 0
+    assert hits[0].mapq == 60
+
+
+def test_mapq_zero_on_tie():
+    t0 = rand_seq(1500)
+    idx = TargetIndex([t0, t0])
+    hits = map_query(idx, t0)
+    assert hits[0].mapq == 0
+
+
+def test_divergent_pair():
+    t = rand_seq(1500)
+    q = bytearray(t)
+    pos = RNG.choice(1500, 150, replace=False)
+    for p in pos:
+        q[p] = b"ACGT"[RNG.integers(4)]
+    m = align_pair(bytes(q), t)
+    assert m is not None
+    expected = sum(1 for p in pos if bytes(q)[p] != t[p])
+    assert abs(m.nm - expected) <= 3  # end clipping may shave a couple

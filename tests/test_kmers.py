@@ -1,0 +1,181 @@
+"""Unit tests for the k-mer kernels against slow scalar reference
+implementations transcribed from the reference semantics (seeding.rs)."""
+import numpy as np
+import pytest
+
+from savont_tpu.ops.encode import (
+    U64,
+    bin_qualities,
+    encode_kmer,
+    encode_seq,
+    decode_kmer,
+    expand_binned_qualities,
+    fxhash64_seeded,
+    homopolymer_compress,
+    homopolymer_decompress,
+    mm_hash64,
+    quantize_qual_bin,
+    revcomp_bytes,
+    revcomp_kmer,
+)
+from savont_tpu.ops.kmers import (
+    count_flagged_kmers,
+    masked_kmer,
+    mid_base,
+    minimizer_sketch,
+    rolling_kmers,
+    split_kmer_mid,
+    syncmer_and_snpmer_scan,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def rand_seq(n):
+    return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
+
+
+def slow_split_kmers(seq: bytes, k: int):
+    """Direct transcription of seeding.rs:975-1068 (no quality gate)."""
+    out = []
+    split_mask = (~(3 << (k - 1))) & ((1 << 64) - 1)
+    for i in range(len(seq) - k + 1):
+        sub = seq[i : i + k]
+        f = encode_kmer(sub.decode())
+        r = encode_kmer(revcomp_bytes(sub).decode())
+        sf, sr = f & split_mask, r & split_mask
+        if sf == sr:
+            continue
+        if sf < sr:
+            out.append(f | (1 << 63))
+        else:
+            out.append(r)
+    return out
+
+
+def test_rolling_kmers_basic():
+    seq = b"ACGTACGTT"
+    codes = encode_seq(seq)
+    fwd, rev = rolling_kmers(codes, 5)
+    assert decode_kmer(int(fwd[0]), 5) == "ACGTA"
+    assert decode_kmer(int(rev[0]), 5) == "TACGT"
+    assert int(fwd[4]) == encode_kmer("ACGTT")
+
+
+def test_revcomp_kmer():
+    km = encode_kmer("ACGTG")
+    assert decode_kmer(revcomp_kmer(km, 5), 5) == "CACGT"
+
+
+def test_split_kmer_mid_matches_slow():
+    seq = rand_seq(300)
+    codes = encode_seq(seq)
+    got = split_kmer_mid(codes, None, 17, 25)
+    want = slow_split_kmers(seq, 17)
+    assert [int(x) for x in got] == want
+
+
+def test_split_kmer_mid_quality_gate():
+    seq = rand_seq(100)
+    codes = encode_seq(seq)
+    phred = np.full(100, 40)
+    phred[50] = 5  # low-quality base
+    got = split_kmer_mid(codes, phred, 17, 25)
+    # positions whose MIDDLE base (p + 8) == 50 are skipped: p == 42
+    all_pos = split_kmer_mid(codes, None, 17, 25)
+    assert len(got) <= len(all_pos)
+    # all-equal qualities: no gate
+    got_eq = split_kmer_mid(codes, np.full(100, 5), 17, 25)
+    assert len(got_eq) == len(all_pos)
+
+
+def test_counting_strand_split():
+    seq = rand_seq(200)
+    rc = revcomp_bytes(seq)
+    a = split_kmer_mid(encode_seq(seq), None, 17, 25)
+    b = split_kmer_mid(encode_seq(rc), None, 17, 25)
+    kmers, counts = count_flagged_kmers([a, b])
+    # every kmer seen once on each strand orientation
+    assert (counts.sum(axis=1) == 2).all()
+    assert (counts[:, 0] == 1).all() and (counts[:, 1] == 1).all()
+
+
+def test_masked_and_mid():
+    km = encode_kmer("ACGTACGTACGTACGTA")  # k=17
+    m = masked_kmer(np.array([km], dtype=U64), 17)[0]
+    b = mid_base(np.array([km], dtype=U64), 17)[0]
+    # middle base is at index 8: 'A' = 0
+    assert b == 0
+    assert int(m) | (int(b) << 16) == km
+
+
+def test_syncmer_scan_consistency():
+    """Syncmer definition: middle s-mer hash strictly less than all others."""
+    seq = rand_seq(500)
+    codes = encode_seq(seq)
+    k, c = 17, 11
+    s = k - c + 1
+    mini_pos, mini_kmers, _, _ = syncmer_and_snpmer_scan(codes, None, k, c, np.zeros(0, U64), 25)
+    fwd, rev = rolling_kmers(codes, s)
+    shash = mm_hash64(np.minimum(fwd, rev))
+    mid = (k - s) // 2
+    for p in mini_pos:
+        win = shash[p : p + k - s + 1]
+        assert all(win[j] > win[mid] for j in range(len(win)) if j != mid)
+    # strand invariance of the k-mer multiset
+    rc_codes = encode_seq(revcomp_bytes(seq))
+    _, rc_kmers, _, _ = syncmer_and_snpmer_scan(rc_codes, None, k, c, np.zeros(0, U64), 25)
+    assert sorted(map(int, mini_kmers)) == sorted(map(int, rc_kmers))
+
+
+def test_snpmer_hits_and_dedup():
+    seq = rand_seq(300)
+    codes = encode_seq(seq)
+    k, c = 17, 11
+    # make every canonical kmer a "snpmer": all positions hit, dedup drops repeats
+    fwd, rev = rolling_kmers(codes, k)
+    split_mask = U64((1 << 64) - 1) ^ U64(3 << (k - 1))
+    canon = np.where((fwd & split_mask) < (rev & split_mask), fwd, rev)
+    snp_sorted = np.unique(canon)
+    _, _, snp_pos, snp_kmers = syncmer_and_snpmer_scan(codes, None, k, c, snp_sorted, 25)
+    masked = snp_kmers & split_mask
+    assert len(np.unique(masked)) == len(masked)  # per-read dedup
+
+
+def test_lsh_signature_deterministic():
+    h1 = fxhash64_seeded(3, np.array([123456789, 987654321], dtype=U64))
+    h2 = fxhash64_seeded(3, np.array([123456789, 987654321], dtype=U64))
+    assert (h1 == h2).all()
+    h3 = fxhash64_seeded(4, np.array([123456789], dtype=U64))
+    assert h3[0] != h1[0]
+
+
+def test_qual_codec_roundtrip():
+    q = np.array([33, 40, 53, 70, 90], dtype=np.uint8)
+    lv = quantize_qual_bin(q)
+    assert lv.tolist() == [0, 2, 7, 12, 15]
+    exp = expand_binned_qualities(lv, 20)
+    assert len(exp) == 20
+    assert exp[0] == 33 and exp[4] == 2 * 3 + 33
+
+
+def test_hpc_roundtrip():
+    seq = np.frombuffer(b"AAACGGGT", dtype=np.uint8)
+    hpc, lens = homopolymer_compress(seq, True)
+    assert hpc.tobytes() == b"ACGT"
+    assert lens.tolist() == [3, 1, 3, 1]
+    assert homopolymer_decompress(hpc, lens).tobytes() == b"AAACGGGT"
+    # no-op mode
+    hpc2, lens2 = homopolymer_compress(seq, False)
+    assert hpc2.tobytes() == b"AAACGGGT" and (lens2 == 1).all()
+
+
+def test_minimizer_sketch_shared_region():
+    a = rand_seq(800)
+    b = a[100:700]
+    va, _ = minimizer_sketch(np.frombuffer(a, dtype=np.uint8), 10, 21)
+    vb, _ = minimizer_sketch(np.frombuffer(b, dtype=np.uint8), 10, 21)
+    # most of b's sketch values are contained in a's (quirk: first element
+    # is a raw kmer, interior are hashes)
+    shared = np.isin(vb[1:], va).mean()
+    assert shared > 0.8
