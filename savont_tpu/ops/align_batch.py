@@ -1,0 +1,308 @@
+"""Batched banded alignment: many (query, target) jobs filled in one
+vectorized DP sweep.
+
+The per-row recurrence is identical to ops/align.py banded_sw, but all
+arrays carry a leading batch dimension (B, band), so the Python row loop is
+amortized over the whole batch.  Jobs are bucketed by query length.  This
+is the host twin of the TPU kernel in align_jax.py (same math; rows become
+lax.scan steps there).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .align import (
+    GAP_EXT,
+    GAP_OPEN,
+    MATCH,
+    MISMATCH,
+    Mapping,
+    TargetIndex,
+    _band_centers,
+    _chain_anchors,
+    _traceback,
+    _window_minimizers,
+    ascii_to_align_codes,
+)
+from .encode import revcomp_bytes
+
+NEG = -20000  # int16-safe sentinel
+
+
+@dataclass
+class AlignJob:
+    """One planned banded alignment (post seeding/chaining)."""
+
+    qcodes: np.ndarray  # oriented query codes (0..4)
+    tcodes: np.ndarray  # target codes
+    lo: np.ndarray  # per-row band lower bound (int64, len == len(qcodes))
+    # metadata to build the Mapping afterwards
+    target_id: int
+    strand: int
+    fwd_qlen: int
+
+
+def plan_jobs(
+    index: TargetIndex,
+    query_ascii: bytes | np.ndarray,
+    band: int = 128,
+    min_anchors: int = 3,
+    no_diag_id: int | None = None,
+) -> list[AlignJob]:
+    """Seeding + chaining for a query against an index; one job per
+    (target, strand) that has a viable chain."""
+    if isinstance(query_ascii, (bytes, bytearray)):
+        qbytes = bytes(query_ascii)
+    else:
+        qbytes = np.asarray(query_ascii, dtype=np.uint8).tobytes()
+    qf = ascii_to_align_codes(qbytes)
+    hq, pq, fq = _window_minimizers(qf, index.w, index.k)
+    qlen = len(qf)
+
+    per_ts: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for hh, qp, qf_canon in zip(hq, pq, fq):
+        for tid, tp, tf_canon in index.index.get(int(hh), ()):  # type: ignore[arg-type]
+            if no_diag_id is not None and tid == no_diag_id:
+                continue
+            if qf_canon == tf_canon:
+                per_ts.setdefault((tid, 1), []).append((int(qp), int(tp)))
+            else:
+                per_ts.setdefault((tid, -1), []).append((qlen - index.k - int(qp), int(tp)))
+
+    qr = None
+    jobs: list[AlignJob] = []
+    for (tid, strand), anchors in per_ts.items():
+        if len(anchors) < min_anchors:
+            continue
+        qa = np.array([a[0] for a in anchors], dtype=np.int64)
+        ta = np.array([a[1] for a in anchors], dtype=np.int64)
+        chain = _chain_anchors(qa, ta)
+        if len(chain) < min_anchors:
+            continue
+        if strand == -1 and qr is None:
+            qr = ascii_to_align_codes(revcomp_bytes(qbytes))
+        qcodes = qf if strand == 1 else qr
+        centers = _band_centers(len(qcodes), qa[chain], ta[chain])
+        tcodes = index.targets[tid]
+        n = len(tcodes)
+        b = min(band, max(8, n))
+        lo = np.maximum.accumulate(np.clip(centers - b // 2, 0, max(n - b, 0)))
+        jobs.append(AlignJob(qcodes, tcodes, lo, tid, strand, qlen))
+    return jobs
+
+
+def _run_bucket(jobs: list[AlignJob], band: int) -> list[tuple | None]:
+    """Vectorized DP over a bucket of jobs with equal padded dims."""
+    B = len(jobs)
+    Lq = max(len(j.qcodes) for j in jobs)
+    q = np.full((B, Lq), 5, dtype=np.uint8)  # 5 = padding, never matches
+    tmaxlen = max(len(j.tcodes) for j in jobs)
+    t = np.full((B, tmaxlen), 6, dtype=np.uint8)
+    lo = np.zeros((B, Lq + 1), dtype=np.int64)
+    tlens = np.zeros(B, dtype=np.int64)
+    for i, j in enumerate(jobs):
+        q[i, : len(j.qcodes)] = j.qcodes
+        t[i, : len(j.tcodes)] = j.tcodes
+        lo[i, 1 : len(j.lo) + 1] = j.lo
+        lo[i, 0] = j.lo[0]
+        if len(j.lo) < Lq:
+            lo[i, len(j.lo) + 1 :] = j.lo[-1]
+        tlens[i] = len(j.tcodes)
+
+    H = np.zeros((B, Lq + 1, band), dtype=np.int16)
+    E = np.full((B, Lq + 1, band), NEG, dtype=np.int16)
+    F = np.full((B, Lq + 1, band), NEG, dtype=np.int16)
+    G = np.zeros((B, Lq + 1, band), dtype=np.int16)
+
+    je = np.arange(band, dtype=np.int64)
+    bi = np.arange(B)[:, None]
+    ooe = GAP_OPEN + GAP_EXT
+
+    for r in range(1, Lq + 1):
+        l = lo[:, r]
+        dl = l - lo[:, r - 1]
+        cols = l[:, None] + je[None, :]
+        valid = cols < tlens[:, None]
+        tc = t[bi, np.minimum(cols, tlens[:, None] - 1)]
+        qc = q[:, r - 1][:, None]
+        s = np.where((tc == qc) & (qc < 4) & (tc < 4), MATCH, MISMATCH).astype(np.int16)
+
+        src = je[None, :] + dl[:, None]
+        in_rng = src < band
+        src_cl = np.minimum(src, band - 1)
+        Hup = np.where(in_rng, H[bi, r - 1, src_cl], NEG)
+        Fup = np.where(in_rng, F[bi, r - 1, src_cl], NEG)
+        srcd = src - 1
+        d_in = (srcd >= 0) & (srcd < band)
+        srcd_cl = np.clip(srcd, 0, band - 1)
+        Hdiag = np.where(d_in, H[bi, r - 1, srcd_cl], NEG).astype(np.int32)
+        # left-of-band diagonal is the free zero boundary only at column 0
+        left_edge = (srcd < 0) & (cols == 0)
+        Hdiag = np.where(left_edge, 0, Hdiag)
+
+        Fr = np.maximum(Hup.astype(np.int32) - GAP_OPEN, Fup.astype(np.int32)) - GAP_EXT
+        Fr = np.maximum(Fr, NEG)
+        Gr = np.maximum(np.maximum(0, Hdiag + s), Fr)
+        run = np.maximum.accumulate(Gr + GAP_EXT * je[None, :], axis=1)
+        Er = np.full((B, band), NEG, dtype=np.int32)
+        Er[:, 1:] = run[:, :-1] - ooe - GAP_EXT * je[None, 1:] + GAP_EXT
+        Er = np.maximum(Er, NEG)
+        Hr = np.maximum(Gr, Er)
+        Hr = np.where(valid, Hr, NEG)
+        Gr = np.where(valid, Gr, NEG)
+        H[:, r] = Hr.astype(np.int16)
+        E[:, r] = Er.astype(np.int16)
+        F[:, r] = Fr.astype(np.int16)
+        G[:, r] = Gr.astype(np.int16)
+
+    out = []
+    for i, job in enumerate(jobs):
+        m = len(job.qcodes)
+        Hi = H[i, 1 : m + 1]
+        flat = int(np.argmax(Hi))
+        ri, bj = divmod(flat, band)
+        ri += 1
+        score = int(Hi[ri - 1, bj])
+        if score <= 0:
+            out.append(None)
+            continue
+        lo_full = lo[i, : m + 1]
+        out.append(
+            _traceback(
+                H[i, : m + 1].astype(np.int32),
+                E[i, : m + 1].astype(np.int32),
+                F[i, : m + 1].astype(np.int32),
+                G[i, : m + 1].astype(np.int32),
+                lo_full,
+                job.qcodes,
+                job.tcodes,
+                ri,
+                bj,
+                score,
+            )
+        )
+    return out
+
+
+_JAX_BACKEND = None
+
+
+def use_jax_backend(enable: bool = True) -> None:
+    """Route bucket DP through the TPU kernel (align_jax)."""
+    global _JAX_BACKEND
+    if enable:
+        from . import align_jax
+
+        _JAX_BACKEND = align_jax
+    else:
+        _JAX_BACKEND = None
+
+
+def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tuple | None]:
+    """Run all jobs, bucketed by query length for padding efficiency.
+
+    Returns per job: (score, q0, q1, t0, t1, cigar, nm) or None.
+    """
+    if not jobs:
+        return []
+    order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
+    results: list[tuple | None] = [None] * len(jobs)
+    for start in range(0, len(order), bucket):
+        chunk = order[start : start + bucket]
+        batch = [jobs[i] for i in chunk]
+        if _JAX_BACKEND is not None:
+            res = _JAX_BACKEND.run_bucket(batch, band)
+        else:
+            res = _run_bucket(batch, band)
+        for i, r in zip(chunk, res):
+            results[i] = r
+    return results
+
+
+def _jobs_to_mappings(jobs: list[AlignJob], raw: list[tuple | None]) -> list[Mapping]:
+    out = []
+    for job, r in zip(jobs, raw):
+        if r is None:
+            continue
+        score, q0, q1, t0, t1, cigar, nm = r
+        if job.strand == 1:
+            fq0, fq1 = q0, q1
+        else:
+            fq0, fq1 = job.fwd_qlen - q1, job.fwd_qlen - q0
+        out.append(
+            Mapping(
+                target_id=job.target_id, strand=job.strand, query_start=fq0,
+                query_end=fq1, target_start=t0, target_end=t1, nm=nm,
+                cigar=cigar, score=score,
+            )
+        )
+    return out
+
+
+def map_batch(
+    index: TargetIndex,
+    queries: list[bytes | np.ndarray],
+    band: int = 128,
+    min_anchors: int = 3,
+    max_hits: int | None = None,
+    no_diag: bool = False,
+) -> list[list[Mapping]]:
+    """Map many queries against one index with batched DP.
+
+    Returns per query a hit list sorted like align.map_query (best first,
+    one per target, mapq>0 iff unique best)."""
+    all_jobs: list[AlignJob] = []
+    job_owner: list[int] = []
+    for qi, qa in enumerate(queries):
+        jobs = plan_jobs(index, qa, band=band, min_anchors=min_anchors, no_diag_id=qi if no_diag else None)
+        all_jobs.extend(jobs)
+        job_owner.extend([qi] * len(jobs))
+    raw = run_jobs(all_jobs, band=band)
+
+    per_query: dict[int, list[tuple[AlignJob, tuple]]] = {}
+    for owner, job, r in zip(job_owner, all_jobs, raw):
+        if r is not None:
+            per_query.setdefault(owner, []).append((job, r))
+
+    results: list[list[Mapping]] = []
+    for qi in range(len(queries)):
+        pairs = per_query.get(qi, [])
+        best_by_target: dict[int, Mapping] = {}
+        for job, r in pairs:
+            (m,) = _jobs_to_mappings([job], [r]) or (None,)
+            if m is None:
+                continue
+            prev = best_by_target.get(m.target_id)
+            if prev is None or m.score > prev.score:
+                best_by_target[m.target_id] = m
+        hits = sorted(best_by_target.values(), key=lambda m: (-m.score, m.target_id))
+        for i, m in enumerate(hits):
+            m.is_primary = i == 0
+            m.mapq = 60 if (i == 0 and (len(hits) < 2 or hits[1].score < m.score)) else 0
+        if max_hits is not None:
+            hits = hits[:max_hits]
+        results.append(hits)
+    return results
+
+
+def align_pairs(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
+    """Batched independent pair alignments (each pair = its own 1-target
+    index for seeding, shared DP sweep)."""
+    all_jobs: list[AlignJob] = []
+    owner: list[int] = []
+    for i, (qa, ta) in enumerate(pairs):
+        idx = TargetIndex([ta])
+        jobs = plan_jobs(idx, qa, band=band, min_anchors=2)
+        all_jobs.extend(jobs)
+        owner.extend([i] * len(jobs))
+    raw = run_jobs(all_jobs, band=band)
+    best: list[Mapping | None] = [None] * len(pairs)
+    for o, job, r in zip(owner, all_jobs, raw):
+        if r is None:
+            continue
+        (m,) = _jobs_to_mappings([job], [r])
+        if best[o] is None or m.score > best[o].score:
+            best[o] = m
+    return best

@@ -7,6 +7,9 @@ to it with the banded kernel, and take the quality-weighted majority at each
 column (including short insertions).  The reference's own Bayesian polish
 (which only FLAGS positions; the base calls come from the consensus) then
 runs unchanged on pileups of up to 250 reads.
+
+All alignments across ALL clusters are batched into single banded-DP sweeps
+(ops/align_batch) — the batching discipline that buys TPU throughput.
 """
 from __future__ import annotations
 
@@ -19,18 +22,11 @@ import numpy as np
 from ..config import ClusterArgs
 from ..constants import DEFAULT_ERR_RATE, MAX_INSERTION_LENGTH, MAX_SEQS_CONSENSUS, MAX_SEQS_POA
 from ..core import ConsensusSequence, TwinRead
-from ..ops.align import Mapping, align_pair
+from ..ops.align import Mapping
+from ..ops.align_batch import align_pairs
 from ..ops.encode import homopolymer_compress, revcomp_bytes
 
 log = logging.getLogger("savont")
-
-
-# ── pileup structures ────────────────────────────────────────────────────────
-
-# a pileup position is a dict with:
-#   ref_pos, ref_base (ASCII code), ref_hp_length,
-#   bases: list of ('B', base, qual, hp) | ('D',) | ('I', [(base,qual,hp)...])
-#   alt_posterior: float | None
 
 
 class Pileup:
@@ -40,6 +36,7 @@ class Pileup:
         self.ref_pos = ref_pos
         self.ref_base = ref_base
         self.ref_hp_length = ref_hp_length
+        # entries: ('B', base, qual, hp) | ('D',) | ('I', [(base,qual,hp)...])
         self.bases: list[tuple] = []
         self.alt_posterior: float | None = None
 
@@ -54,8 +51,8 @@ def _read_seq_and_qual(tr: TwinRead) -> tuple[bytes, np.ndarray]:
 
 
 def _avg_qual(tr: TwinRead) -> float:
-    """Mean per-BIN accuracy (alignment.rs:239-245 computes the average over
-    the binned quality values, one per 4-base bin)."""
+    """Mean per-BIN accuracy (alignment.rs:239-245: average over binned
+    quality values, one per 4-base bin)."""
     if tr.qual_levels is None:
         return 1.0
     q = tr.qual_levels.astype(np.float64) * 3 + 33
@@ -70,20 +67,13 @@ def _vote_consensus(
     oriented: list[tuple[bytes, np.ndarray]],
     mappings: list[Mapping],
 ) -> bytes:
-    """One round of quality-weighted majority vote against the template.
-
-    For each template column: votes for observed base vs deletion; the
-    winning base (or removal) replaces the template base.  Insertions after
-    a column are applied when their weighted support exceeds half the
-    column's weighted coverage (ties broken toward no insertion).
-    """
+    """Quality-weighted majority vote against the template (one round)."""
     n = len(template)
     t_arr = np.frombuffer(template, dtype=np.uint8)
-    base_w = np.zeros((n, 4), dtype=np.float64)  # A C G T weighted votes
+    base_w = np.zeros((n, 4), dtype=np.float64)
     del_w = np.zeros(n, dtype=np.float64)
     cov_w = np.zeros(n, dtype=np.float64)
     ins_votes: dict[int, Counter] = {}
-    ins_w: dict[int, float] = {}
     code = {65: 0, 67: 1, 71: 2, 84: 3}
 
     for (oseq, oqual), m in zip(oriented, mappings):
@@ -102,11 +92,9 @@ def _vote_consensus(
                 tp += length
             elif op == 1:
                 w = float(oqual[qp])
-                ins = oseq[qp : qp + length]
                 key = tp - 1
                 if key >= 0:
-                    ins_votes.setdefault(key, Counter())[ins] += w
-                    ins_w[key] = ins_w.get(key, 0.0) + w
+                    ins_votes.setdefault(key, Counter())[oseq[qp : qp + length]] += w
                 qp += length
             else:  # deletion: weight by the quality of the next aligned base
                 w = float(oqual[min(qp, len(oqual) - 1)]) if len(oqual) else 63.0
@@ -123,7 +111,7 @@ def _vote_consensus(
         else:
             best_c = int(np.argmax(base_w[i]))
             if del_w[i] > base_w[i].sum():
-                pass  # majority deletion: drop this column
+                pass  # majority deletion: drop column
             elif base_w[i, best_c] > 0:
                 out.append(bases[best_c])
             else:
@@ -136,91 +124,87 @@ def _vote_consensus(
     return bytes(out)
 
 
-def _consensus_for_cluster(
-    cluster: list[int], twin_reads: list[TwinRead], cluster_idx: int, args: ClusterArgs
-) -> bytes | None:
-    """alignment.rs:226-392 — seed pick, read orientation, consensus."""
-    seqs: list[bytes] = []
-    quals: list[np.ndarray] = []
-    avg_quals: list[float] = []
-    for rid in cluster:
-        s, q = _read_seq_and_qual(twin_reads[rid])
-        seqs.append(s)
-        quals.append(q)
-        avg_quals.append(_avg_qual(twin_reads[rid]))
-
-    # seed = 90th-percentile-length sequence (alignment.rs:266-280)
-    lengths_i = sorted((len(s), i) for i, s in enumerate(seqs))
-    seed_idx = lengths_i[int(len(lengths_i) * 0.9)][1]
-    # top-75 by average quality, stable on ties
-    order = sorted(range(len(seqs)), key=lambda i: -avg_quals[i])[:MAX_SEQS_POA]
-
-    seed = seqs[seed_idx]
-    oriented: list[tuple[bytes, np.ndarray]] = []
-    mappings: list[Mapping] = []
-    collected: list[int] = []
-    for i in sorted(order):  # reference sorts mappings by read index (l.305)
-        if i == seed_idx:
-            continue
-        m = align_pair(seqs[i], seed)
-        if m is None:
-            continue
-        if m.strand == -1:
-            oriented.append((revcomp_bytes(seqs[i]), quals[i][::-1]))
-        else:
-            oriented.append((seqs[i], quals[i]))
-        mappings.append(m)
-        collected.append(i)
-        if len(oriented) + 1 > MAX_SEQS_POA:
-            break
-
-    # iterative template polish (2 rounds); round 1 reuses the seed mappings
-    template = seed
-    for it in range(2):
-        if it > 0:
-            new_mappings = []
-            new_oriented = []
-            for (oseq, oqual) in oriented:
-                m = align_pair(oseq, template)
-                if m is None:
-                    continue
-                # oseq is already oriented to the seed; template keeps that
-                # orientation, so re-orient only if the aligner disagrees
-                if m.strand == -1:
-                    oseq, oqual = revcomp_bytes(oseq), oqual[::-1]
-                    m = align_pair(oseq, template)
-                    if m is None:
-                        continue
-                new_mappings.append(m)
-                new_oriented.append((oseq, oqual))
-            mappings, oriented = new_mappings, new_oriented
-        if not mappings:
-            break
-        template = _vote_consensus(template, oriented, mappings)
-
-    if args.use_hpc:
-        hpc, _ = homopolymer_compress(np.frombuffer(template, dtype=np.uint8), True)
-        template = hpc.tobytes()
-
-    if len(template) < 40:  # buffer*2 check (alignment.rs:378-381)
-        log.warning("consensus for cluster %d too short (%d)", cluster_idx, len(template))
-        return None
-    return template
-
-
 def align_and_consensus(
     twin_reads: list[TwinRead], clusters: list[list[int]], args: ClusterArgs
 ) -> list[ConsensusSequence]:
-    """alignment.rs:218-405."""
-    out: list[tuple[int, bytes, int, list[int]]] = []
-    for cluster_idx, cluster in enumerate(clusters):
-        cons = _consensus_for_cluster(cluster, twin_reads, cluster_idx, args)
-        if cons is None:
+    """alignment.rs:218-405, with alignments batched across all clusters."""
+    # per-cluster prep
+    ctx = []
+    for cluster in clusters:
+        seqs, quals, avgq = [], [], []
+        for rid in cluster:
+            s, q = _read_seq_and_qual(twin_reads[rid])
+            seqs.append(s)
+            quals.append(q)
+            avgq.append(_avg_qual(twin_reads[rid]))
+        lengths_i = sorted((len(s), i) for i, s in enumerate(seqs))
+        seed_idx = lengths_i[int(len(lengths_i) * 0.9)][1]
+        order = sorted(range(len(seqs)), key=lambda i: -avgq[i])[:MAX_SEQS_POA]
+        cands = sorted(i for i in order if i != seed_idx)
+        ctx.append({"seqs": seqs, "quals": quals, "seed": seed_idx, "cands": cands})
+
+    # round 1: align candidates to seed, batched over all clusters
+    pairs, owners = [], []
+    for cid, c in enumerate(ctx):
+        seed_seq = c["seqs"][c["seed"]]
+        for i in c["cands"]:
+            pairs.append((c["seqs"][i], seed_seq))
+            owners.append((cid, i))
+    res = align_pairs(pairs)
+
+    oriented_by_cluster: dict[int, list[tuple[bytes, np.ndarray]]] = {}
+    mappings_by_cluster: dict[int, list[Mapping]] = {}
+    for (cid, i), m in zip(owners, res):
+        if m is None:
             continue
-        out.append((cluster_idx, cons, len(cluster), list(cluster)))
-        log.debug("consensus %d: %d reads, %d bp", cluster_idx, len(cluster), len(cons))
+        c = ctx[cid]
+        if m.strand == -1:
+            o = (revcomp_bytes(c["seqs"][i]), c["quals"][i][::-1])
+        else:
+            o = (c["seqs"][i], c["quals"][i])
+        oriented_by_cluster.setdefault(cid, []).append(o)
+        mappings_by_cluster.setdefault(cid, []).append(m)
+
+    templates: dict[int, bytes] = {}
+    for cid, c in enumerate(ctx):
+        seed_seq = c["seqs"][c["seed"]]
+        ori = oriented_by_cluster.get(cid, [])
+        mps = mappings_by_cluster.get(cid, [])
+        templates[cid] = _vote_consensus(seed_seq, ori, mps) if mps else seed_seq
+
+    # round 2: re-align oriented reads to round-1 templates, batched
+    pairs2, owners2 = [], []
+    for cid in range(len(ctx)):
+        for slot, (oseq, _) in enumerate(oriented_by_cluster.get(cid, [])):
+            pairs2.append((oseq, templates[cid]))
+            owners2.append((cid, slot))
+    res2 = align_pairs(pairs2)
+    ori2: dict[int, list] = {}
+    mps2: dict[int, list] = {}
+    for (cid, slot), m in zip(owners2, res2):
+        if m is None:
+            continue
+        oseq, oqual = oriented_by_cluster[cid][slot]
+        if m.strand == -1:  # template flipped orientation (rare) — skip read
+            continue
+        ori2.setdefault(cid, []).append((oseq, oqual))
+        mps2.setdefault(cid, []).append(m)
+
+    out: list[tuple[int, bytes, int, list[int]]] = []
+    for cid, cluster in enumerate(clusters):
+        template = templates[cid]
+        if mps2.get(cid):
+            template = _vote_consensus(template, ori2[cid], mps2[cid])
+        if args.use_hpc:
+            hpc, _ = homopolymer_compress(np.frombuffer(template, dtype=np.uint8), True)
+            template = hpc.tobytes()
+        if len(template) < 40:  # 2*buffer check (alignment.rs:378-381)
+            log.warning("consensus for cluster %d too short (%d bp)", cid, len(template))
+            continue
+        out.append((cid, template, len(cluster), list(cluster)))
+
     out.sort(key=lambda x: -x[2])  # depth desc, stable
-    res = [
+    res_list = [
         ConsensusSequence(
             sequence=np.frombuffer(seq, dtype=np.uint8).copy(),
             hp_lengths=np.ones(len(seq), dtype=np.uint8),
@@ -230,8 +214,8 @@ def align_and_consensus(
         )
         for cid, seq, depth, cluster in out
     ]
-    log.info("Stage 4a: %d consensus sequences", len(res))
-    return res
+    log.info("Stage 4a: %d consensus sequences", len(res_list))
+    return res_list
 
 
 # ── pileup generation (alignment.rs:409-652) ─────────────────────────────────
@@ -240,59 +224,64 @@ def align_and_consensus(
 def generate_consensus_pileups(
     twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
 ) -> list[list[Pileup]]:
-    pileups: list[list[Pileup]] = []
-    for cons in consensuses:
+    # plan all read->consensus alignments in one batch
+    pairs, owners, payload = [], [], []
+    for ci, cons in enumerate(consensuses):
         cseq = cons.sequence.tobytes()
-        pile = [Pileup(p, cons.sequence[p], int(cons.hp_lengths[p])) for p in range(len(cseq))]
-        n_align = min(len(cons.cluster), MAX_SEQS_CONSENSUS)
-        for i in range(n_align):
+        for i in range(min(len(cons.cluster), MAX_SEQS_CONSENSUS)):
             tr = twin_reads[cons.cluster[i]]
             seq, qual = _read_seq_and_qual(tr)
             if args.use_hpc:
                 arr = np.frombuffer(seq, dtype=np.uint8)
                 hpc_seq, hp_lens = homopolymer_compress(arr, True)
-                # min-quality per run
-                # (utils.rs:136-184; expand via run boundaries)
                 idx = np.repeat(np.arange(len(hpc_seq)), hp_lens.astype(np.int64))
                 hq = np.full(len(hpc_seq), 255, dtype=np.uint8)
                 np.minimum.at(hq, idx, qual)
                 seq, qual, hp = hpc_seq.tobytes(), hq, hp_lens
             else:
                 hp = np.ones(len(seq), dtype=np.uint8)
-            m = align_pair(seq, cseq)
-            if m is None:
-                continue
-            if m.strand == -1:
-                oseq = revcomp_bytes(seq)
-                oqual = qual[::-1]
-                ohp = hp[::-1]
-                q0 = len(seq) - m.query_end
+            pairs.append((seq, cseq))
+            owners.append(ci)
+            payload.append((seq, qual, hp))
+    results = align_pairs(pairs)
+
+    pileups: list[list[Pileup]] = [
+        [Pileup(p, cons.sequence[p], int(cons.hp_lengths[p])) for p in range(len(cons.sequence))]
+        for cons in consensuses
+    ]
+    for ci, (seq, qual, hp), m in zip(owners, payload, results):
+        if m is None:
+            continue
+        pile = pileups[ci]
+        if m.strand == -1:
+            oseq = revcomp_bytes(seq)
+            oqual = qual[::-1]
+            ohp = hp[::-1]
+            q0 = len(seq) - m.query_end
+        else:
+            oseq, oqual, ohp = seq, qual, hp
+            q0 = m.query_start
+        tp, qp = m.target_start, q0
+        for length, op in m.cigar:
+            if op == 0:
+                for j in range(length):
+                    if tp + j < len(pile) and qp + j < len(oseq):
+                        pile[tp + j].bases.append(("B", oseq[qp + j], int(oqual[qp + j]), int(ohp[qp + j])))
+                tp += length
+                qp += length
+            elif op == 1:
+                if tp > 0 and tp - 1 < len(pile) and qp + length <= len(oseq):
+                    ins = [
+                        (oseq[qp + j], int(oqual[qp + j]), int(ohp[qp + j]))
+                        for j in range(min(length, MAX_INSERTION_LENGTH))
+                    ]
+                    pile[tp - 1].bases.append(("I", ins))
+                qp += length
             else:
-                oseq, oqual, ohp = seq, qual, hp
-                q0 = m.query_start
-            tp = m.target_start
-            qp = q0
-            for length, op in m.cigar:
-                if op == 0:
-                    for j in range(length):
-                        if tp + j < len(pile) and qp + j < len(oseq):
-                            pile[tp + j].bases.append(("B", oseq[qp + j], int(oqual[qp + j]), int(ohp[qp + j])))
-                    tp += length
-                    qp += length
-                elif op == 1:
-                    if tp > 0 and tp - 1 < len(pile) and qp + length <= len(oseq):
-                        ins = [
-                            (oseq[qp + j], int(oqual[qp + j]), int(ohp[qp + j]))
-                            for j in range(min(length, MAX_INSERTION_LENGTH))
-                        ]
-                        pile[tp - 1].bases.append(("I", ins))
-                    qp += length
-                else:
-                    for j in range(length):
-                        if tp + j < len(pile):
-                            pile[tp + j].bases.append(("D",))
-                    tp += length
-        pileups.append(pile)
+                for j in range(length):
+                    if tp + j < len(pile):
+                        pile[tp + j].bases.append(("D",))
+                tp += length
 
     # modal (median) HP length per position (alignment.rs:580-620)
     for pile in pileups:
@@ -325,11 +314,7 @@ def estimate_quality_error_rates(
             total = len(p.bases)
             if total == 0:
                 continue
-            errs = sum(
-                1
-                for b in p.bases
-                if b[0] != "B" or b[1] != p.ref_base
-            )
+            errs = sum(1 for b in p.bases if b[0] != "B" or b[1] != p.ref_base)
             if errs / total >= 0.05:
                 continue
             for b in p.bases:
@@ -371,8 +356,7 @@ def analyze_pileup_consensuses(
             continue
         max_depth = max(p.depth() for p in pile)
         min_cov = max(max_depth // 3, min_cov_abs)
-        start_idx = 0
-        end_idx = len(pile)
+        start_idx, end_idx = 0, len(pile)
         for i, p in enumerate(pile):
             if p.depth() >= min_cov:
                 start_idx = i
@@ -404,7 +388,7 @@ def analyze_pileup_consensuses(
                 elif b[0] == "D":
                     lp_ref += ln(indel_rate)
                     lp_alt += ln(1.0 - indel_rate)
-                else:  # insertion: single evidence from its first base
+                else:  # insertion: single extra evidence from its first base
                     q0 = b[1][0][1] if b[1] else indel_q
                     er = quality_error_map.get(q0, DEFAULT_ERR_RATE)
                     lp_alt += ln(1.0 - er)

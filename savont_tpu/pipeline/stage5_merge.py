@@ -8,6 +8,7 @@ import numpy as np
 from ..config import ClusterArgs
 from ..core import ConsensusSequence
 from ..ops.align import Mapping, TargetIndex, ascii_to_align_codes, map_query
+from ..ops.align_batch import map_batch
 from ..ops.encode import revcomp_bytes
 from ..ops.kmers import minimizer_sketch
 
@@ -120,16 +121,19 @@ def merge_similar_consensuses(
     # affects logs — kept for structural parity.
     for lc in low_qual:
         lc.decompress()
-        hits = map_query(index, lc.get_decompressed(), max_hits=1)
+    lq_hits = map_batch(index, [lc.get_decompressed() for lc in low_qual], max_hits=1)
+    for lc, hits in zip(low_qual, lq_hits):
         if hits and hits[0].nm <= 10:
             consensuses[hits[0].target_id].appended_depth += lc.depth
 
-    # (c) all-vs-all with adjusted errors
+    # (c) all-vs-all with adjusted errors (batched)
     mappings: list[tuple[int, int, int, int]] = []  # (q, t, adj_nm, t_depth)
+    all_hits = map_batch(
+        index, [c.get_decompressed() for c in consensuses], max_hits=75, no_diag=True
+    )
     for qi, cons in enumerate(consensuses):
         qseq = cons.get_decompressed()
-        hits = map_query(index, qseq, no_diag_id=qi, max_hits=75)
-        for m in hits:
+        for m in all_hits[qi]:
             if m.query_end - m.query_start < len(qseq) * 3 // 4 or m.nm > 30:
                 continue
             tseq = consensuses[m.target_id].get_decompressed()

@@ -100,35 +100,41 @@ def detect_chimeras(consensuses: list[ConsensusSequence], args: ClusterArgs) -> 
     for c in consensuses:
         c.get_decompressed()
 
+    from ..ops.align_batch import map_batch
+
+    index = TargetIndex([c.get_decompressed() for c in consensuses])
+    seqs = [c.get_decompressed().tobytes() for c in consensuses]
+    all_hits = map_batch(index, seqs, no_diag=True)
+
     chimeric: set[int] = set()
     for qi, qc in enumerate(consensuses):
-        qseq = qc.get_decompressed().tobytes()
+        qseq = seqs[qi]
         qd = qc.depth
         qlen = len(qseq)
         left_refs: list[tuple[int, int]] = []
         right_refs: list[tuple[int, int]] = []
-        for ri, rc_cons in enumerate(consensuses):
-            if ri == qi or rc_cons.depth <= qd * 3:
+        for m in all_hits[qi]:
+            ri = m.target_id
+            # only higher-depth consensuses are parent candidates
+            if ri == qi or consensuses[ri].depth <= qd * 3:
                 continue
-            rseq = rc_cons.get_decompressed().tobytes()
-            idx = TargetIndex([rseq])
-            for m in map_query(idx, qseq):
-                if m.strand == -1:
-                    q0 = qlen - m.query_end
-                    q1 = qlen - m.query_start
-                    fq = revcomp_bytes(qseq)
-                    is_rc = True
-                else:
-                    q0, q1 = m.query_start, m.query_end
-                    fq = qseq
-                    is_rc = False
-                lm, rm = calculate_match_lengths(
-                    m.cigar, fq, rseq, q0, q1, m.target_start, m.target_end, is_rc, args
-                )
-                if lm is not None:
-                    left_refs.append((ri, lm))
-                if rm is not None:
-                    right_refs.append((ri, rm))
+            rseq = seqs[ri]
+            if m.strand == -1:
+                q0 = qlen - m.query_end
+                q1 = qlen - m.query_start
+                fq = revcomp_bytes(qseq)
+                is_rc = True
+            else:
+                q0, q1 = m.query_start, m.query_end
+                fq = qseq
+                is_rc = False
+            lm, rm = calculate_match_lengths(
+                m.cigar, fq, rseq, q0, q1, m.target_start, m.target_end, is_rc, args
+            )
+            if lm is not None:
+                left_refs.append((ri, lm))
+            if rm is not None:
+                right_refs.append((ri, rm))
 
         # observed bipartite rule (parent_similarity lookups always miss -> 0.0)
         found = False

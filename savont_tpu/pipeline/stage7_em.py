@@ -8,7 +8,8 @@ import numpy as np
 from ..config import ClusterArgs
 from ..constants import EM_MAX_ITERATIONS, EM_MINIMIZER_RATIO_BASE, EM_RATIO_THRESHOLD
 from ..core import ConsensusSequence, KmerGlobalInfo, TwinRead
-from ..ops.align import TargetIndex, align_pair, map_query
+from ..ops.align import TargetIndex
+from ..ops.align_batch import align_pairs, map_batch
 from ..ops.encode import U64
 
 log = logging.getLogger("savont")
@@ -117,21 +118,31 @@ def refine_asv_depths_with_em(
     total_assigned = 0
     filtered = 0
 
-    for tr in twin_reads:
-        if sample_filter is not None and tr.file_idx != sample_filter:
-            continue
+    # gather candidates for all reads, then batch the tie-break alignments
+    read_list = [
+        tr for tr in twin_reads if sample_filter is None or tr.file_idx == sample_filter
+    ]
+    read_cands: list[list[tuple[int, int]]] = []
+    pairs, owners = [], []
+    for ri, tr in enumerate(read_list):
         cands = _snpmer_candidates(tr, asv_snpmer_index, asv_mini_sets, k, args.c)
-        if not cands:
+        read_cands.append(cands)
+        if cands:
+            read_seq = tr.seq_bytes()
+            for asv, _mm in cands:
+                pairs.append((asv_seqs[asv], read_seq))
+                owners.append((ri, asv))
+    aln_results = align_pairs(pairs)
+    nm_by_read: dict[int, list[tuple[int, int]]] = {}
+    for (ri, asv), m in zip(owners, aln_results):
+        if m is not None:
+            nm_by_read.setdefault(ri, []).append((asv, m.nm))
+
+    for ri, tr in enumerate(read_list):
+        if not read_cands[ri]:
             filtered += 1
             continue
-        # alignment tie-break: NM of read<->ASV banded alignment
-        read_seq = tr.seq_bytes()
-        best_alns: list[tuple[int, int]] = []
-        for asv, _mm in cands:
-            m = align_pair(asv_seqs[asv], read_seq)
-            if m is None:
-                continue
-            best_alns.append((asv, m.nm))
+        best_alns = nm_by_read.get(ri, [])
         if not best_alns:
             filtered += 1
             continue
@@ -181,10 +192,10 @@ def refine_asv_depths_with_minimap(
     leq10 = np.zeros(len(consensuses), dtype=np.int64)
     total_assigned = 0
     filtered = 0
-    for tr in twin_reads:
-        if sample_filter is not None and tr.file_idx != sample_filter:
-            continue
-        hits = [m for m in map_query(index, tr.seq_bytes()) if m.mapq > 0]
+    read_list = [tr for tr in twin_reads if sample_filter is None or tr.file_idx == sample_filter]
+    all_hits = map_batch(index, [tr.seq_bytes() for tr in read_list])
+    for tr, raw_hits in zip(read_list, all_hits):
+        hits = [m for m in raw_hits if m.mapq > 0]
         if not hits:
             filtered += 1
             continue
