@@ -1,0 +1,220 @@
+// Banded affine Smith-Waterman batch kernel (host native path).
+//
+// Exact semantic twin of savont_tpu/ops/align.py::banded_sw + _traceback:
+// same prefix-max E formulation, same tie-breaking, same NM definition.
+// Parallel over pairs with OpenMP.  Built by savont_tpu/ops/native_build.py
+// and loaded via ctypes; the NumPy implementation is the fallback and the
+// correctness oracle (tests/test_native.py asserts equality).
+//
+// CIGAR ops: 0 = M, 1 = I (consumes query), 2 = D (consumes target).
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int32_t MATCH = 2;
+constexpr int32_t MISMATCH = -4;
+constexpr int32_t GAP_OPEN = 4;
+constexpr int32_t GAP_EXT = 2;
+constexpr int32_t NEG = -20000;
+
+struct Result {
+    int32_t score, q0, q1, t0, t1, nm, cigar_len, overflow;
+};
+
+void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
+               const int64_t* lo_full /* m+1 */, int32_t band,
+               Result* res, uint32_t* cigar_out, int32_t max_cigar) {
+    res->score = 0;
+    res->cigar_len = 0;
+    res->overflow = 0;
+    if (m <= 0 || n <= 0) return;
+
+    std::vector<int16_t> H((size_t)(m + 1) * band, 0);
+    std::vector<int16_t> E((size_t)(m + 1) * band, NEG);
+    std::vector<int16_t> F((size_t)(m + 1) * band, NEG);
+    std::vector<int16_t> G((size_t)(m + 1) * band, 0);
+
+    int32_t best = 0, best_r = 0, best_j = 0;
+    for (int32_t r = 1; r <= m; r++) {
+        const int32_t qc = q[r - 1];
+        const int64_t l = lo_full[r];
+        const int32_t dl = (int32_t)(l - lo_full[r - 1]);
+        const int16_t* Hp = &H[(size_t)(r - 1) * band];
+        const int16_t* Fp = &F[(size_t)(r - 1) * band];
+        int16_t* Hr = &H[(size_t)r * band];
+        int16_t* Er = &E[(size_t)r * band];
+        int16_t* Fr = &F[(size_t)r * band];
+        int16_t* Gr = &G[(size_t)r * band];
+
+        // G and F pass
+        for (int32_t j = 0; j < band; j++) {
+            const int64_t col = l + j;
+            const int32_t up = j + dl;
+            const int32_t hup = (up < band) ? Hp[up] : NEG;
+            const int32_t fup = (up < band) ? Fp[up] : NEG;
+            int32_t f = std::max(hup - GAP_OPEN, fup) - GAP_EXT;
+            if (f < NEG) f = NEG;
+            const int32_t dj = up - 1;
+            int32_t hdiag;
+            if (dj >= 0 && dj < band) hdiag = Hp[dj];
+            else if (dj < 0 && col == 0) hdiag = 0;
+            else hdiag = NEG;
+            const int32_t tc = (col < n) ? t[col] : 255;
+            const int32_t s = (tc == qc && qc < 4 && tc < 4) ? MATCH : MISMATCH;
+            int32_t g = std::max(std::max(0, hdiag + s), f);
+            Fr[j] = (int16_t)f;
+            Gr[j] = (int16_t)g;
+        }
+        // E prefix scan + H
+        int32_t run = NEG;  // max over j'<j of (G[j'] + e*j')
+        for (int32_t j = 0; j < band; j++) {
+            int32_t e = (j == 0) ? NEG : (run - GAP_OPEN - GAP_EXT - GAP_EXT * (j - 1));
+            // e = max_{j'<j}(G[j'] - o - e*(j-j')) = run - o - e*j
+            if (j > 0) {
+                e = run - GAP_OPEN - GAP_EXT * j;
+                if (e < NEG) e = NEG;
+            }
+            const int32_t g = Gr[j];
+            int32_t h = std::max(g, e);
+            const int64_t col = l + j;
+            if (col >= n) { h = NEG; Gr[j] = NEG; }
+            Er[j] = (int16_t)e;
+            Hr[j] = (int16_t)h;
+            const int32_t cand = g + GAP_EXT * j;
+            if (cand > run) run = cand;
+            if (h > best) { best = h; best_r = r; best_j = j; }
+        }
+    }
+
+    res->score = best;
+    if (best <= 0) return;
+
+    // traceback (same preference order as the Python _traceback)
+    std::vector<uint8_t> ops;  // end -> start
+    ops.reserve(m + 256);
+    int32_t r = best_r, j = best_j;
+    int state = 0;  // 0=H 1=G 2=E 3=F
+    while (r > 0 && j >= 0 && j < band) {
+        const int64_t l = lo_full[r];
+        const int32_t dl = (int32_t)(l - lo_full[r - 1]);
+        const int16_t* Hrow = &H[(size_t)r * band];
+        const int16_t* Erow = &E[(size_t)r * band];
+        const int16_t* Frow = &F[(size_t)r * band];
+        const int16_t* Grow = &G[(size_t)r * band];
+        if (state == 0) {
+            state = (Hrow[j] == Grow[j]) ? 1 : 2;
+            continue;
+        }
+        if (state == 1) {
+            const int32_t g = Grow[j];
+            if (g == 0) break;
+            if (g == Frow[j]) { state = 3; continue; }
+            ops.push_back(0);
+            r -= 1;
+            j = j + dl - 1;
+            state = 0;
+            if (j < 0) break;
+            continue;
+        }
+        if (state == 2) {
+            ops.push_back(2);
+            if (j - 1 >= 0 && Erow[j] == Grow[j - 1] - GAP_OPEN - GAP_EXT) state = 1;
+            j -= 1;
+            continue;
+        }
+        // state == 3 (F)
+        ops.push_back(1);
+        {
+            const int32_t up = j + dl;
+            const int16_t* Hprev = &H[(size_t)(r - 1) * band];
+            if (up < band && Frow[j] == Hprev[up] - GAP_OPEN - GAP_EXT) state = 0;
+            r -= 1;
+            j = up;
+            if (j >= band) break;
+        }
+    }
+
+    int32_t q_len = 0, t_len = 0;
+    for (uint8_t o : ops) {
+        if (o != 2) q_len++;
+        if (o != 1) t_len++;
+    }
+    const int32_t q_end = best_r;
+    const int64_t t_end = lo_full[best_r] + best_j + 1;
+    const int32_t q_start = q_end - q_len;
+    const int64_t t_start = t_end - t_len;
+    res->q0 = q_start;
+    res->q1 = q_end;
+    res->t0 = (int32_t)t_start;
+    res->t1 = (int32_t)t_end;
+
+    // run-length encode from start to end; compute NM
+    int32_t nm = 0;
+    int32_t clen = 0;
+    int64_t qp = q_start, tp = t_start;
+    for (int64_t i = (int64_t)ops.size() - 1; i >= 0;) {
+        const uint8_t op = ops[i];
+        int64_t jend = i;
+        while (jend >= 0 && ops[jend] == op) jend--;
+        const int32_t len = (int32_t)(i - jend);
+        if (op == 0) {
+            for (int32_t x = 0; x < len; x++) {
+                const uint8_t qb = q[qp + x], tb = t[tp + x];
+                if (qb != tb || (qb == 4 && tb == 4)) nm++;
+            }
+            qp += len;
+            tp += len;
+        } else if (op == 1) {
+            nm += len;
+            qp += len;
+        } else {
+            nm += len;
+            tp += len;
+        }
+        if (clen < max_cigar) cigar_out[clen] = ((uint32_t)len << 4) | op;
+        else res->overflow = 1;
+        clen++;
+        i = jend;
+    }
+    res->nm = nm;
+    res->cigar_len = std::min(clen, max_cigar);
+}
+
+}  // namespace
+
+extern "C" {
+
+// q: concatenated query codes; q_off/q_len per pair.  t likewise.
+// lo: concatenated (len = q_len+1 per pair) band lower bounds.
+// out_meta: (B, 8) int32; out_cigar: (B, max_cigar) uint32.
+void sw_banded_batch(
+    const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
+    const int64_t* lo, const int64_t* lo_off,
+    int32_t n_pairs, int32_t band,
+    int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
+    int32_t n_threads) {
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int32_t i = 0; i < n_pairs; i++) {
+        Result res{};
+        align_one(q + q_off[i], q_len[i], t + t_off[i], t_len[i],
+                  lo + lo_off[i], band, &res, out_cigar + (size_t)i * max_cigar,
+                  max_cigar);
+        int32_t* m = out_meta + (size_t)i * 8;
+        m[0] = res.score; m[1] = res.q0; m[2] = res.q1;
+        m[3] = res.t0; m[4] = res.t1; m[5] = res.nm;
+        m[6] = res.cigar_len; m[7] = res.overflow;
+    }
+}
+
+}  // extern "C"

@@ -200,15 +200,76 @@ def use_jax_backend(enable: bool = True) -> None:
         _JAX_BACKEND = None
 
 
+def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0) -> list[tuple | None]:
+    """Route jobs through the C++ kernel (native/swalign.cpp)."""
+    import ctypes
+
+    B = len(jobs)
+    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in jobs])
+    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in jobs])
+    q_lens = np.array([len(j.qcodes) for j in jobs], dtype=np.int32)
+    t_lens = np.array([len(j.tcodes) for j in jobs], dtype=np.int32)
+    q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
+    t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
+    lo_parts = []
+    lo_lens = []
+    for j in jobs:
+        lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
+        lo_parts.append(lo_full)
+        lo_lens.append(len(lo_full))
+    lo_cat = np.concatenate(lo_parts)
+    lo_off = np.concatenate(([0], np.cumsum(lo_lens[:-1]))).astype(np.int64)
+
+    max_cigar = 512
+    out_meta = np.zeros((B, 8), dtype=np.int32)
+    out_cigar = np.zeros((B, max_cigar), dtype=np.uint32)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.sw_banded_batch(
+        ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
+        ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
+        ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+        ctypes.c_int32(B), ctypes.c_int32(band),
+        ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
+        ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
+    )
+
+    results: list[tuple | None] = []
+    for i, job in enumerate(jobs):
+        score, q0, q1, t0, t1, nm, clen, overflow = (int(x) for x in out_meta[i])
+        if score <= 0:
+            results.append(None)
+            continue
+        if overflow:
+            # extremely fragmented alignment: redo on the NumPy path
+            results.append(_run_bucket([job], band)[0])
+            continue
+        cigar = [(int(v) >> 4, int(v) & 0xF) for v in out_cigar[i, :clen]]
+        results.append((score, q0, q1, t0, t1, cigar, nm))
+    return results
+
+
 def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tuple | None]:
     """Run all jobs, bucketed by query length for padding efficiency.
+
+    Backend priority: C++ native kernel > JAX device kernel (if enabled via
+    use_jax_backend) > vectorized NumPy.  All three produce identical
+    results (tests/test_native.py, tests/test_multichip.py).
 
     Returns per job: (score, q0, q1, t0, t1, cigar, nm) or None.
     """
     if not jobs:
         return []
+    from .native_build import get_lib
+
+    lib = get_lib()
+    if lib is not None and _JAX_BACKEND is None:
+        return _run_native(jobs, band, lib)
+
     order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
-    results: list[tuple | None] = [None] * len(jobs)
+    results = [None] * len(jobs)
     for start in range(0, len(order), bucket):
         chunk = order[start : start + bucket]
         batch = [jobs[i] for i in chunk]

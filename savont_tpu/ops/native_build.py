@@ -1,0 +1,72 @@
+"""Build + load the native banded-SW kernel (native/swalign.cpp) via ctypes.
+
+Compiled lazily on first use with g++ -O3 -fopenmp; cached next to the
+source.  If no compiler is available the NumPy path is used instead.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+log = logging.getLogger("savont")
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO / "native" / "swalign.cpp"
+_SO = _REPO / "native" / "swalign.so"
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_SO),
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        log.warning("native build failed: %s", r.stderr[-500:])
+        return False
+    return True
+
+
+def get_lib():
+    """Return the loaded shared library or None."""
+    global _LIB, _TRIED
+    if _LIB is not None:
+        return _LIB
+    if _TRIED:
+        return None
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("SAVONT_NO_NATIVE"):
+            return None
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _SRC.exists() or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:
+            log.warning("failed to load native kernel: %s", e)
+            return None
+        lib.sw_banded_batch.restype = None
+        lib.sw_banded_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        _LIB = lib
+        log.info("native banded-SW kernel loaded (%s)", _SO.name)
+        return _LIB

@@ -1,0 +1,40 @@
+"""Native C++ kernel == NumPy reference kernel on random jobs."""
+import numpy as np
+import pytest
+
+from savont_tpu.ops.align import TargetIndex
+from savont_tpu.ops.align_batch import _run_bucket, _run_native, plan_jobs
+from savont_tpu.ops.encode import revcomp_bytes
+from savont_tpu.ops.native_build import get_lib
+
+RNG = np.random.default_rng(21)
+
+
+def rand_seq(n):
+    return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_native_matches_numpy():
+    jobs = []
+    for _ in range(30):
+        t = rand_seq(1200 + int(RNG.integers(0, 600)))
+        q = bytearray(t)
+        for p in RNG.choice(len(q), int(RNG.integers(0, 60)), replace=False):
+            q[p] = b"ACGT"[RNG.integers(4)]
+        if RNG.random() < 0.4:
+            del q[500 : 500 + int(RNG.integers(1, 8))]
+        if RNG.random() < 0.4:
+            q[900:900] = rand_seq(int(RNG.integers(1, 6)))
+        if RNG.random() < 0.3:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        jobs.extend(plan_jobs(TargetIndex([t]), bytes(q), min_anchors=2))
+    assert jobs
+    numpy_res = []
+    for start in range(0, len(jobs), 64):
+        numpy_res.extend(_run_bucket(jobs[start : start + 64], 128))
+    native_res = _run_native(jobs, 128, get_lib())
+    for a, b in zip(numpy_res, native_res):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a == b, f"native != numpy: {a[:6]} vs {b[:6]}"
