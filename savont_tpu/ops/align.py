@@ -105,7 +105,8 @@ def _window_minimizers(codes4: np.ndarray, w: int, k: int):
 
 
 class TargetIndex:
-    """Minimizer index over a set of target sequences (ASCII byte arrays)."""
+    """Minimizer index over target sequences: flat sorted-hash arrays, so
+    query lookups are searchsorted range scans (no Python dict hot path)."""
 
     def __init__(self, targets: list[np.ndarray | bytes], w: int = 10, k: int = 15):
         self.w, self.k = w, k
@@ -114,13 +115,49 @@ class TargetIndex:
             for t in targets
         ]
         self.targets = [ascii_to_align_codes(t) for t in self.raw]
-        self.index: dict[int, list[tuple[int, int, bool]]] = {}
         self.n_minis = np.zeros(len(targets), dtype=np.int64)
+        hs, tids, tposs, isfs = [], [], [], []
         for tid, tc in enumerate(self.targets):
             h, pos, isf = _window_minimizers(tc, w, k)
             self.n_minis[tid] = len(h)
-            for hh, pp, ff in zip(h, pos, isf):
-                self.index.setdefault(int(hh), []).append((tid, int(pp), bool(ff)))
+            hs.append(h)
+            tids.append(np.full(len(h), tid, dtype=np.int32))
+            tposs.append(pos.astype(np.int32))
+            isfs.append(isf)
+        if hs:
+            allh = np.concatenate(hs)
+            order = np.argsort(allh, kind="stable")
+            self.h_sorted = allh[order]
+            self.h_tid = np.concatenate(tids)[order]
+            self.h_tpos = np.concatenate(tposs)[order]
+            self.h_isf = np.concatenate(isfs)[order]
+        else:
+            self.h_sorted = np.zeros(0, dtype=U64)
+            self.h_tid = np.zeros(0, dtype=np.int32)
+            self.h_tpos = np.zeros(0, dtype=np.int32)
+            self.h_isf = np.zeros(0, dtype=bool)
+
+    def lookup(self, hq: np.ndarray, pq: np.ndarray, fq: np.ndarray):
+        """For query minimizers (hashes, positions, strand flags) return
+        flat hit arrays (q_pos, t_id, t_pos, same_strand)."""
+        if len(hq) == 0 or len(self.h_sorted) == 0:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, z, np.zeros(0, dtype=bool)
+        left = np.searchsorted(self.h_sorted, hq, side="left")
+        right = np.searchsorted(self.h_sorted, hq, side="right")
+        counts = right - left
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, z, np.zeros(0, dtype=bool)
+        # expand ranges: index array of all hits
+        qi = np.repeat(np.arange(len(hq)), counts)
+        # offsets within each range
+        starts = np.repeat(left, counts)
+        within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        hidx = starts + within
+        same = self.h_isf[hidx] == fq[qi]
+        return pq[qi].astype(np.int32), self.h_tid[hidx], self.h_tpos[hidx], same
 
 
 def _chain_anchors(qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:
@@ -318,6 +355,38 @@ def _traceback(H, E, F, G, lo_full, q, t, ri, bj, score):
 # ── top-level mapping ────────────────────────────────────────────────────────
 
 
+def _group_anchors(
+    index: "TargetIndex",
+    hq: np.ndarray,
+    pq: np.ndarray,
+    fq: np.ndarray,
+    qlen: int,
+    no_diag_id: int | None,
+) -> dict[tuple[int, int], tuple[np.ndarray, np.ndarray]]:
+    """Vectorized anchor collection: (tid, strand) -> (q_pos, t_pos) arrays.
+    Reverse-strand query positions are flipped to the oriented query."""
+    qpos, tid, tpos, same = index.lookup(hq, pq.astype(np.int32), fq)
+    if len(qpos) == 0:
+        return {}
+    if no_diag_id is not None:
+        keep = tid != no_diag_id
+        qpos, tid, tpos, same = qpos[keep], tid[keep], tpos[keep], same[keep]
+    strand = np.where(same, 1, -1).astype(np.int8)
+    qp_o = np.where(same, qpos, qlen - index.k - qpos).astype(np.int64)
+    order = np.lexsort((tpos, qp_o, strand, tid))
+    tid_s, strand_s, qp_s, tp_s = tid[order], strand[order], qp_o[order], tpos[order].astype(np.int64)
+    out: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    if len(tid_s) == 0:
+        return out
+    bounds = np.flatnonzero(
+        np.concatenate(([True], (tid_s[1:] != tid_s[:-1]) | (strand_s[1:] != strand_s[:-1])))
+    )
+    ends = np.append(bounds[1:], len(tid_s))
+    for s, e in zip(bounds, ends):
+        out[(int(tid_s[s]), int(strand_s[s]))] = (qp_s[s:e], tp_s[s:e])
+    return out
+
+
 def map_query(
     index: TargetIndex,
     query_ascii: np.ndarray | bytes,
@@ -340,24 +409,13 @@ def map_query(
     hq, pq, fq = _window_minimizers(qf, index.w, index.k)
     qlen = len(qf)
 
-    per_ts: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for hh, qp, qf_canon in zip(hq, pq, fq):
-        for tid, tp, tf_canon in index.index.get(int(hh), ()):  # type: ignore[arg-type]
-            if no_diag_id is not None and tid == no_diag_id:
-                continue
-            if qf_canon == tf_canon:
-                per_ts.setdefault((tid, 1), []).append((int(qp), int(tp)))
-            else:
-                rqp = qlen - index.k - int(qp)
-                per_ts.setdefault((tid, -1), []).append((rqp, int(tp)))
+    per_ts = _group_anchors(index, hq, pq, fq, qlen, no_diag_id)
 
     qr = ascii_to_align_codes(revcomp_bytes(qbytes))
     best_by_target: dict[int, Mapping] = {}
-    for (tid, strand), anchors in per_ts.items():
-        if len(anchors) < min_anchors:
+    for (tid, strand), (qa, ta) in per_ts.items():
+        if len(qa) < min_anchors:
             continue
-        qa = np.array([a[0] for a in anchors], dtype=np.int64)
-        ta = np.array([a[1] for a in anchors], dtype=np.int64)
         chain = _chain_anchors(qa, ta)
         if len(chain) < min_anchors:
             continue

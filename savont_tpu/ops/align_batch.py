@@ -61,23 +61,15 @@ def plan_jobs(
     hq, pq, fq = _window_minimizers(qf, index.w, index.k)
     qlen = len(qf)
 
-    per_ts: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for hh, qp, qf_canon in zip(hq, pq, fq):
-        for tid, tp, tf_canon in index.index.get(int(hh), ()):  # type: ignore[arg-type]
-            if no_diag_id is not None and tid == no_diag_id:
-                continue
-            if qf_canon == tf_canon:
-                per_ts.setdefault((tid, 1), []).append((int(qp), int(tp)))
-            else:
-                per_ts.setdefault((tid, -1), []).append((qlen - index.k - int(qp), int(tp)))
+    from .align import _group_anchors
+
+    per_ts = _group_anchors(index, hq, pq, fq, qlen, no_diag_id)
 
     qr = None
     jobs: list[AlignJob] = []
-    for (tid, strand), anchors in per_ts.items():
-        if len(anchors) < min_anchors:
+    for (tid, strand), (qa, ta) in per_ts.items():
+        if len(qa) < min_anchors:
             continue
-        qa = np.array([a[0] for a in anchors], dtype=np.int64)
-        ta = np.array([a[1] for a in anchors], dtype=np.int64)
         chain = _chain_anchors(qa, ta)
         if len(chain) < min_anchors:
             continue

@@ -8,7 +8,7 @@ from pathlib import Path
 
 from ..config import ClusterArgs
 from ..constants import ASV_FILE
-from . import stage1_kmers, stage23_cluster, stage4_consensus, stage5_merge, stage6_chimera, stage7_em
+from . import pileup, stage1_kmers, stage23_cluster, stage4_consensus, stage5_merge, stage6_chimera, stage7_em
 from .outputs import write_clusters_tsv, write_consensus_fasta, write_feature_table
 
 log = logging.getLogger("savont")
@@ -47,9 +47,9 @@ def run_cluster(args: ClusterArgs) -> Path:
     log.info("=== STAGE 4: consensus + polish ===")
     consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)
     write_consensus_fasta_hpc(consensuses, temp_dir / "consensus_sequences.fasta", "initial")
-    pileups = stage4_consensus.generate_consensus_pileups(twin_reads, consensuses, args)
-    quality_error_map = stage4_consensus.estimate_quality_error_rates(pileups, consensuses, 0.1)
-    low_qual = stage4_consensus.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)
+    pileups = pileup.generate_consensus_pileups(twin_reads, consensuses, args)
+    quality_error_map = pileup.estimate_quality_error_rates(pileups, consensuses, 0.1)
+    low_qual = pileup.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)
     for c in consensuses:
         c.decompress()
     for c in low_qual:

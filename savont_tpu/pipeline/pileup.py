@@ -1,0 +1,304 @@
+"""Vectorized pileup representation for stage 4.
+
+Instead of per-position Python lists of base entries, each consensus keeps
+count MATRICES over (position, quality level, is_ref) — the exact sufficient
+statistics for the reference's quality calibration (alignment.rs:656-779)
+and Bayesian posterior (alignment.rs:936-1021).  CIGARs are expanded to
+per-base op arrays and scattered with bincount, so pileup construction is
+a handful of vector ops per read.  This is also the representation the TPU
+path scatters into on device.
+
+Quality levels: the expanded binned qualities take exactly the 16 values
+33 + 3*level (QualCompact3), so level = (q - 33) / 3.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import ClusterArgs
+from ..constants import DEFAULT_ERR_RATE, MAX_SEQS_CONSENSUS
+from ..core import ConsensusSequence, TwinRead
+from ..ops.align_batch import align_pairs
+from ..ops.encode import homopolymer_compress, revcomp_bytes
+
+log = logging.getLogger("savont")
+
+NQ = 21  # quality levels 0..20 cover ASCII 33..93 (levels beyond 15 from FASTA q=60 etc.)
+
+
+def qlevel(q: np.ndarray | int):
+    return np.clip((np.asarray(q).astype(np.int32) - 33) // 3, 0, NQ - 1)
+
+
+def qvalue(level: int) -> int:
+    return 33 + 3 * level
+
+
+@dataclass
+class PileupMatrix:
+    """Per-consensus pileup counts."""
+
+    ref: np.ndarray  # (L,) ASCII ref bases
+    bq: np.ndarray  # (L, NQ, 2) base counts by quality level x [nonref, ref]
+    dels: np.ndarray  # (L,)
+    ins_q: np.ndarray  # (L, NQ) insertion events by FIRST-base quality level
+    hp_hist: np.ndarray | None = None  # (L, 64) run-length histogram (use_hpc)
+    start: int = 0  # trim window [start, end) set by analyze
+    end: int = 0
+
+    def depth(self) -> np.ndarray:
+        return self.bq.sum(axis=(1, 2)) + self.dels + self.ins_q.sum(axis=1)
+
+
+def _expand_cigar(cigar: list[tuple[int, int]]):
+    lens = np.array([l for l, _ in cigar], dtype=np.int64)
+    ops = np.array([op for _, op in cigar], dtype=np.int8)
+    per_base = np.repeat(ops, lens)
+    return per_base
+
+
+def add_read_to_pileup(
+    pm: PileupMatrix,
+    oseq: bytes,
+    oqual: np.ndarray,
+    ohp: np.ndarray | None,
+    cigar: list[tuple[int, int]],
+    t_start: int,
+    q_start: int,
+    max_ins_store: int = 2,
+) -> None:
+    """CIGAR walk as vector ops (semantics of alignment.rs:520-564)."""
+    ops = _expand_cigar(cigar)
+    t_adv = (ops != 1).astype(np.int64)
+    q_adv = (ops != 2).astype(np.int64)
+    tpos = t_start + np.cumsum(t_adv) - t_adv
+    qpos = q_start + np.cumsum(q_adv) - q_adv
+    L = len(pm.ref)
+    sarr = np.frombuffer(oseq, dtype=np.uint8)
+
+    is_m = ops == 0
+    tm = tpos[is_m]
+    qm = qpos[is_m]
+    ok = (tm < L) & (qm < len(sarr))
+    tm, qm = tm[ok], qm[ok]
+    bases = sarr[qm]
+    levels = qlevel(oqual[qm])
+    is_ref = (bases == pm.ref[tm]).astype(np.int64)
+    flat = (tm * NQ + levels) * 2 + is_ref
+    pm.bq.reshape(-1)[:] += np.bincount(flat, minlength=L * NQ * 2)
+
+    is_d = ops == 2
+    td = tpos[is_d]
+    td = td[td < L]
+    pm.dels += np.bincount(td, minlength=L)
+
+    # insertions: one event per run, attached to tpos-1, first-base quality
+    run_start = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
+    for rs in run_start:
+        if ops[rs] != 1:
+            continue
+        re = rs
+        while re < len(ops) and ops[re] == 1:
+            re += 1
+        length = re - rs
+        tp = int(tpos[rs])
+        qp = int(qpos[rs])
+        if tp > 0 and tp - 1 < L and qp + length <= len(sarr):
+            pm.ins_q[tp - 1, int(qlevel(int(oqual[qp])))] += 1
+
+    if pm.hp_hist is not None and ohp is not None:
+        hp = np.minimum(ohp[qm], 63).astype(np.int64)
+        flat_hp = tm * 64 + hp
+        pm.hp_hist.reshape(-1)[:] += np.bincount(flat_hp, minlength=L * 64)
+
+
+def _median_from_hist(hist: np.ndarray) -> np.ndarray:
+    """Per-row median with the reference's even-count averaging
+    (alignment.rs:603-612); rows with no observations -> 1."""
+    L = hist.shape[0]
+    n = hist.sum(axis=1)
+    out = np.ones(L, dtype=np.uint8)
+    csum = np.cumsum(hist, axis=1)
+    for i in np.flatnonzero(n):
+        ni = n[i]
+        mid = ni // 2
+        lo_idx = int(np.searchsorted(csum[i], mid, side="right"))
+        if ni % 2 == 1:
+            out[i] = lo_idx
+        else:
+            lo2 = int(np.searchsorted(csum[i], mid - 1, side="right"))
+            out[i] = (lo2 + lo_idx) // 2
+    return out
+
+
+def generate_consensus_pileups(
+    twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
+) -> list[PileupMatrix]:
+    """alignment.rs:409-652 on the matrix representation."""
+    pairs, owners, payload = [], [], []
+    for ci, cons in enumerate(consensuses):
+        cseq = cons.sequence.tobytes()
+        for i in range(min(len(cons.cluster), MAX_SEQS_CONSENSUS)):
+            tr = twin_reads[cons.cluster[i]]
+            seq = tr.seq_bytes()
+            qual = tr.expanded_qual_ascii()
+            if args.use_hpc:
+                arr = np.frombuffer(seq, dtype=np.uint8)
+                hpc_seq, hp_lens = homopolymer_compress(arr, True)
+                idx = np.repeat(np.arange(len(hpc_seq)), hp_lens.astype(np.int64))
+                hq = np.full(len(hpc_seq), 255, dtype=np.uint8)
+                np.minimum.at(hq, idx, qual)
+                seq, qual, hp = hpc_seq.tobytes(), hq, hp_lens
+            else:
+                hp = None
+            pairs.append((seq, cseq))
+            owners.append(ci)
+            payload.append((seq, qual, hp))
+    results = align_pairs(pairs)
+
+    pms = []
+    for cons in consensuses:
+        L = len(cons.sequence)
+        pms.append(
+            PileupMatrix(
+                ref=cons.sequence.copy(),
+                bq=np.zeros((L, NQ, 2), dtype=np.int64),
+                dels=np.zeros(L, dtype=np.int64),
+                ins_q=np.zeros((L, NQ), dtype=np.int64),
+                hp_hist=np.zeros((L, 64), dtype=np.int64) if args.use_hpc else None,
+            )
+        )
+    for ci, (seq, qual, hp), m in zip(owners, payload, results):
+        if m is None:
+            continue
+        if m.strand == -1:
+            oseq = revcomp_bytes(seq)
+            oqual = qual[::-1]
+            ohp = hp[::-1] if hp is not None else None
+            q0 = len(seq) - m.query_end
+        else:
+            oseq, oqual, ohp = seq, qual, hp
+            q0 = m.query_start
+        add_read_to_pileup(pms[ci], oseq, oqual, ohp, m.cigar, m.target_start, q0)
+
+    # modal (median) HP length per position -> consensus hp_lengths
+    for cons, pm in zip(consensuses, pms):
+        if pm.hp_hist is not None:
+            cons.hp_lengths = _median_from_hist(pm.hp_hist)
+        else:
+            cons.hp_lengths = np.ones(len(cons.sequence), dtype=np.uint8)
+    return pms
+
+
+def estimate_quality_error_rates(
+    pms: list[PileupMatrix], consensuses: list[ConsensusSequence], top_frac: float = 0.1
+) -> dict[int, float]:
+    """alignment.rs:656-779 on count matrices: positions with <5% error from
+    the top-depth clusters feed per-quality error rates (+1/+1 prior)."""
+    depths = sorted(((c.depth, i) for i, c in enumerate(consensuses)), key=lambda x: -x[0])
+    n_top = round(top_frac * len(depths))
+    errors = np.zeros(NQ, dtype=np.int64)
+    totals = np.zeros(NQ, dtype=np.int64)
+    seen = np.zeros(NQ, dtype=bool)
+    for _, ci in depths[:n_top]:
+        if ci >= len(pms):
+            continue
+        pm = pms[ci]
+        total = pm.depth()
+        err = pm.bq[:, :, 0].sum(axis=1) + pm.dels + pm.ins_q.sum(axis=1)
+        gate = (total > 0) & (err < 0.05 * total)
+        sel = pm.bq[gate]  # (n, NQ, 2)
+        errors += sel[:, :, 0].sum(axis=0)
+        totals += sel.sum(axis=(0, 2))
+        seen |= sel.sum(axis=(0, 2)) > 0
+    out = {}
+    for lvl in range(NQ):
+        if seen[lvl]:
+            # +1/+1 prior per observed quality key (alignment.rs:721)
+            out[qvalue(lvl)] = (errors[lvl] + 1) / (totals[lvl] + 1)
+    return out
+
+
+def analyze_pileup_consensuses(
+    pms: list[PileupMatrix],
+    consensuses: list[ConsensusSequence],
+    quality_error_map: dict[int, float],
+    args: ClusterArgs,
+) -> list[ConsensusSequence]:
+    """alignment.rs:857-1153, vectorized over positions."""
+    bad_length_threshold = 100
+    min_cov_abs = max(args.min_cluster_size * 3 // 4, 2)
+    indel_rate = quality_error_map.get(48, DEFAULT_ERR_RATE)
+
+    er = np.array([quality_error_map.get(qvalue(l), DEFAULT_ERR_RATE) for l in range(NQ)])
+    ln_er = np.log(er)
+    ln_acc = np.log(1.0 - er)
+
+    flagged_by_cons: list[np.ndarray] = []
+    windows: list[tuple[int, int] | None] = []
+    post_threshold = min(args.posterior_threshold_ln, args.min_cluster_size * 3)
+
+    for ci, pm in enumerate(pms):
+        L = len(pm.ref)
+        if L == 0:
+            flagged_by_cons.append(np.zeros(0, dtype=np.int64))
+            windows.append(None)
+            continue
+        depth = pm.depth()
+        min_cov = max(int(depth.max()) // 3, min_cov_abs)
+        covered = np.flatnonzero(depth >= min_cov)
+        if len(covered) == 0:
+            log.warning("consensus %d has no sufficiently covered positions", ci)
+            flagged_by_cons.append(np.zeros(0, dtype=np.int64))
+            windows.append(None)
+            continue
+        start, end = int(covered[0]), int(covered[-1]) + 1
+        pm.start, pm.end = start, end
+        sl = slice(start, end)
+
+        ref_cnt = pm.bq[sl, :, 1]  # (n, NQ)
+        alt_cnt = pm.bq[sl, :, 0]
+        ins_cnt = pm.ins_q[sl]
+        dels = pm.dels[sl]
+        lp_ref = ref_cnt @ ln_acc + alt_cnt @ ln_er + dels * math.log(indel_rate) + ins_cnt @ ln_er
+        lp_alt = ref_cnt @ ln_er + alt_cnt @ ln_acc + dels * math.log(1.0 - indel_rate) + ins_cnt @ ln_acc
+        mx = np.maximum(lp_ref, lp_alt)
+        alt_post = lp_alt - (mx + np.log(np.exp(lp_ref - mx) + np.exp(lp_alt - mx)))
+        flagged = np.flatnonzero(alt_post > -post_threshold) + start
+        flagged_by_cons.append(flagged)
+        windows.append((start, end))
+
+    for ci, cons in enumerate(consensuses):
+        win = windows[ci]
+        if win is None:
+            continue
+        left_start, right_end = win
+        flagged = flagged_by_cons[ci]
+        start_polish = bad_length_threshold + left_start
+        end_polish = right_end - bad_length_threshold
+        head = flagged[flagged < start_polish]
+        tail = flagged[flagged >= end_polish]
+        lc_left = int(head.max()) if len(head) else left_start
+        lc_right = int(tail.min()) if len(tail) else right_end
+        if lc_left > 0:
+            cons.sequence[:lc_left] = ord("N")
+        if lc_right < len(cons.sequence):
+            cons.sequence[lc_right:] = ord("N")
+        for p in flagged:
+            if args.mask_low_quality:
+                cons.sequence[p] = ord("N")
+            if lc_left < p < lc_right:
+                cons.low_quality_positions.append(int(p))
+
+    def lq(c: ConsensusSequence) -> bool:
+        n = len(c.low_quality_positions)
+        return n > 0 and c.depth // (n * n) < args.n_depth_cutoff
+
+    low_quality = [c for c in consensuses if lq(c)]
+    consensuses[:] = [c for c in consensuses if not lq(c)]
+    log.info("Stage 4: %d low-quality consensuses split off, %d kept", len(low_quality), len(consensuses))
+    return low_quality
