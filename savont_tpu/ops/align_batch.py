@@ -341,12 +341,17 @@ def map_batch(
 
 
 def align_pairs(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
-    """Batched independent pair alignments (each pair = its own 1-target
-    index for seeding, shared DP sweep)."""
+    """Batched independent pair alignments.  Targets are deduplicated so a
+    seed/consensus aligned against many reads is indexed once."""
+    index_cache: dict[bytes, TargetIndex] = {}
     all_jobs: list[AlignJob] = []
     owner: list[int] = []
     for i, (qa, ta) in enumerate(pairs):
-        idx = TargetIndex([ta])
+        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
+        idx = index_cache.get(tb)
+        if idx is None:
+            idx = TargetIndex([tb])
+            index_cache[tb] = idx
         jobs = plan_jobs(idx, qa, band=band, min_anchors=2)
         all_jobs.extend(jobs)
         owner.extend([i] * len(jobs))

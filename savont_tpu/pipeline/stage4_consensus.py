@@ -60,51 +60,69 @@ def _vote_consensus(
     ins_votes: dict[int, Counter] = {}
     code = {65: 0, 67: 1, 71: 2, 84: 3}
 
-    for (oseq, oqual), m in zip(oriented, mappings):
-        tp = m.target_start
-        qp = m.query_start if m.strand == 1 else len(oseq) - m.query_end
-        for length, op in m.cigar:
-            if op == 0:
-                for j in range(length):
-                    b = oseq[qp + j]
-                    w = float(oqual[qp + j])
-                    c = code.get(b)
-                    if c is not None:
-                        base_w[tp + j, c] += w
-                    cov_w[tp + j] += w
-                qp += length
-                tp += length
-            elif op == 1:
-                w = float(oqual[qp])
-                key = tp - 1
-                if key >= 0:
-                    ins_votes.setdefault(key, Counter())[oseq[qp : qp + length]] += w
-                qp += length
-            else:  # deletion: weight by the quality of the next aligned base
-                w = float(oqual[min(qp, len(oqual) - 1)]) if len(oqual) else 63.0
-                for j in range(length):
-                    del_w[tp + j] += w
-                    cov_w[tp + j] += w
-                tp += length
+    code_tab = np.full(256, -1, dtype=np.int8)
+    for b, c in code.items():
+        code_tab[b] = c
 
+    for (oseq, oqual), m in zip(oriented, mappings):
+        t0 = m.target_start
+        q0 = m.query_start if m.strand == 1 else len(oseq) - m.query_end
+        lens = np.array([l for l, _ in m.cigar], dtype=np.int64)
+        ops = np.repeat(np.array([op for _, op in m.cigar], dtype=np.int8), lens)
+        t_adv = (ops != 1).astype(np.int64)
+        q_adv = (ops != 2).astype(np.int64)
+        tpos = t0 + np.cumsum(t_adv) - t_adv
+        qpos = q0 + np.cumsum(q_adv) - q_adv
+        sarr = np.frombuffer(oseq, dtype=np.uint8)
+
+        is_m = ops == 0
+        tm, qm = tpos[is_m], qpos[is_m]
+        w = oqual[qm].astype(np.float64)
+        c = code_tab[sarr[qm]]
+        good = c >= 0
+        np.add.at(base_w, (tm[good], c[good].astype(np.int64)), w[good])
+        np.add.at(cov_w, tm, w)
+
+        is_d = ops == 2
+        td = tpos[is_d]
+        qd = np.minimum(qpos[is_d], len(oqual) - 1)
+        wd = oqual[qd].astype(np.float64) if len(oqual) else np.full(len(td), 63.0)
+        np.add.at(del_w, td, wd)
+        np.add.at(cov_w, td, wd)
+
+        # insertion runs (python loop over rare events)
+        run_start = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
+        run_end = np.append(run_start[1:], len(ops))
+        for rs, re in zip(run_start, run_end):
+            if ops[rs] != 1:
+                continue
+            tp, qp = int(tpos[rs]), int(qpos[rs])
+            if tp - 1 >= 0:
+                ins_votes.setdefault(tp - 1, Counter())[sarr[qp:qp + (re - rs)].tobytes()] += float(oqual[qp])
+
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    best_c = np.argmax(base_w, axis=1)
+    best_v = base_w[np.arange(n), best_c]
+    base_sum = base_w.sum(axis=1)
+    drop = (cov_w > 0) & (del_w > base_sum)  # majority deletion: drop column
+    use_vote = (cov_w > 0) & ~drop & (best_v > 0)
+    out_arr = np.where(use_vote, bases[best_c], t_arr)
+
+    accepted_ins = {}
+    for i, iv in ins_votes.items():
+        ins_seq, w = iv.most_common(1)[0]
+        if w * 2 > cov_w[i] and cov_w[i] > 0:
+            accepted_ins[i] = ins_seq
+    if not accepted_ins:
+        return out_arr[~drop].tobytes()
     out = bytearray()
-    bases = b"ACGT"
-    for i in range(n):
-        if cov_w[i] == 0:
-            out.append(t_arr[i])
-        else:
-            best_c = int(np.argmax(base_w[i]))
-            if del_w[i] > base_w[i].sum():
-                pass  # majority deletion: drop column
-            elif base_w[i, best_c] > 0:
-                out.append(bases[best_c])
-            else:
-                out.append(t_arr[i])
-        iv = ins_votes.get(i)
-        if iv:
-            ins_seq, w = iv.most_common(1)[0]
-            if w * 2 > cov_w[i] and cov_w[i] > 0:
-                out.extend(ins_seq)
+    prev = 0
+    for i in sorted(accepted_ins):
+        seg = out_arr[prev : i + 1][~drop[prev : i + 1]]
+        out.extend(seg.tobytes())
+        out.extend(accepted_ins[i])
+        prev = i + 1
+    out.extend(out_arr[prev:][~drop[prev:]].tobytes())
     return bytes(out)
 
 
