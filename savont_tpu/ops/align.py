@@ -80,6 +80,23 @@ class Mapping:
 # ── seeding / anchors ────────────────────────────────────────────────────────
 
 
+_MINI_CACHE: dict[tuple[bytes, int, int], tuple] = {}
+_MINI_CACHE_MAX = 8192
+
+
+def window_minimizers_cached(qbytes: bytes, w: int, k: int):
+    """Memoized _window_minimizers over raw ASCII bytes (reads are re-seeded
+    by several pipeline stages)."""
+    key = (qbytes, w, k)
+    hit = _MINI_CACHE.get(key)
+    if hit is None:
+        hit = _window_minimizers(ascii_to_align_codes(qbytes), w, k)
+        if len(_MINI_CACHE) >= _MINI_CACHE_MAX:
+            _MINI_CACHE.clear()
+        _MINI_CACHE[key] = hit
+    return hit
+
+
 def _window_minimizers(codes4: np.ndarray, w: int, k: int):
     """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
 
@@ -167,6 +184,9 @@ def _chain_anchors(qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:
     n = len(t)
     if n == 0:
         return order[:0]
+    # fast path: anchors already strictly increasing (near-identical pairs)
+    if n > 1 and bool((t[1:] > t[:-1]).all()):
+        return order
     tails: list[int] = []
     tails_vals: list[int] = []
     parent = np.full(n, -1, dtype=np.int64)

@@ -58,10 +58,10 @@ def plan_jobs(
     else:
         qbytes = np.asarray(query_ascii, dtype=np.uint8).tobytes()
     qf = ascii_to_align_codes(qbytes)
-    hq, pq, fq = _window_minimizers(qf, index.w, index.k)
-    qlen = len(qf)
+    from .align import _group_anchors, window_minimizers_cached
 
-    from .align import _group_anchors
+    hq, pq, fq = window_minimizers_cached(qbytes, index.w, index.k)
+    qlen = len(qf)
 
     per_ts = _group_anchors(index, hq, pq, fq, qlen, no_diag_id)
 

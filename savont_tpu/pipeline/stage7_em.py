@@ -43,43 +43,104 @@ def _apply_depths(consensuses: list[ConsensusSequence], abund: np.ndarray, total
     return out
 
 
-def _snpmer_candidates(
-    tr: TwinRead,
-    asv_snpmer_index: dict[int, list[tuple[int, int]]],
-    asv_mini_sets: list[np.ndarray],
+def _expand_ranges(sorted_keys: np.ndarray, queries: np.ndarray):
+    """searchsorted range expansion: for each query return flat (query_idx,
+    hit_idx) pairs over matching entries in sorted_keys."""
+    left = np.searchsorted(sorted_keys, queries, side="left")
+    right = np.searchsorted(sorted_keys, queries, side="right")
+    counts = right - left
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    qi = np.repeat(np.arange(len(queries)), counts)
+    starts = np.repeat(left, counts)
+    within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return qi, starts + within
+
+
+def _all_snpmer_candidates(
+    read_list: list[TwinRead],
+    asv_trs: list[TwinRead],
     k: int,
     c_rate: int,
-) -> list[tuple[int, int]]:
-    """Candidate (asv_idx, snpmer_mismatches) pairs passing the ratio gates
-    (alignment.rs:1779-1836)."""
+) -> list[list[tuple[int, int]]]:
+    """Candidate (asv_idx, snpmer_mismatches) pairs per read, globally
+    vectorized (alignment.rs:1779-1836 semantics)."""
     mask = U64(np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1)))
-    stats: dict[int, list[int]] = {}
-    for km in tr.snpmer_kmers():
-        for asv, ck in asv_snpmer_index.get(int(km & mask), ()):  # type: ignore[arg-type]
-            st = stats.setdefault(asv, [0, 0])
-            if int(km) == ck:
-                st[0] += 1
-            else:
-                st[1] += 1
+    n_asvs = len(asv_trs)
+    n_reads = len(read_list)
+    if n_asvs == 0 or n_reads == 0:
+        return [[] for _ in read_list]
 
-    read_minis = np.unique(tr.minimizer_kmers())
-    min_ratio_thresh = EM_MINIMIZER_RATIO_BASE ** k
-    scored: list[tuple[int, float, int]] = []
-    for asv, (m, mm) in stats.items():
-        asv_minis = asv_mini_sets[asv]
-        mini_matches = int(np.isin(read_minis, asv_minis, assume_unique=True).sum())
-        if mini_matches == 0:
+    # flat ASV snpmer table sorted by splitmer
+    asv_sm, asv_km, asv_id = [], [], []
+    for ai, atr in enumerate(asv_trs):
+        _, kms = atr.snpmers_vec()
+        asv_sm.append(kms & mask)
+        asv_km.append(kms)
+        asv_id.append(np.full(len(kms), ai, dtype=np.int32))
+    asv_sm = np.concatenate(asv_sm) if asv_sm else np.zeros(0, U64)
+    asv_km = np.concatenate(asv_km) if asv_km else np.zeros(0, U64)
+    asv_id = np.concatenate(asv_id) if asv_id else np.zeros(0, np.int32)
+    order = np.argsort(asv_sm, kind="stable")
+    asv_sm, asv_km, asv_id = asv_sm[order], asv_km[order], asv_id[order]
+
+    # flat read snpmer queries
+    read_km = [tr.snpmer_kmers() for tr in read_list]
+    read_of = np.repeat(np.arange(n_reads), [len(x) for x in read_km])
+    q_km = np.concatenate(read_km) if read_km else np.zeros(0, U64)
+    qi, hi = _expand_ranges(asv_sm, q_km & mask)
+    if len(qi) == 0:
+        return [[] for _ in read_list]
+    r_ids = read_of[qi]
+    a_ids = asv_id[hi].astype(np.int64)
+    is_match = q_km[qi] == asv_km[hi]
+    flat = (r_ids * n_asvs + a_ids) * 2 + is_match
+    counts = np.bincount(flat, minlength=n_reads * n_asvs * 2).reshape(n_reads, n_asvs, 2)
+    mismatches = counts[:, :, 0]
+    has_hit = counts.sum(axis=2) > 0
+
+    # minimizer match counts: flat sorted ASV minimizer table
+    amini, amini_id = [], []
+    asv_mini_sizes = np.zeros(n_asvs, dtype=np.int64)
+    for ai, atr in enumerate(asv_trs):
+        u = np.unique(atr.minimizer_kmers())
+        asv_mini_sizes[ai] = len(u)
+        amini.append(u)
+        amini_id.append(np.full(len(u), ai, dtype=np.int32))
+    amini = np.concatenate(amini)
+    amini_id = np.concatenate(amini_id)
+    order = np.argsort(amini, kind="stable")
+    amini, amini_id = amini[order], amini_id[order]
+
+    read_minis = [np.unique(tr.minimizer_kmers()) for tr in read_list]
+    rm_of = np.repeat(np.arange(n_reads), [len(x) for x in read_minis])
+    q_mini = np.concatenate(read_minis) if read_minis else np.zeros(0, U64)
+    qi2, hi2 = _expand_ranges(amini, q_mini)
+    mm_counts = np.zeros((n_reads, n_asvs), dtype=np.int64)
+    if len(qi2):
+        flat2 = rm_of[qi2] * n_asvs + amini_id[hi2].astype(np.int64)
+        mm_counts += np.bincount(flat2, minlength=n_reads * n_asvs).reshape(n_reads, n_asvs)
+
+    read_mini_sizes = np.array([len(x) for x in read_minis], dtype=np.int64)
+    min_ratio = EM_MINIMIZER_RATIO_BASE ** k
+    denom = np.minimum(read_mini_sizes[:, None], asv_mini_sizes[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mini_ok = (mm_counts > 0) & (mm_counts / np.maximum(denom, 1) >= min_ratio)
+        ratio = mismatches / np.maximum(mm_counts, 1) / c_rate
+    eligible = has_hit & mini_ok & (ratio <= EM_RATIO_THRESHOLD)
+
+    out: list[list[tuple[int, int]]] = []
+    for ri in range(n_reads):
+        cols = np.flatnonzero(eligible[ri])
+        if len(cols) == 0:
+            out.append([])
             continue
-        if mini_matches / min(len(read_minis), len(asv_minis)) < min_ratio_thresh:
-            continue
-        ratio = mm / mini_matches / c_rate
-        scored.append((asv, ratio, mm))
-    best = [(a, mm) for a, r, mm in scored if r <= EM_RATIO_THRESHOLD]
-    if not best:
-        return []
-    best.sort(key=lambda x: x[1])
-    lowest = best[0][1]
-    return [(a, mm) for a, mm in best if mm == lowest]
+        mms = mismatches[ri, cols]
+        lowest = mms.min()
+        keep = cols[mms == lowest]
+        out.append([(int(a), int(lowest)) for a in keep])
+    return out
 
 
 def refine_asv_depths_with_em(
@@ -101,14 +162,6 @@ def refine_asv_depths_with_em(
         return consensuses, {}, 0
     asv_trs: list[TwinRead] = build_asv_twin_reads()
     k = args.kmer_size
-    mask = U64(np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1)))
-
-    asv_snpmer_index: dict[int, list[tuple[int, int]]] = {}
-    for ai, atr in enumerate(asv_trs):
-        _, kms = atr.snpmers_vec()
-        for km in kms:
-            asv_snpmer_index.setdefault(int(km & mask), []).append((ai, int(km)))
-    asv_mini_sets = [np.unique(a.minimizer_kmers()) for a in asv_trs]
     asv_seqs = [a.seq_bytes() for a in asv_trs]
 
     eq_classes: dict[tuple[int, ...], int] = {}
@@ -122,11 +175,10 @@ def refine_asv_depths_with_em(
     read_list = [
         tr for tr in twin_reads if sample_filter is None or tr.file_idx == sample_filter
     ]
-    read_cands: list[list[tuple[int, int]]] = []
+    read_cands = _all_snpmer_candidates(read_list, asv_trs, k, args.c)
     pairs, owners = [], []
     for ri, tr in enumerate(read_list):
-        cands = _snpmer_candidates(tr, asv_snpmer_index, asv_mini_sets, k, args.c)
-        read_cands.append(cands)
+        cands = read_cands[ri]
         if cands:
             read_seq = tr.seq_bytes()
             for asv, _mm in cands:
