@@ -29,15 +29,73 @@ def _open(path: str):
     return io.BufferedReader(f, buffer_size=1 << 20)
 
 
-def read_fastx(path: str):
-    """Yield FastxRecord from a FASTA/FASTQ(.gz) file."""
-    try:
-        from savont_tpu.io import _native_fastx  # type: ignore
+_NATIVE = None
+_NATIVE_TRIED = False
 
-        yield from _native_fastx.read(path)
+
+def _native_lib():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    from savont_tpu.ops.native_build import build_extra
+
+    so = build_extra("fastx", extra_link=["-lz"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.fastx_parse.restype = ctypes.c_void_p
+    lib.fastx_parse.argtypes = [ctypes.c_char_p]
+    for fn in ("fastx_seq_buf", "fastx_qual_buf", "fastx_head_buf"):
+        getattr(lib, fn).restype = ctypes.c_void_p
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("fastx_seq_off", "fastx_qual_off", "fastx_head_off"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_int64)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.fastx_n_records.restype = ctypes.c_int64
+    lib.fastx_n_records.argtypes = [ctypes.c_void_p]
+    lib.fastx_free.argtypes = [ctypes.c_void_p]
+    _NATIVE = lib
+    return _NATIVE
+
+
+def _read_fastx_native(lib, path: str):
+    import ctypes
+
+    h = lib.fastx_parse(path.encode())
+    if not h:
+        raise ValueError(f"{path}: not FASTA/FASTQ (native parser)")
+    try:
+        n = lib.fastx_n_records(h)
+        if n == 0:
+            return
+        seq_off = lib.fastx_seq_off(h)
+        qual_off = lib.fastx_qual_off(h)
+        head_off = lib.fastx_head_off(h)
+        seq_buf = ctypes.string_at(lib.fastx_seq_buf(h), seq_off[n])
+        qual_buf = ctypes.string_at(lib.fastx_qual_buf(h), qual_off[n])
+        head_buf = ctypes.string_at(lib.fastx_head_buf(h), head_off[n])
+        for i in range(n):
+            qual = qual_buf[qual_off[i] : qual_off[i + 1]]
+            yield FastxRecord(
+                head_buf[head_off[i] : head_off[i + 1]].decode(),
+                seq_buf[seq_off[i] : seq_off[i + 1]],
+                qual if qual else None,
+            )
+    finally:
+        lib.fastx_free(h)
+
+
+def read_fastx(path: str):
+    """Yield FastxRecord from a FASTA/FASTQ(.gz) file (C++ parser when
+    available, pure-Python fallback otherwise)."""
+    lib = _native_lib()
+    if lib is not None:
+        yield from _read_fastx_native(lib, path)
         return
-    except ImportError:
-        pass
     with _open(path) as f:
         first = f.peek(1)[:1]
         if first == b"@":

@@ -37,6 +37,37 @@ def _build() -> bool:
     return True
 
 
+_EXTRA_CACHE: dict[str, Path | None] = {}
+
+
+def build_extra(name: str, extra_link: list[str] | None = None) -> Path | None:
+    """Build native/<name>.cpp -> native/<name>.so; returns the path or None."""
+    if name in _EXTRA_CACHE:
+        return _EXTRA_CACHE[name]
+    if os.environ.get("SAVONT_NO_NATIVE"):
+        _EXTRA_CACHE[name] = None
+        return None
+    src = _REPO / "native" / f"{name}.cpp"
+    so = _REPO / "native" / f"{name}.so"
+    if not src.exists():
+        _EXTRA_CACHE[name] = None
+        return None
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(src), "-o", str(so)]
+        cmd += extra_link or []
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        except (FileNotFoundError, subprocess.TimeoutExpired):
+            _EXTRA_CACHE[name] = None
+            return None
+        if r.returncode != 0:
+            log.warning("native build of %s failed: %s", name, r.stderr[-500:])
+            _EXTRA_CACHE[name] = None
+            return None
+    _EXTRA_CACHE[name] = so
+    return so
+
+
 def get_lib():
     """Return the loaded shared library or None."""
     global _LIB, _TRIED

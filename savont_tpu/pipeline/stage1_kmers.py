@@ -36,11 +36,31 @@ from ..ops.stats import binomial_test_gt, snpmer_strand_test
 log = logging.getLogger("savont")
 
 
+_READ_CACHE: dict[str, list] = {}
+_READ_CACHE_BYTES = 0
+_READ_CACHE_LIMIT = 2 << 30  # 2 GB of raw sequence; larger files re-stream
+
+
+def _cached_records(path: str):
+    """Parse a FASTX file once and keep records in memory for the pipeline's
+    multiple passes (the reference re-reads the file 3 times)."""
+    global _READ_CACHE_BYTES
+    recs = _READ_CACHE.get(path)
+    if recs is not None:
+        return recs
+    recs = list(read_fastx(path))
+    size = sum(len(r.seq) * 2 for r in recs)
+    if _READ_CACHE_BYTES + size <= _READ_CACHE_LIMIT:
+        _READ_CACHE[path] = recs
+        _READ_CACHE_BYTES += size
+    return recs
+
+
 def _iter_reads_for_counting(files: list[str]):
     """Counting passes handle the cutadapt 'rc' header suffix by
     reverse-complementing (seq_parse.rs:139-147)."""
     for path in files:
-        for rec in read_fastx(path):
+        for rec in _cached_records(path):
             fields = rec.id.split()
             if fields and fields[-1] == "rc":
                 seq = revcomp_bytes(rec.seq)
@@ -234,7 +254,7 @@ def twin_reads_from_files(kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[
     n_len_filtered = 0
     n_repetitive = 0
     for file_idx, path in enumerate(args.input_files):
-        for rec in read_fastx(path):
+        for rec in _cached_records(path):
             if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
                 n_len_filtered += 1
                 continue
