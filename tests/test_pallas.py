@@ -1,0 +1,54 @@
+"""Pallas banded-SW kernel == host DP (interpret mode; compiled path is
+exercised on real TPU hardware by bench/driver runs)."""
+import numpy as np
+import pytest
+
+from savont_tpu.ops.align import TargetIndex
+from savont_tpu.ops.align_batch import plan_jobs, run_jobs
+
+RNG = np.random.default_rng(33)
+
+
+def rand_seq(n):
+    return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
+
+
+def test_pallas_interpret_matches_host():
+    import jax.numpy as jnp
+
+    from savont_tpu.ops.align_pallas import sw_forward_pallas
+
+    jobs = []
+    while len(jobs) < 8:
+        t = rand_seq(192)
+        q = bytearray(t)
+        for p in RNG.choice(len(q), int(RNG.integers(3, 10)), replace=False):
+            q[p] = b"ACGT"[RNG.integers(4)]
+        if RNG.random() < 0.4:
+            del q[100 : 100 + int(RNG.integers(1, 5))]
+        jobs.extend(plan_jobs(TargetIndex([t]), bytes(q), band=64, min_anchors=2))
+    jobs = jobs[:8]
+    host = run_jobs(jobs, band=64)
+
+    Lq = max(len(j.qcodes) for j in jobs)
+    Lt = max(len(j.tcodes) for j in jobs)
+    B = 8
+    qa = np.full((B, Lq), 5, np.int32)
+    ta = np.full((B, Lt), 6, np.int32)
+    lo = np.zeros((B, Lq + 1), np.int32)
+    tl = np.zeros(B, np.int32)
+    for i, j in enumerate(jobs):
+        qa[i, : len(j.qcodes)] = j.qcodes
+        ta[i, : len(j.tcodes)] = j.tcodes
+        lo[i, 1 : len(j.lo) + 1] = j.lo
+        lo[i, 0] = j.lo[0]
+        if len(j.lo) < Lq:
+            lo[i, len(j.lo) + 1 :] = j.lo[-1]
+        tl[i] = len(j.tcodes)
+    out = np.asarray(
+        sw_forward_pallas(jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(lo), jnp.asarray(tl), band=64, interpret=True)
+    )
+    for i, h in enumerate(host):
+        want = (h[0], h[2], h[4], h[6]) if h else None  # score, q_end, t_end, nm
+        got = tuple(int(x) for x in out[i])
+        assert want == got
