@@ -257,21 +257,69 @@ def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tu
     from .native_build import get_lib
 
     lib = get_lib()
-    if lib is not None and _JAX_BACKEND is None:
+    if lib is not None:
         return _run_native(jobs, band, lib)
 
     order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
     results = [None] * len(jobs)
     for start in range(0, len(order), bucket):
         chunk = order[start : start + bucket]
-        batch = [jobs[i] for i in chunk]
-        if _JAX_BACKEND is not None:
-            res = _JAX_BACKEND.run_bucket(batch, band)
-        else:
-            res = _run_bucket(batch, band)
+        res = _run_bucket([jobs[i] for i in chunk], band)
         for i, r in zip(chunk, res):
             results[i] = r
     return results
+
+
+def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
+    """NM-only job execution: routes to the TPU forward kernel when
+    SAVONT_ALIGN_BACKEND=jax (no CIGARs; cigar field is empty)."""
+    import os
+
+    if not jobs:
+        return []
+    if os.environ.get("SAVONT_ALIGN_BACKEND") == "jax" or _JAX_BACKEND is not None:
+        from . import align_jax
+
+        out = []
+        bucket = 256
+        order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
+        results: list[tuple | None] = [None] * len(jobs)
+        for start in range(0, len(order), bucket):
+            chunk = order[start : start + bucket]
+            res = align_jax.sw_scores_numpy_jobs([jobs[i] for i in chunk], band)
+            for i, r in zip(chunk, res):
+                if r is None:
+                    results[i] = None
+                else:
+                    results[i] = (r["score"], r["q_start"], r["q_end"], r["t_start"], r["t_end"], [], r["nm"])
+        return results
+    return run_jobs(jobs, band)
+
+
+def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
+    """Batched pair alignment for NM-only consumers (stage-7 tie-break,
+    classification): uses the device kernel when enabled."""
+    index_cache: dict[bytes, TargetIndex] = {}
+    all_jobs: list[AlignJob] = []
+    owner: list[int] = []
+    for i, (qa, ta) in enumerate(pairs):
+        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
+        idx = index_cache.get(tb)
+        if idx is None:
+            idx = TargetIndex([tb])
+            index_cache[tb] = idx
+        jobs = plan_jobs(idx, qa, band=band, min_anchors=2)
+        all_jobs.extend(jobs)
+        owner.extend([i] * len(jobs))
+    raw = run_jobs_nm(all_jobs, band=band)
+    best: list[Mapping | None] = [None] * len(pairs)
+    for o, job, r in zip(owner, all_jobs, raw):
+        if r is None:
+            continue
+        (m,) = _jobs_to_mappings([job], [r])
+        if best[o] is None or m.score > best[o].score:
+            best[o] = m
+    return best
 
 
 def _jobs_to_mappings(jobs: list[AlignJob], raw: list[tuple | None]) -> list[Mapping]:

@@ -9,7 +9,7 @@ from ..config import ClusterArgs
 from ..constants import EM_MAX_ITERATIONS, EM_MINIMIZER_RATIO_BASE, EM_RATIO_THRESHOLD
 from ..core import ConsensusSequence, KmerGlobalInfo, TwinRead
 from ..ops.align import TargetIndex
-from ..ops.align_batch import align_pairs, map_batch
+from ..ops.align_batch import align_pairs_nm, map_batch
 from ..ops.encode import U64
 
 log = logging.getLogger("savont")
@@ -184,7 +184,7 @@ def refine_asv_depths_with_em(
             for asv, _mm in cands:
                 pairs.append((asv_seqs[asv], read_seq))
                 owners.append((ri, asv))
-    aln_results = align_pairs(pairs)
+    aln_results = align_pairs_nm(pairs)
     nm_by_read: dict[int, list[tuple[int, int]]] = {}
     for (ri, asv), m in zip(owners, aln_results):
         if m is not None:
