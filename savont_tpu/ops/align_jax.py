@@ -31,92 +31,106 @@ from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 NEG = -20000
 
 
+def smooth_lo(lo: np.ndarray) -> np.ndarray:
+    """Clamp per-row band advances to <= 1 column: lo'[i] = i + cummin(lo - i).
+
+    The device kernel uses static {0,1}-lane shifts instead of dynamic
+    gathers; a 128-wide band tolerates the resulting <=64-column lag on
+    diagonal jumps (larger structural indels are filtered downstream)."""
+    ar = np.arange(lo.shape[-1])
+    return (ar + np.minimum.accumulate(lo - ar, axis=-1)).astype(lo.dtype)
+
+
 @partial(jax.jit, static_argnames=("band",))
 def sw_forward_meta(q, t, lo, tlens, band: int = 128):
     """Batched forward banded SW with path metadata.
 
     q: (B, Lq) int32 codes 0..3 (4 ambiguous, >=5 padding)
     t: (B, Lt) int32 codes
-    lo: (B, Lq+1) int32 band lower bound per row (non-decreasing)
+    lo: (B, Lq+1) int32 band lower bound per row, non-decreasing with
+        per-row increments of AT MOST 1 (see smooth_lo) — this lets every
+        previous-row access be a static lane shift instead of a gather.
     tlens: (B,) int32
     Returns dict of (B,) arrays: score, q_start, q_end, t_start, t_end, nm.
     """
     B, Lq = q.shape
     je = jnp.arange(band, dtype=jnp.int32)
 
+    # pre-gather the per-row target windows OUTSIDE the scan (one big gather)
+    cols_all = lo[:, 1:, None] + je[None, None, :]  # (B, Lq, band)
+    valid_all = cols_all < tlens[:, None, None]
+    gather_cols = jnp.minimum(cols_all, tlens[:, None, None] - 1).reshape(B, Lq * band)
+    tc_all = jnp.take_along_axis(t.astype(jnp.int32), gather_cols, axis=1).reshape(B, Lq, band)
+
+    def shl1(a, fill):  # out[:, j] = a[:, j+1]
+        return jnp.concatenate([a[:, 1:], jnp.full((B, 1), fill, a.dtype)], axis=1)
+
+    def shr1(a, fill):  # out[:, j] = a[:, j-1]
+        return jnp.concatenate([jnp.full((B, 1), fill, a.dtype), a[:, :-1]], axis=1)
+
     def step(carry, xs):
         H, F, nmh, qsh, tsh, nmf, qsf, tsf, best = carry
-        qc, l, dl, r = xs  # qc (B,), l (B,), dl (B,), r scalar row index
+        qc, l, dl, r, tc, valid = xs  # (B,), (B,), (B,), scalar, (B,band), (B,band)
 
         cols = l[:, None] + je[None, :]
-        valid = cols < tlens[:, None]
-        tc = jnp.take_along_axis(t, jnp.minimum(cols, tlens[:, None] - 1), axis=1)
         is_match = (tc == qc[:, None]) & (qc[:, None] < 4) & (tc < 4)
         s = jnp.where(is_match, MATCH, MISMATCH)
+        d1 = (dl == 1)[:, None]  # band advanced one column this row
 
-        # shift previous row into this row's band frame: src = j + dl
-        src = je[None, :] + dl[:, None]
-        in_rng = src < band
-        src_c = jnp.minimum(src, band - 1)
+        def up(a, fill):  # same COLUMN in the previous row: j + dl
+            return jnp.where(d1, shl1(a, fill), a)
 
-        def gat(a):
-            return jnp.where(in_rng, jnp.take_along_axis(a, src_c, axis=1), NEG)
+        def diag(a, fill):  # column j-1 of the previous row: j + dl - 1
+            return jnp.where(d1, a, shr1(a, fill))
 
-        Hup, Fup = gat(H), gat(F)
-        nmh_up = jnp.where(in_rng, jnp.take_along_axis(nmh, src_c, axis=1), 0)
-        qsh_up = jnp.where(in_rng, jnp.take_along_axis(qsh, src_c, axis=1), 0)
-        tsh_up = jnp.where(in_rng, jnp.take_along_axis(tsh, src_c, axis=1), 0)
-        nmf_up = jnp.where(in_rng, jnp.take_along_axis(nmf, src_c, axis=1), 0)
-        qsf_up = jnp.where(in_rng, jnp.take_along_axis(qsf, src_c, axis=1), 0)
-        tsf_up = jnp.where(in_rng, jnp.take_along_axis(tsf, src_c, axis=1), 0)
+        Hup, Fup = up(H, NEG), up(F, NEG)
+        nmh_up, qsh_up, tsh_up = up(nmh, 0), up(qsh, 0), up(tsh, 0)
+        nmf_up, qsf_up, tsf_up = up(nmf, 0), up(qsf, 0), up(tsf, 0)
 
-        srcd = src - 1
-        d_in = (srcd >= 0) & (srcd < band)
-        srcd_c = jnp.clip(srcd, 0, band - 1)
-        Hdiag = jnp.where(d_in, jnp.take_along_axis(H, srcd_c, axis=1), NEG)
-        nmd = jnp.where(d_in, jnp.take_along_axis(nmh, srcd_c, axis=1), 0)
-        qsd = jnp.where(d_in, jnp.take_along_axis(qsh, srcd_c, axis=1), 0)
-        tsd = jnp.where(d_in, jnp.take_along_axis(tsh, srcd_c, axis=1), 0)
-        left_edge = (srcd < 0) & (cols == 0)
+        Hdiag = diag(H, NEG)
+        nmd, qsd, tsd = diag(nmh, 0), diag(qsh, 0), diag(tsh, 0)
+        # left of the band is the free zero boundary only at column 0
+        left_edge = (~d1) & (je[None, :] == 0) & (cols == 0)
         Hdiag = jnp.where(left_edge, 0, Hdiag)
-        # fresh diagonal start from the virtual zero column at col -1:
-        # consumes q[r-1] and t[0], so the path starts at (r-1, 0)
         nmd = jnp.where(left_edge, 0, nmd)
-        qsd = jnp.where(left_edge, (r - 1) * jnp.ones((B, band), jnp.int32), qsd)
+        qsd = jnp.where(left_edge, r - 1, qsd)
         tsd = jnp.where(left_edge, cols, tsd)
 
         # F (vertical, consumes query base): prefer H-origin on ties
         from_h = (Hup - GAP_OPEN) >= Fup
-        Fr = jnp.maximum(Hup - GAP_OPEN, Fup) - GAP_EXT
-        Fr = jnp.maximum(Fr, NEG)
+        Fr = jnp.maximum(jnp.maximum(Hup - GAP_OPEN, Fup) - GAP_EXT, NEG)
         nmf_n = jnp.where(from_h, nmh_up, nmf_up) + 1
         qsf_n = jnp.where(from_h, qsh_up, qsf_up)
         tsf_n = jnp.where(from_h, tsh_up, tsf_up)
 
         # G = max(0, diag + s, F): priority zero > F > diag (traceback order)
-        diag_v = Hdiag + s
-        Gr = jnp.maximum(jnp.maximum(0, diag_v), Fr)
+        Gr = jnp.maximum(jnp.maximum(0, Hdiag + s), Fr)
         g_zero = Gr == 0
         g_f = (~g_zero) & (Gr == Fr)
-        # zero cell consumed nothing: a later diagonal from it starts at
-        # (r, col+1); F-origin and diagonal inherit their sources' starts
         nmg = jnp.where(g_zero, 0, jnp.where(g_f, nmf_n, nmd + (~is_match).astype(jnp.int32)))
-        qsg = jnp.where(g_zero, r * jnp.ones((B, band), jnp.int32), jnp.where(g_f, qsf_n, qsd))
+        qsg = jnp.where(g_zero, r, jnp.where(g_f, qsf_n, qsd))
         tsg = jnp.where(g_zero, cols + 1, jnp.where(g_f, tsf_n, tsd))
 
-        # E via prefix max of (G + e*j), argmax = largest j' (packed cummax)
-        packed = ((Gr + 32768) << 8) | je[None, :]
-        run = lax.cummax(packed, axis=1)
-        run_shift = jnp.concatenate([jnp.full((B, 1), (NEG + 32768) << 8, run.dtype), run[:, :-1]], axis=1)
-        best_val = (run_shift >> 8) - 32768
-        best_j = run_shift & 0xFF
-        # E[j] = G[j'] - o - e*(j - j') with j' = argmax(G + e*j'), ties -> largest j'
-        Er = best_val - GAP_OPEN - GAP_EXT * (je[None, :] - best_j)
-        Er = jnp.where(je[None, :] == 0, NEG, Er)
-        Er = jnp.maximum(Er, NEG)
-        nme = jnp.take_along_axis(nmg, best_j, axis=1) + (je[None, :] - best_j)
-        qse = jnp.take_along_axis(qsg, best_j, axis=1)
-        tse = jnp.take_along_axis(tsg, best_j, axis=1)
+        # E via an inclusive prefix max of (G + e*j) with metadata riding
+        # along the argmax (ties -> largest j', i.e. right operand)
+        def combine(a, b):
+            take_b = b[0] >= a[0]
+            return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
+
+        scanned = lax.associative_scan(
+            combine,
+            (Gr + GAP_EXT * je[None, :], nmg - je[None, :], qsg, tsg),
+            axis=1,
+        )
+        run_v = shr1(scanned[0], NEG)
+        run_nm = shr1(scanned[1], 0)
+        run_qs = shr1(scanned[2], 0)
+        run_ts = shr1(scanned[3], 0)
+        Er = run_v - GAP_OPEN - GAP_EXT * je[None, :]
+        Er = jnp.maximum(jnp.where(je[None, :] == 0, NEG, Er), NEG)
+        nme = run_nm + je[None, :]
+        qse = run_qs
+        tse = run_ts
 
         # H = max(G, E): prefer G on ties
         use_g = Gr >= Er
@@ -126,32 +140,27 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128):
         tsh_n = jnp.where(use_g, tsg, tse)
         Hr = jnp.where(valid, Hr, NEG)
 
-        # update running best (first maximum wins, row-major like argmax)
-        row_best_j = jnp.argmax(Hr, axis=1)
-        row_best_v = jnp.take_along_axis(Hr, row_best_j[:, None], axis=1)[:, 0]
+        # per-lane running best (strictly greater -> keeps the earliest row)
         bv, bqs, bts, bqe, bte, bnm = best
-        better = row_best_v > bv
-        sel = lambda new, old: jnp.where(better, new, old)
-        bj = row_best_j[:, None]
+        better = Hr > bv
         best_n = (
-            sel(row_best_v, bv),
-            sel(jnp.take_along_axis(qsh_n, bj, axis=1)[:, 0], bqs),
-            sel(jnp.take_along_axis(tsh_n, bj, axis=1)[:, 0], bts),
-            sel(r * jnp.ones(B, jnp.int32), bqe),
-            sel(l + row_best_j.astype(jnp.int32) + 1, bte),
-            sel(jnp.take_along_axis(nmh_n, bj, axis=1)[:, 0], bnm),
+            jnp.where(better, Hr, bv),
+            jnp.where(better, qsh_n, bqs),
+            jnp.where(better, tsh_n, bts),
+            jnp.where(better, r, bqe),
+            jnp.where(better, cols + 1, bte),
+            jnp.where(better, nmh_n, bnm),
         )
         return (Hr, Fr, nmh_n, qsh_n, tsh_n, nmf_n, qsf_n, tsf_n, best_n), None
 
     # derive the init carry from q so its sharding "varying" type matches the
     # scan outputs when running inside shard_map (zero-cost: q & 0)
     vary2 = (q[:, :1].astype(jnp.int32) & 0) + jnp.zeros((B, band), jnp.int32)
-    vary1 = q[:, 0].astype(jnp.int32) & 0
     init = (
         vary2,  # H row 0 = 0 (local alignment)
         vary2 + NEG,
         vary2, vary2, vary2, vary2, vary2, vary2,
-        (vary1, vary1, vary1, vary1, vary1, vary1),  # best: v, qs, ts, qe, te, nm
+        (vary2, vary2, vary2, vary2, vary2, vary2),  # per-lane best planes
     )
     rows = jnp.arange(1, Lq + 1, dtype=jnp.int32)
     xs = (
@@ -159,16 +168,29 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128):
         lo[:, 1:].T.astype(jnp.int32),    # l per row
         (lo[:, 1:] - lo[:, :-1]).T.astype(jnp.int32),  # dl per row
         rows,
+        jnp.swapaxes(tc_all, 0, 1),       # (Lq, B, band)
+        jnp.swapaxes(valid_all, 0, 1),
     )
     (_, _, _, _, _, _, _, _, best), _ = lax.scan(step, init, xs)
     bv, bqs, bts, bqe, bte, bnm = best
+
+    # reduce lanes: max value; ties -> earliest row (bqe), then lowest lane
+    # (equivalent to the row-major flat argmax of the full DP matrix)
+    vmax = bv.max(axis=1, keepdims=True)
+    is_best = bv == vmax
+    tb = jnp.where(is_best, (Lq + 1 - bqe) * (band + 1) + (band - je[None, :]), -1)
+    chosen = is_best & (tb == tb.max(axis=1, keepdims=True))
+
+    def pick(x):
+        return jnp.sum(jnp.where(chosen, x, 0), axis=1)
+
     return {
-        "score": bv,
-        "q_start": bqs,
-        "t_start": bts,
-        "q_end": bqe,
-        "t_end": bte,
-        "nm": bnm,
+        "score": pick(bv),
+        "q_start": pick(bqs),
+        "t_start": pick(bts),
+        "q_end": pick(bqe),
+        "t_end": pick(bte),
+        "nm": pick(bnm),
     }
 
 
@@ -192,6 +214,7 @@ def sw_scores_numpy_jobs(jobs, band: int = 128):
         if len(j.lo) < Lq:
             lo[i, len(j.lo) + 1 :] = j.lo[-1]
         tlens[i] = len(j.tcodes)
+    lo = smooth_lo(lo)  # device kernel requires per-row advances <= 1
     out = sw_forward_meta(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens), band=band)
     host = {k: np.asarray(v) for k, v in out.items()}
     res = []
