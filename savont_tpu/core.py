@@ -117,21 +117,22 @@ class TwinRead:
         """20-table bottom-3 LSH signatures over the UNFILTERED minimizer
         k-mers (types.rs:719-747): per table, FxHash64(seed, kmer) ranks the
         k-mers; signature = XOR_i kmer_i * (i+1) over the 3 lowest ranks.
-        Ties in hash keep input order (Rust stable sort_by_key)."""
+        Ties in hash keep input order (Rust stable sort_by_key).
+        All tables computed in one vectorized (T, n) pass."""
         minis = self.mini_kmers_all
-        sigs: list[int | None] = []
-        for t in range(LSH_NUM_TABLES):
-            if len(minis) < LSH_BUCKET_SIZE:
-                sigs.append(None)
-                continue
-            h = fxhash64_seeded(t, minis)
-            order = np.argsort(h, kind="stable")[:LSH_BUCKET_SIZE]
-            sig = U64(0)
-            with np.errstate(over="ignore"):
-                for i, idx in enumerate(order):
-                    sig ^= minis[idx] * U64(i + 1)
-            sigs.append(int(sig))
-        self.lsh_signatures = sigs
+        if len(minis) < LSH_BUCKET_SIZE:
+            self.lsh_signatures = [None] * LSH_NUM_TABLES
+            return
+        seeds = np.arange(LSH_NUM_TABLES, dtype=U64)[:, None]
+        h = fxhash64_seeded(seeds, minis[None, :])  # (T, n)
+        order = np.argsort(h, axis=1, kind="stable")[:, :LSH_BUCKET_SIZE]
+        picked = minis[order]  # (T, 3)
+        with np.errstate(over="ignore"):
+            weighted = picked * np.arange(1, LSH_BUCKET_SIZE + 1, dtype=U64)[None, :]
+        sigs = weighted[:, 0]
+        for i in range(1, LSH_BUCKET_SIZE):
+            sigs = sigs ^ weighted[:, i]
+        self.lsh_signatures = [int(s) for s in sigs]
 
 
 @dataclass

@@ -88,15 +88,16 @@ def mm_hash64(v: np.ndarray | int) -> np.ndarray | int:
     return int(key) if scalar else key
 
 
-def fxhash64_seeded(seed: int, words: np.ndarray) -> np.ndarray:
+def fxhash64_seeded(seed: int | np.ndarray, words: np.ndarray) -> np.ndarray:
     """FxHasher64 of [seed_u64, word_u64] per element (types.rs:719-747 LSH).
 
     Matches the fxhash crate: h = rotl(h,5) ^ w; h *= 0x517cc1b727220a95,
     starting from h = 0, fed first the table seed then the k-mer.
+    seed and words broadcast (e.g. seeds (T,1) x words (1,n) -> (T,n)).
     """
     words = np.asarray(words, dtype=U64)
     with np.errstate(over="ignore"):
-        h = U64(seed) * _FX_SEED                      # rotl(0,5)^seed = seed
+        h = np.asarray(seed, dtype=U64) * _FX_SEED    # rotl(0,5)^seed = seed
         h = ((h << U64(5)) | (h >> U64(59))) ^ words  # rotl then xor kmer
         h = h * _FX_SEED
     return h
