@@ -82,11 +82,21 @@ def sintax(args: SintaxArgs, db: tax.Database) -> None:
                 kmer_query.setdefault(km, []).append(asv_i * n_iter + iter_j)
 
     # Phase 2: stream database once; per ref, dedup k-mers, bump (asv, iter)
-    # hit counts, keep the argmax ref's taxonomy per pair (strictly greater)
+    # hit counts, keep the argmax ref's taxonomy per pair (strictly greater).
+    # The query map is a CSR structure so per-ref scoring is pure vector ops
+    # (real DBs have 10^5-10^6 references).
     best_scores = np.zeros(n_pairs, dtype=np.int32)
-    best_tax: list[tax.TaxonomyEntry | None] = [None] * n_pairs
-    query_keys = np.fromiter(kmer_query.keys(), dtype=np.uint32, count=len(kmer_query))
-    query_keys_sorted = np.sort(query_keys)
+    best_ref = np.full(n_pairs, -1, dtype=np.int64)
+    query_keys_sorted = np.sort(np.fromiter(kmer_query.keys(), dtype=np.uint32, count=len(kmer_query)))
+    csr_off = np.zeros(len(query_keys_sorted) + 1, dtype=np.int64)
+    csr_pairs_parts = []
+    for i, km in enumerate(query_keys_sorted):
+        lst = kmer_query[int(km)]
+        csr_off[i + 1] = csr_off[i] + len(lst)
+        csr_pairs_parts.append(np.asarray(lst, dtype=np.int64))
+    csr_pairs = np.concatenate(csr_pairs_parts) if csr_pairs_parts else np.zeros(0, np.int64)
+
+    ref_entries: list[tax.TaxonomyEntry] = []
     n_refs = 0
     for rec in read_fastx(str(db.fasta_path)):
         n_refs += 1
@@ -99,22 +109,31 @@ def sintax(args: SintaxArgs, db: tax.Database) -> None:
         ref_kmers = np.unique(extract_kmers(rec.seq.upper()))
         if len(ref_kmers) == 0:
             continue
-        # intersect with query kmers
         pos = np.searchsorted(query_keys_sorted, ref_kmers)
-        pos = np.minimum(pos, len(query_keys_sorted) - 1)
-        present = ref_kmers[query_keys_sorted[pos] == ref_kmers]
-        if len(present) == 0:
+        pos = np.minimum(pos, max(len(query_keys_sorted) - 1, 0))
+        hit = query_keys_sorted[pos] == ref_kmers if len(query_keys_sorted) else np.zeros(0, bool)
+        key_idx = pos[hit]
+        if len(key_idx) == 0:
             continue
-        counts: dict[int, int] = {}
-        for km in present:
-            for idx in kmer_query[int(km)]:
-                counts[idx] = counts.get(idx, 0) + 1
-        for idx, c in counts.items():
-            if c > best_scores[idx]:
-                best_scores[idx] = c
-                best_tax[idx] = entry
+        # expand CSR ranges -> flat pair indices; count hits per pair
+        lens = csr_off[key_idx + 1] - csr_off[key_idx]
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        starts = np.repeat(csr_off[key_idx], lens)
+        within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        pair_hits = csr_pairs[starts + within]
+        counts = np.bincount(pair_hits, minlength=n_pairs).astype(np.int32)
+        better = counts > best_scores
+        if better.any():
+            ref_entries.append(entry)
+            best_scores = np.where(better, counts, best_scores)
+            best_ref = np.where(better, len(ref_entries) - 1, best_ref)
         if n_refs % 10000 == 0:
             log.info("Processed %d reference sequences...", n_refs)
+    best_tax: list[tax.TaxonomyEntry | None] = [
+        ref_entries[r] if r >= 0 else None for r in best_ref
+    ]
 
     # Phase 3: per-rank votes -> bootstrap fractions
     all_hits: list[dict | None] = []
