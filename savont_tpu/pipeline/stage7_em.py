@@ -180,9 +180,13 @@ def refine_asv_depths_with_em(
     for ri, tr in enumerate(read_list):
         cands = read_cands[ri]
         if cands:
+            # the reference maps ASV-as-query against a read index
+            # (alignment.rs:1841-1855); NM of the optimal local alignment is
+            # orientation-symmetric, and read-as-query lets the ASV target
+            # indexes be cached (one per ASV instead of one per read)
             read_seq = tr.seq_bytes()
             for asv, _mm in cands:
-                pairs.append((asv_seqs[asv], read_seq))
+                pairs.append((read_seq, asv_seqs[asv]))
                 owners.append((ri, asv))
     aln_results = align_pairs_nm(pairs)
     nm_by_read: dict[int, list[tuple[int, int]]] = {}
