@@ -1,0 +1,206 @@
+// Per-read k-mer scan kernels (host native path).
+//
+// Exact semantic twins of savont_tpu/ops/kmers.py split_kmer_mid and
+// syncmer_and_snpmer_scan (themselves transcriptions of the reference's
+// seeding.rs rolling loops).  Batched over concatenated read buffers,
+// OpenMP over reads.  Tested bit-identical in tests/test_native.py.
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline uint64_t mm_hash64(uint64_t key) {
+    key = (~key) + (key << 21);
+    key = key ^ (key >> 24);
+    key = (key + (key << 3)) + (key << 8);
+    key = key ^ (key >> 14);
+    key = (key + (key << 2)) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+inline bool in_sorted(const uint64_t* arr, int64_t n, uint64_t v) {
+    return std::binary_search(arr, arr + n, v);
+}
+
+// split_kmer_mid for one read; returns count written to out.
+int64_t split_one(const uint8_t* codes, const uint8_t* phred, int64_t len,
+                  int k, int min_bq, uint64_t* out) {
+    if (len < k) return 0;
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    const uint64_t split_mask = ~(3ULL << (k - 1));
+    const int rev_shift = 2 * (k - 1);
+    bool use_qual = false;
+    if (phred) {
+        for (int64_t i = 1; i < len; i++)
+            if (phred[i] != phred[0]) { use_qual = true; break; }
+    }
+    uint64_t f = 0, r = 0;
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < len; i++) {
+        const uint64_t c = codes[i];
+        f = ((f << 2) | c) & mask;
+        r = (r >> 2) | ((3 - c) << rev_shift);
+        if (i < k - 1) continue;
+        const int64_t p = i - k + 1;
+        const uint64_t sf = f & split_mask, sr = r & split_mask;
+        if (sf == sr) continue;
+        if (use_qual && phred[p + k / 2] < min_bq) continue;
+        if (sf < sr)
+            out[cnt++] = f | (1ULL << 63);
+        else
+            out[cnt++] = r;
+    }
+    return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched split_kmer_mid.  codes/phred concatenated; offsets length n+1.
+// phred == nullptr -> no quality gate.  out has room for (len-k+1) per read
+// at out_off[i]; out_cnt[i] receives the written count.
+void split_kmers_batch(const uint8_t* codes, const uint8_t* phred,
+                       const int64_t* off, int64_t n_reads, int k, int min_bq,
+                       uint64_t* out, const int64_t* out_off, int64_t* out_cnt,
+                       int n_threads) {
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int64_t i = 0; i < n_reads; i++) {
+        const int64_t len = off[i + 1] - off[i];
+        out_cnt[i] = split_one(codes + off[i], phred ? phred + off[i] : nullptr,
+                               len, k, min_bq, out + out_off[i]);
+    }
+}
+
+// Batched syncmer + SNPmer scan (seeding.rs get_twin_read_syncmer).
+// Outputs per read, written at out_off[i] (room for len-k+1 each):
+//   mini_pos (u32), mini_kmer (u64), snp_pos (u32), snp_kmer (u64)
+// with counts in mini_cnt / snp_cnt.  snp_sorted: sorted full-kmer set.
+// Dedup: SNPmer hits whose masked kmer occurs more than once among ALL set
+// hits in the read are dropped (DEDUP_SNPMERS).
+void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
+                        const int64_t* off, int64_t n_reads, int k, int c,
+                        int min_bq, const uint64_t* snp_sorted, int64_t n_snp,
+                        uint32_t* mini_pos, uint64_t* mini_kmer,
+                        uint32_t* snp_pos, uint64_t* snp_kmer,
+                        const int64_t* out_off, int64_t* mini_cnt,
+                        int64_t* snp_cnt, int n_threads) {
+    const int s = k - c + 1;
+    const int m = k - s + 1;
+    const int mid = (k - s) / 2;
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint64_t> shash;
+        std::vector<uint64_t> hit_masked;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t ri = 0; ri < n_reads; ri++) {
+            const uint8_t* seq = codes + off[ri];
+            const uint8_t* ph = phred ? phred + off[ri] : nullptr;
+            const int64_t len = off[ri + 1] - off[ri];
+            mini_cnt[ri] = 0;
+            snp_cnt[ri] = 0;
+            if (len < k) continue;
+            const int64_t n = len - k + 1;
+            const int64_t ns = len - s + 1;
+
+            bool use_qual = false;
+            if (ph) {
+                for (int64_t i = 1; i < len; i++)
+                    if (ph[i] != ph[0]) { use_qual = true; break; }
+            }
+
+            // s-mer canonical hashes
+            shash.resize(ns);
+            {
+                const uint64_t smask = (1ULL << (2 * s)) - 1;
+                const int srev = 2 * (s - 1);
+                uint64_t f = 0, r = 0;
+                for (int64_t i = 0; i < len; i++) {
+                    const uint64_t cc = seq[i];
+                    f = ((f << 2) | cc) & smask;
+                    r = (r >> 2) | ((3 - cc) << srev);
+                    if (i >= s - 1) shash[i - s + 1] = mm_hash64(std::min(f, r));
+                }
+            }
+
+            uint32_t* mp = mini_pos + out_off[ri];
+            uint64_t* mk = mini_kmer + out_off[ri];
+            uint32_t* sp = snp_pos + out_off[ri];
+            uint64_t* sk = snp_kmer + out_off[ri];
+            hit_masked.clear();
+
+            const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+            const uint64_t split_mask = ~(3ULL << (k - 1));
+            const int rev_shift = 2 * (k - 1);
+            uint64_t f = 0, r = 0;
+            int64_t nm = 0, nsnp = 0;
+            for (int64_t i = 0; i < len; i++) {
+                const uint64_t cc = seq[i];
+                f = ((f << 2) | cc) & mask;
+                r = (r >> 2) | ((3 - cc) << rev_shift);
+                if (i < k - 1) continue;
+                const int64_t p = i - k + 1;
+                const uint64_t canon = ((f & split_mask) < (r & split_mask)) ? f : r;
+
+                // syncmer: middle s-mer strict minimum of the window
+                bool sync = true;
+                const uint64_t center = shash[p + mid];
+                for (int j = 0; j < m; j++) {
+                    if (j != mid && shash[p + j] <= center) { sync = false; break; }
+                }
+                if (sync) {
+                    mp[nm] = (uint32_t)p;
+                    mk[nm] = canon;
+                    nm++;
+                }
+
+                if (n_snp && in_sorted(snp_sorted, n_snp, canon)) {
+                    hit_masked.push_back(canon & split_mask);
+                    const bool qok = !use_qual || ph[p + k / 2] > min_bq;
+                    if (qok) {
+                        sp[nsnp] = (uint32_t)p;
+                        sk[nsnp] = canon;
+                        nsnp++;
+                    }
+                }
+            }
+
+            // per-read dedup on masked kmer over ALL set hits
+            if (nsnp) {
+                std::sort(hit_masked.begin(), hit_masked.end());
+                int64_t w = 0;
+                for (int64_t j = 0; j < nsnp; j++) {
+                    const uint64_t hm = sk[j] & split_mask;
+                    auto lo = std::lower_bound(hit_masked.begin(), hit_masked.end(), hm);
+                    auto hi = std::upper_bound(lo, hit_masked.end(), hm);
+                    if (hi - lo == 1) {
+                        sp[w] = sp[j];
+                        sk[w] = sk[j];
+                        w++;
+                    }
+                }
+                nsnp = w;
+            }
+            mini_cnt[ri] = nm;
+            snp_cnt[ri] = nsnp;
+        }
+    }
+}
+
+}  // extern "C"

@@ -106,12 +106,22 @@ class TwinRead:
         return self.snp_kmers_all
 
     def minimizers_vec(self) -> tuple[np.ndarray, np.ndarray]:
-        """(filtered positions, recomputed canonical k-mers) — types.rs:686."""
-        return self.mini_pos, kmer_at_position(self.codes, self.mini_pos, self.k)
+        """(filtered positions, recomputed canonical k-mers) — types.rs:686.
+        Cached: positions are fixed once the solid filters have run."""
+        c = getattr(self, "_mini_vec_cache", None)
+        if c is None or c[0] is not self.mini_pos:
+            c = (self.mini_pos, kmer_at_position(self.codes, self.mini_pos, self.k))
+            self._mini_vec_cache = c
+        return c
 
     def snpmers_vec(self) -> tuple[np.ndarray, np.ndarray]:
-        """(filtered positions, recomputed canonical k-mers) — types.rs:696."""
-        return self.snp_pos, kmer_at_position(self.codes, self.snp_pos, self.k)
+        """(filtered positions, recomputed canonical k-mers) — types.rs:696.
+        Cached: positions are fixed once the solid filters have run."""
+        c = getattr(self, "_snp_vec_cache", None)
+        if c is None or c[0] is not self.snp_pos:
+            c = (self.snp_pos, kmer_at_position(self.codes, self.snp_pos, self.k))
+            self._snp_vec_cache = c
+        return c
 
     def compute_lsh_signatures(self) -> None:
         """20-table bottom-3 LSH signatures over the UNFILTERED minimizer

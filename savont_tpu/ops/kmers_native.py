@@ -1,0 +1,126 @@
+"""ctypes wrapper for native/kmerscan.cpp (batched per-read scans)."""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .encode import U64
+from .native_build import build_extra
+
+_LIB = None
+_TRIED = False
+
+
+def get_scan_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = build_extra("kmerscan", extra_link=["-fopenmp"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.split_kmers_batch.restype = None
+    lib.split_kmers_batch.argtypes = [
+        u8p, u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        u64p, i64p, i64p, ctypes.c_int,
+    ]
+    lib.syncmer_scan_batch.restype = None
+    lib.syncmer_scan_batch.argtypes = [
+        u8p, u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u64p, ctypes.c_int64,
+        u32p, u64p, u32p, u64p,
+        i64p, i64p, i64p, ctypes.c_int,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def _concat(reads: list[np.ndarray], phreds) -> tuple:
+    off = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
+        off[i + 1] = off[i] + len(r)
+    codes = np.concatenate(reads).astype(np.uint8) if reads else np.zeros(0, np.uint8)
+    ph = None
+    if phreds is not None and any(p is not None for p in phreds):
+        ph = np.zeros(int(off[-1]), dtype=np.uint8)
+        for i, p in enumerate(phreds):
+            if p is not None:
+                ph[off[i] : off[i] + len(p)] = np.clip(p, 0, 255)
+            else:
+                # reads without qualities: mark all-equal so gates disable
+                ph[off[i] : off[i + 1]] = 60
+    return codes, ph, off
+
+
+def split_kmers_native(reads: list[np.ndarray], phreds, k: int, min_bq: int, threads: int = 0):
+    """Batched split_kmer_mid over all reads; returns list of u64 arrays."""
+    lib = get_scan_lib()
+    assert lib is not None
+    codes, ph, off = _concat(reads, phreds)
+    out_off = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i in range(len(reads)):
+        out_off[i + 1] = out_off[i] + max(len(reads[i]) - k + 1, 0)
+    out = np.zeros(int(out_off[-1]), dtype=np.uint64)
+    cnt = np.zeros(len(reads), dtype=np.int64)
+    lib.split_kmers_batch(
+        _ptr(codes, ctypes.c_uint8),
+        _ptr(ph, ctypes.c_uint8) if ph is not None else None,
+        _ptr(off, ctypes.c_int64), len(reads), k, min_bq,
+        _ptr(out, ctypes.c_uint64), _ptr(out_off, ctypes.c_int64),
+        _ptr(cnt, ctypes.c_int64), threads,
+    )
+    return [out[out_off[i] : out_off[i] + cnt[i]].copy() for i in range(len(reads))]
+
+
+def syncmer_scan_native(
+    reads: list[np.ndarray], phreds, k: int, c: int, min_bq: int,
+    snpmer_sorted: np.ndarray, threads: int = 0,
+):
+    """Batched syncmer+SNPmer scan; per read returns
+    (mini_pos u32, mini_kmers u64, snp_pos u32, snp_kmers u64)."""
+    lib = get_scan_lib()
+    assert lib is not None
+    codes, ph, off = _concat(reads, phreds)
+    out_off = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i in range(len(reads)):
+        out_off[i + 1] = out_off[i] + max(len(reads[i]) - k + 1, 0)
+    total = int(out_off[-1])
+    mini_pos = np.zeros(total, dtype=np.uint32)
+    mini_kmer = np.zeros(total, dtype=np.uint64)
+    snp_pos = np.zeros(total, dtype=np.uint32)
+    snp_kmer = np.zeros(total, dtype=np.uint64)
+    mini_cnt = np.zeros(len(reads), dtype=np.int64)
+    snp_cnt = np.zeros(len(reads), dtype=np.int64)
+    snp_sorted = np.ascontiguousarray(snpmer_sorted, dtype=np.uint64)
+    lib.syncmer_scan_batch(
+        _ptr(codes, ctypes.c_uint8),
+        _ptr(ph, ctypes.c_uint8) if ph is not None else None,
+        _ptr(off, ctypes.c_int64), len(reads), k, c, min_bq,
+        _ptr(snp_sorted, ctypes.c_uint64), len(snp_sorted),
+        _ptr(mini_pos, ctypes.c_uint32), _ptr(mini_kmer, ctypes.c_uint64),
+        _ptr(snp_pos, ctypes.c_uint32), _ptr(snp_kmer, ctypes.c_uint64),
+        _ptr(out_off, ctypes.c_int64), _ptr(mini_cnt, ctypes.c_int64),
+        _ptr(snp_cnt, ctypes.c_int64), threads,
+    )
+    out = []
+    for i in range(len(reads)):
+        o = out_off[i]
+        out.append(
+            (
+                mini_pos[o : o + mini_cnt[i]].copy(),
+                mini_kmer[o : o + mini_cnt[i]].copy(),
+                snp_pos[o : o + snp_cnt[i]].copy(),
+                snp_kmer[o : o + snp_cnt[i]].copy(),
+            )
+        )
+    return out

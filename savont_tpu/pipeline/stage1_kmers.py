@@ -74,14 +74,21 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
     """Count canonical split k-mers with strand-split counts over all input
     files (seq_parse.rs:12-78).  Returns (kmers sorted, counts[n,2]) after
     the both-strands/multiplicity filter."""
+    from ..ops.kmers_native import get_scan_lib, split_kmers_native
+
     k = args.kmer_size
-    per_read = []
-    n_reads = 0
+    codes_list, phred_list = [], []
     for seq, qual in _iter_reads_for_counting(args.input_files):
-        codes = encode_seq(seq)
-        phred = phred_from_ascii(qual) if qual is not None else None
-        per_read.append(split_kmer_mid(codes, phred, k, args.minimum_base_quality))
-        n_reads += 1
+        codes_list.append(encode_seq(seq))
+        phred_list.append(phred_from_ascii(qual) if qual is not None else None)
+    n_reads = len(codes_list)
+    if get_scan_lib() is not None:
+        per_read = split_kmers_native(codes_list, phred_list, k, args.minimum_base_quality)
+    else:
+        per_read = [
+            split_kmer_mid(c, p, k, args.minimum_base_quality)
+            for c, p in zip(codes_list, phred_list)
+        ]
     kmers, counts = count_flagged_kmers(per_read)
     raw_n = len(kmers)
     kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
@@ -245,20 +252,67 @@ def _apply_solid_filters(tr: TwinRead, args: ClusterArgs, high_freq_sorted: np.n
     return True
 
 
+def _build_twin_read_from_scan(rec, scan, args: ClusterArgs, codes) -> TwinRead:
+    """Assemble a TwinRead from precomputed scan results (native path)."""
+    mini_pos, mini_kmers, snp_pos, snp_kmers = scan
+    phred = phred_from_ascii(rec.qual) if rec.qual is not None else None
+    all_equal_q = phred is not None and len(phred) > 0 and bool((phred == phred[0]).all())
+    est_id = None if (phred is None or all_equal_q) else estimate_sequence_identity(phred)
+    qual_levels = None
+    if rec.qual is not None:
+        qual_levels = quantize_qual_bin(bin_qualities(np.frombuffer(rec.qual, dtype=np.uint8)))
+    return TwinRead(
+        id=rec.id,
+        base_id=rec.id.split()[0] if rec.id.split() else rec.id,
+        codes=codes,
+        k=args.kmer_size,
+        l=args.blockmer_length,
+        qual_levels=qual_levels,
+        est_id=est_id,
+        mini_pos=mini_pos,
+        mini_kmers_all=mini_kmers,
+        snp_pos=snp_pos,
+        snp_kmers_all=snp_kmers,
+    )
+
+
 def twin_reads_from_files(kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:
     """Third pass over the FASTQ: TwinRead construction + filters
     (kmer_comp.rs:68-258 + driver sort at main.rs:533)."""
+    from ..ops.kmers_native import get_scan_lib, syncmer_scan_native
+
     snpmer_sorted = kmer_info.snpmer_set_sorted()
     high_freq = kmer_info.high_freq_kmers
     twin_reads: list[TwinRead] = []
     n_len_filtered = 0
     n_repetitive = 0
+    use_native = get_scan_lib() is not None
     for file_idx, path in enumerate(args.input_files):
+        recs, codes_list, phred_list = [], [], []
         for rec in _cached_records(path):
             if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
                 n_len_filtered += 1
                 continue
-            tr = build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted)
+            if len(rec.seq) < args.kmer_size:
+                continue
+            recs.append(rec)
+            codes_list.append(encode_seq(rec.seq))
+            phred_list.append(phred_from_ascii(rec.qual) if rec.qual is not None else None)
+        if use_native:
+            scans = syncmer_scan_native(
+                codes_list, phred_list, args.kmer_size, args.c,
+                args.minimum_base_quality, snpmer_sorted,
+            )
+            trs = [
+                _build_twin_read_from_scan(rec, scan, args, codes)
+                for rec, scan, codes in zip(recs, scans, codes_list)
+            ]
+        else:
+            trs = [
+                build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted)
+                for rec in recs
+            ]
+        for tr in trs:
             if tr is None:
                 continue
             if not _apply_solid_filters(tr, args, high_freq):
