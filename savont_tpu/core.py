@@ -17,7 +17,7 @@ from .ops.encode import (
     fxhash64_seeded,
     homopolymer_decompress,
 )
-from .ops.kmers import kmer_at_position
+from .ops.kmers import kmer_at_position, kmer_at_position_oriented
 
 
 @dataclass
@@ -122,6 +122,13 @@ class TwinRead:
             c = (self.snp_pos, kmer_at_position(self.codes, self.snp_pos, self.k))
             self._snp_vec_cache = c
         return c
+
+    def blockmers_vec(self) -> tuple[np.ndarray, np.ndarray]:
+        """(positions, full (k+l)-mers) reconstructed with the stored
+        orientation flags (types.rs:749-754)."""
+        return self.blockmer_pos, kmer_at_position_oriented(
+            self.codes, self.blockmer_pos, self.k + self.l, self.blockmer_canonical
+        )
 
     def compute_lsh_signatures(self) -> None:
         """20-table bottom-3 LSH signatures over the UNFILTERED minimizer

@@ -203,6 +203,15 @@ def syncmer_and_snpmer_scan(
     return mini_pos, mini_kmers, snp_pos, snp_kmers
 
 
+def kmer_at_position_oriented(codes: np.ndarray, pos: np.ndarray, k: int, forward: np.ndarray) -> np.ndarray:
+    """Packed k-mers at positions with explicit orientation
+    (types.rs:573-619 kmer_from_position_canonical): forward=True -> the
+    plain window k-mer, else its reverse complement."""
+    fwd, rev = rolling_kmers(codes, k)
+    p = np.asarray(pos, dtype=np.int64)
+    return np.where(np.asarray(forward, dtype=bool), fwd[p], rev[p])
+
+
 def kmer_at_position(codes: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
     """Recompute canonical k-mers at positions, forward-preferred tie-break.
 
@@ -281,6 +290,65 @@ def fmh_seeds(codes: np.ndarray, c: int, k: int, positions: bool = False):
     if positions:
         return canon[keep], np.flatnonzero(keep).astype(U64)
     return h[keep]
+
+
+def blockmer_hits_scan(
+    codes: np.ndarray,
+    phred: np.ndarray | None,
+    k: int,
+    l: int,
+    blockmer_sorted: np.ndarray,
+    minimum_bq: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Blockmer set hits over a read (seeding.rs:461-504).
+
+    A window of k+l bases hits if its forward OR reverse-complement packed
+    form is in blockmer_sorted; the suffix (last l window bases) must have
+    quality > minimum_bq (unless all qualities equal).  Returns
+    (positions u32, is_forward bool)."""
+    bk = k + l
+    n = len(codes) - bk + 1
+    if n <= 0 or len(blockmer_sorted) == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, bool)
+    fwd, rev = rolling_kmers(codes, bk)
+
+    def member(v):
+        idx = np.clip(np.searchsorted(blockmer_sorted, v), 0, len(blockmer_sorted) - 1)
+        return blockmer_sorted[idx] == v
+
+    hit_f = member(fwd)
+    hit_r = member(rev)
+    hit = hit_f | hit_r
+    if phred is not None and len(phred) and not (phred == phred[0]).all():
+        ok = np.ones(n, dtype=bool)
+        for j in range(l):
+            qpos = np.arange(n) + k + j
+            valid = qpos < len(phred)
+            ok &= ~valid | (phred[np.minimum(qpos, len(phred) - 1)] > minimum_bq)
+        hit &= ok
+    pos = np.flatnonzero(hit).astype(np.uint32)
+    return pos, hit_f[pos]
+
+
+def count_blockmers(per_read: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """Count (blockmer, is_forward) observations (seq_parse.rs blockmer
+    counting): returns (blockmers sorted, counts[n,2]) with counts[:,1] =
+    forward-orientation count."""
+    if not per_read:
+        return np.zeros(0, U64), np.zeros((0, 2), dtype=np.uint32)
+    flagged = []
+    for kms, is_fwd in per_read:
+        flagged.append(kms | (is_fwd.astype(U64) << U64(63)))
+    allk = np.concatenate(flagged)
+    if len(allk) == 0:
+        return np.zeros(0, U64), np.zeros((0, 2), dtype=np.uint32)
+    uniq, cnt = np.unique(allk, return_counts=True)
+    bare = uniq & ~_BIT63
+    flag = (uniq >> U64(63)).astype(np.int64)
+    kmers, inv = np.unique(bare, return_inverse=True)
+    counts = np.zeros((len(kmers), 2), dtype=np.uint32)
+    np.add.at(counts, (inv, flag), cnt.astype(np.uint32))
+    return kmers, counts
 
 
 def blockmer_scan(

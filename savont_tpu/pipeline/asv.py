@@ -14,6 +14,20 @@ from .outputs import write_clusters_tsv, write_consensus_fasta, write_feature_ta
 log = logging.getLogger("savont")
 
 
+def log_memory_usage(message: str) -> None:
+    """RSS telemetry at stage boundaries (utils.rs:4-24)."""
+    try:
+        rss_kb = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss_kb = int(line.split()[1])
+                    break
+        log.info("%s --- Memory usage: %.2f GB", message, rss_kb / 1e6)
+    except OSError:
+        log.info("Memory usage: unknown (WARNING)")
+
+
 def run_cluster(args: ClusterArgs) -> Path:
     args.apply_presets()
     if args.kmer_size % 2 == 0:
@@ -25,10 +39,20 @@ def run_cluster(args: ClusterArgs) -> Path:
 
     log.info("=== STAGE 1: k-mers and polymorphic markers ===")
     kmers, counts = stage1_kmers.read_to_split_kmers(args)
+    blockmer_sorted = None
+    if args.use_blockmers:
+        import numpy as np
+
+        blk_kmers, blk_counts = stage1_kmers.read_blockmer_counts(args)
+        blockmer_info = stage1_kmers.get_blockmers(blk_kmers, blk_counts, kmers, counts, args)
+        vals = [v for _, pair, _ in blockmer_info for v in pair]
+        blockmer_sorted = np.unique(np.array(vals, dtype=np.uint64)) if vals else np.zeros(0, np.uint64)
+        log.info("Using blockmers: True (%d biallelic anchors)", len(blockmer_info))
     kmer_info = stage1_kmers.get_snpmers(kmers, counts, args)
+    log_memory_usage("STAGE 1 DONE: Obtained SNPmers")
 
     log.info("=== STAGE 1.5: TwinRead construction ===")
-    twin_reads = stage1_kmers.twin_reads_from_files(kmer_info, args)
+    twin_reads = stage1_kmers.twin_reads_from_files(kmer_info, args, blockmer_sorted)
     n_no_snp = sum(1 for t in twin_reads if len(t.snp_pos) == 0)
     frac_no_snp = n_no_snp / max(len(twin_reads), 1)
     log.info("reads without SNPmers: %.1f%%", frac_no_snp * 100)
@@ -38,6 +62,7 @@ def run_cluster(args: ClusterArgs) -> Path:
 
     log.info("=== STAGE 2: k-mer clustering ===")
     clusters = stage23_cluster.cluster_reads_by_kmers(twin_reads, args)
+    log_memory_usage("STAGE 2 DONE: Clustered reads by k-mers")
     _write_simple_clusters(temp_dir / "kmer_clusters_stage2.tsv", clusters)
 
     log.info("=== STAGE 3: SNPmer clustering ===")
@@ -50,6 +75,7 @@ def run_cluster(args: ClusterArgs) -> Path:
     pileups = pileup.generate_consensus_pileups(twin_reads, consensuses, args)
     quality_error_map = pileup.estimate_quality_error_rates(pileups, consensuses, 0.1)
     low_qual = pileup.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)
+    log_memory_usage("STAGE 4 DONE: Analyzed pileups")
     for c in consensuses:
         c.decompress()
     for c in low_qual:

@@ -24,6 +24,9 @@ from ..ops.encode import (
     revcomp_bytes,
 )
 from ..ops.kmers import (
+    blockmer_hits_scan,
+    blockmer_scan,
+    count_blockmers,
     count_flagged_kmers,
     filter_counted_kmers,
     masked_kmer,
@@ -99,6 +102,80 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "multiplicity (seq_parse.rs:69-72). Consider --single-strand."
         )
     return kmers, counts
+
+
+def read_blockmer_counts(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
+    """Blockmer counting pass (seq_parse.rs blockmer lanes): anchor-canonical
+    (k+l)-mers with per-orientation counts, then the strand/multiplicity
+    filter (both orientations > 2; single-strand: counts[0] > 2)."""
+    k, l = args.kmer_size, args.blockmer_length
+    per_read = []
+    for seq, qual in _iter_reads_for_counting(args.input_files):
+        codes = encode_seq(seq)
+        phred = phred_from_ascii(qual) if qual is not None else None
+        per_read.append(blockmer_scan(codes, phred, k, l, args.minimum_base_quality))
+    kmers, counts = count_blockmers(per_read)
+    if args.single_strand:
+        keep = counts[:, 0] > 2
+    else:
+        keep = (counts[:, 0] > 0) & (counts[:, 1] > 0) & (counts.sum(axis=1) > 2)
+    return kmers[keep], counts[keep]
+
+
+def get_blockmers(
+    blk_kmers: np.ndarray,
+    blk_counts: np.ndarray,
+    snp_kmers: np.ndarray,
+    snp_counts: np.ndarray,
+    args: ClusterArgs,
+) -> list[tuple[int, tuple[int, int], tuple[int, int]]]:
+    """Blockmer calling (kmer_comp.rs:274-452): group by anchor k-mer;
+    require > 2 counts per orientation; anchor's SNPmer-count ratio <= 10x;
+    binomial + Fisher tests on the top-2 variants.  Returns
+    [(anchor, (blockmer1, blockmer2), (count1, count2)), ...]."""
+    l = args.blockmer_length
+    if len(blk_kmers) == 0:
+        return []
+    snp_total = {int(k): int(c[0] + c[1]) for k, c in zip(snp_kmers, snp_counts)}
+    # per-orientation support filter (kmer_comp.rs:303-311)
+    if args.single_strand:
+        ok = blk_counts[:, 0] > 2
+    else:
+        ok = (blk_counts[:, 0] > 2) & (blk_counts[:, 1] > 2)
+    blk_kmers, blk_counts = blk_kmers[ok], blk_counts[ok]
+    anchors = blk_kmers >> np.uint64(2 * l)
+    # anchor vs SNPmer-count ratio (kmer_comp.rs:317-320)
+    totals = blk_counts.sum(axis=1).astype(np.int64)
+    keep = np.ones(len(blk_kmers), dtype=bool)
+    for i, a in enumerate(anchors):
+        ac = snp_total.get(int(a), 0)
+        if ac > 10 * totals[i]:
+            keep[i] = False
+    blk_kmers, blk_counts, anchors, totals = blk_kmers[keep], blk_counts[keep], anchors[keep], totals[keep]
+
+    order = np.lexsort((blk_kmers, anchors))
+    anchors, blk_kmers, blk_counts, totals = anchors[order], blk_kmers[order], blk_counts[order], totals[order]
+    out = []
+    bound = np.flatnonzero(np.concatenate(([True], anchors[1:] != anchors[:-1]))) if len(anchors) else np.zeros(0, np.int64)
+    ends = np.append(bound[1:], len(anchors))
+    for s, e in zip(bound, ends):
+        if e - s < 2:
+            continue
+        seg = np.argsort(-totals[s:e], kind="stable") + s
+        i0, i1 = seg[0], seg[1]
+        n, succ = int(totals[i0]), int(totals[i1])
+        # kmer_comp.rs:364-371: reject if the second allele is noise-consistent
+        cond1 = binomial_test_gt(n, succ, 0.025) > 0.05
+        cond2 = binomial_test_gt(n, succ, 0.050) > 0.05 and args.blockmer_length < 5
+        if cond1 or cond2:
+            continue
+        p, odds = snpmer_strand_test(blk_counts[i0], blk_counts[i1])
+        if not args.single_strand and odds == 0.0:
+            continue
+        if p > 0.005 or (1.0 / 1.5 < odds < 1.5):
+            out.append((int(anchors[i0]), (int(blk_kmers[i0]), int(blk_kmers[i1])), (n, succ)))
+    log.info("Number of blockmers found: %d", len(out))
+    return out
 
 
 def get_snpmers(kmers: np.ndarray, counts: np.ndarray, args: ClusterArgs) -> KmerGlobalInfo:
@@ -190,6 +267,7 @@ def build_twin_read(
     read_id: str,
     args: ClusterArgs,
     snpmer_sorted: np.ndarray,
+    blockmer_sorted: np.ndarray | None = None,
 ) -> TwinRead | None:
     """get_twin_read_syncmer equivalent (seeding.rs:317-658)."""
     k, c = args.kmer_size, args.c
@@ -201,6 +279,12 @@ def build_twin_read(
     mini_pos, mini_kmers, snp_pos, snp_kmers = syncmer_and_snpmer_scan(
         codes, phred, k, c, snpmer_sorted, args.minimum_base_quality
     )
+    blk_pos = np.zeros(0, np.uint32)
+    blk_fwd = np.zeros(0, bool)
+    if blockmer_sorted is not None and len(blockmer_sorted):
+        blk_pos, blk_fwd = blockmer_hits_scan(
+            codes, phred, k, args.blockmer_length, blockmer_sorted, args.minimum_base_quality
+        )
 
     all_equal_q = phred is not None and len(phred) > 0 and bool((phred == phred[0]).all())
     est_id = None if (phred is None or all_equal_q) else estimate_sequence_identity(phred)
@@ -222,6 +306,8 @@ def build_twin_read(
         mini_kmers_all=mini_kmers,
         snp_pos=snp_pos,
         snp_kmers_all=snp_kmers,
+        blockmer_pos=blk_pos,
+        blockmer_canonical=blk_fwd,
     )
 
 
@@ -276,7 +362,9 @@ def _build_twin_read_from_scan(rec, scan, args: ClusterArgs, codes) -> TwinRead:
     )
 
 
-def twin_reads_from_files(kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:
+def twin_reads_from_files(
+    kmer_info: KmerGlobalInfo, args: ClusterArgs, blockmer_sorted: np.ndarray | None = None
+) -> list[TwinRead]:
     """Third pass over the FASTQ: TwinRead construction + filters
     (kmer_comp.rs:68-258 + driver sort at main.rs:533)."""
     from ..ops.kmers_native import get_scan_lib, syncmer_scan_native
@@ -307,9 +395,15 @@ def twin_reads_from_files(kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[
                 _build_twin_read_from_scan(rec, scan, args, codes)
                 for rec, scan, codes in zip(recs, scans, codes_list)
             ]
+            if blockmer_sorted is not None and len(blockmer_sorted):
+                for tr, codes, phred in zip(trs, codes_list, phred_list):
+                    tr.blockmer_pos, tr.blockmer_canonical = blockmer_hits_scan(
+                        codes, phred, args.kmer_size, args.blockmer_length,
+                        blockmer_sorted, args.minimum_base_quality,
+                    )
         else:
             trs = [
-                build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted)
+                build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted, blockmer_sorted)
                 for rec in recs
             ]
         for tr in trs:

@@ -100,11 +100,36 @@ def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> lis
 # ── Stage 3: greedy SNPmer sub-clustering ───────────────────────────────────
 
 
+def compare_blockmers(tr1: TwinRead, tr2: TwinRead, l: int) -> tuple[int, int]:
+    """Blockmer (matches, mismatches) by shared anchor (asv_cluster.rs:797-827)."""
+    _, kms2 = tr2.blockmers_vec()
+    map2 = {int(km) >> (2 * l): int(km) for km in kms2}
+    matches = mismatches = 0
+    _, kms1 = tr1.blockmers_vec()
+    for km in kms1:
+        other = map2.get(int(km) >> (2 * l))
+        if other is not None:
+            if other == int(km):
+                matches += 1
+            else:
+                mismatches += 1
+    return matches, mismatches
+
+
 def _snpmer_subcluster(
-    cluster: list[int], twin_reads: list[TwinRead], k: int, min_cluster_size: int
+    cluster: list[int],
+    twin_reads: list[TwinRead],
+    k: int,
+    min_cluster_size: int,
+    args: ClusterArgs | None = None,
 ) -> list[list[int]]:
     """Greedy zero-mismatch SNPmer clustering within one k-mer cluster
-    (asv_cluster.rs:593-693).  Uses UNFILTERED snpmer_kmers()."""
+    (asv_cluster.rs:593-693).  Uses UNFILTERED snpmer_kmers().  With
+    --use-blockmers, compatible candidates are additionally validated by
+    blockmer comparison (asv_cluster.rs:499-556: best candidate by fewest
+    blockmer mismatches must have <= 1)."""
+    use_blockmers = args is not None and args.use_blockmers
+    blockmer_l = args.blockmer_length if args is not None else 3
     mask = _split_mask(k)
     index: dict[int, list[tuple[int, int]]] = {}  # splitmer -> [(rep, kmer)]
     assignment: dict[int, int] = {}
@@ -127,9 +152,20 @@ def _snpmer_subcluster(
             for cand, (m, mm) in stats.items()
             if mm == 0 and m > 0
         ]
+        rep = None
         if compat:
             compat.sort()
-            rep = compat[0][2]
+            if use_blockmers:
+                bcands = [
+                    (cand, *compare_blockmers(twin_reads[read_id], twin_reads[cand], blockmer_l))
+                    for _, _, cand in compat
+                ]
+                bcands.sort(key=lambda x: (x[2], -x[1]))
+                if bcands[0][2] <= 1:
+                    rep = bcands[0][0]
+            else:
+                rep = compat[0][2]
+        if rep is not None:
             assignment[read_id] = rep
             rep_size[rep] = rep_size.get(rep, 0) + 1
         else:
@@ -159,11 +195,17 @@ class ConsensusPoly:
 
 
 def build_consensus_snpmers(
-    cluster: list[int], twin_reads: list[TwinRead], k: int, top_n: int | None = None
+    cluster: list[int],
+    twin_reads: list[TwinRead],
+    k: int,
+    top_n: int | None = None,
+    marker: str = "snpmer",
+    l: int = 3,
 ) -> list[ConsensusPoly]:
-    """asv_cluster.rs:840-894 — per splitmer: most common FULL k-mer (from
-    the FILTERED snpmers_vec view), kept if count >= max(len(cluster)/6, 1);
-    median position; result sorted by (position, splitmer).
+    """asv_cluster.rs:840-894 (SNPmer) / 905-963 (blockmer) — per splitmer
+    (masked k-mer, or anchor for blockmers): most common FULL k-mer from the
+    FILTERED snpmers_vec / blockmers_vec view, kept if count >=
+    max(len(cluster)/6, 1); median position; sorted by (position, splitmer).
 
     Tie-break on equal counts: larger kmer value (the reference's
     FxHashMap::max_by_key tie order is unspecified; this is deterministic).
@@ -172,9 +214,12 @@ def build_consensus_snpmers(
     data: dict[int, dict[int, tuple[int, list[int]]]] = {}
     n_use = len(cluster) if top_n is None else min(len(cluster), top_n)
     for read_id in cluster[:n_use]:
-        pos, kms = twin_reads[read_id].snpmers_vec()
+        if marker == "blockmer":
+            pos, kms = twin_reads[read_id].blockmers_vec()
+        else:
+            pos, kms = twin_reads[read_id].snpmers_vec()
         for p, km in zip(pos, kms):
-            sm = int(km & mask)
+            sm = (int(km) >> (2 * l)) if marker == "blockmer" else int(km & mask)
             kd = data.setdefault(sm, {})
             cnt, plist = kd.get(int(km), (0, []))
             plist = plist + [int(p)] if cnt else [int(p)]
@@ -210,10 +255,11 @@ def _concordant(c1: list[ConsensusPoly], c2: list[ConsensusPoly]) -> bool:
 
 
 def _recluster_one_round(
-    clusters: list[list[int]], twin_reads: list[TwinRead], k: int
+    clusters: list[list[int]], twin_reads: list[TwinRead], k: int,
+    marker: str = "snpmer", l: int = 3,
 ) -> tuple[list[list[int]], int]:
     """Merge concordant clusters, larger-first (asv_cluster.rs:1146-1270)."""
-    allc = [(c, build_consensus_snpmers(c, twin_reads, k)) for c in clusters if c]
+    allc = [(c, build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l)) for c in clusters if c]
     allc.sort(key=lambda x: (-len(x[0]), x[0][0] if x[0] else 0))
     merged_flag = [False] * len(allc)
     needs_rebuild = [False] * len(allc)
@@ -224,7 +270,7 @@ def _recluster_one_round(
         if merged_flag[i]:
             continue
         if needs_rebuild[i]:
-            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k))
+            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k, marker=marker, l=l))
             needs_rebuild[i] = False
         for j in range(i + 1, len(allc)):
             if merged_flag[j]:
@@ -244,7 +290,7 @@ def _recluster_one_round(
                 merged_flag[j] = True
                 num_merges += 1
         if needs_rebuild[i]:
-            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k))
+            allc[i] = (allc[i][0], build_consensus_snpmers(allc[i][0], twin_reads, k, marker=marker, l=l))
         merged_clusters.append(list(allc[i][0]))
 
     merged_clusters.sort(key=lambda c: (-len(c), c[0] if c else 0))
@@ -252,26 +298,30 @@ def _recluster_one_round(
 
 
 def _reassign_reads(
-    clusters: list[list[int]], twin_reads: list[TwinRead], k: int, min_cluster_size: int
+    clusters: list[list[int]], twin_reads: list[TwinRead], k: int, min_cluster_size: int,
+    marker: str = "snpmer", l: int = 3,
 ) -> tuple[list[list[int]], int]:
     """Reassign every read to the argmin-(mismatch, -match) cluster
     (asv_cluster.rs:1007-1130).  Initial best = first candidate evaluated
     (index 0) since any mismatch count beats usize::MAX."""
-    consensus = [build_consensus_snpmers(c, twin_reads, k) for c in clusters]
+    consensus = [build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l) for c in clusters]
     maps = [{cp.splitmer: cp.kmer for cp in cons} for cons in consensus]
     mask = _split_mask(k)
     new_clusters: list[list[int]] = [[] for _ in clusters]
     reassigned = 0
     for ci, cluster in enumerate(clusters):
         for read_id in cluster:
-            _, kms = twin_reads[read_id].snpmers_vec()
+            if marker == "blockmer":
+                _, kms = twin_reads[read_id].blockmers_vec()
+            else:
+                _, kms = twin_reads[read_id].snpmers_vec()
             best_cluster = ci
             best = (np.inf, 0)
             for cand in range(len(clusters)):
                 mp = maps[cand]
                 m = mm = 0
                 for km in kms:
-                    ck = mp.get(int(km & mask))
+                    ck = mp.get((int(km) >> (2 * l)) if marker == "blockmer" else int(km & mask))
                     if ck is not None:
                         if ck == int(km):
                             m += 1
@@ -298,11 +348,12 @@ def cluster_reads_by_snpmers(
         return clusters
 
     k = args.kmer_size
+    marker = "blockmer" if args.use_blockmers else "snpmer"
     groups: dict[int, list[list[int]]] = {}
     for gid, cluster in enumerate(kmer_clusters):
         if len(cluster) < 1:
             continue
-        groups[gid] = _snpmer_subcluster(cluster, twin_reads, k, args.min_cluster_size)
+        groups[gid] = _snpmer_subcluster(cluster, twin_reads, k, args.min_cluster_size, args)
 
     n0 = sum(len(v) for v in groups.values())
     log.info("Stage 3 greedy: %d SNPmer clusters in %d k-mer groups", n0, len(groups))
@@ -313,9 +364,11 @@ def cluster_reads_by_snpmers(
         total_reassign = 0
         new_groups: dict[int, list[list[int]]] = {}
         for gid, clusters in groups.items():
-            merged, nm = _recluster_one_round(clusters, twin_reads, k)
+            merged, nm = _recluster_one_round(clusters, twin_reads, k, marker, args.blockmer_length)
             total_merges += nm
-            reassigned, nr = _reassign_reads(merged, twin_reads, k, args.min_cluster_size)
+            reassigned, nr = _reassign_reads(
+                merged, twin_reads, k, args.min_cluster_size, marker, args.blockmer_length
+            )
             total_reassign += nr
             if reassigned:
                 new_groups[gid] = reassigned
