@@ -88,6 +88,38 @@ def mm_hash64(v: np.ndarray | int) -> np.ndarray | int:
     return int(key) if scalar else key
 
 
+def rev_hash64(hashed: np.ndarray | int) -> np.ndarray | int:
+    """Inverse of mm_hash64 (seeding.rs:31-65) — recovers the k-mer from its
+    hash (the reference uses this to decode minimizer hashes)."""
+    scalar = np.isscalar(hashed) or getattr(hashed, "shape", None) == ()
+    key = np.asarray(hashed, dtype=U64).copy()
+    with np.errstate(over="ignore"):
+        # invert key += key << 31
+        tmp = key - (key << U64(31))
+        key = key - (tmp << U64(31))
+        # invert key ^= key >> 28
+        tmp = key ^ (key >> U64(28))
+        key = key ^ (tmp >> U64(28))
+        # invert key = (key + (key<<2)) + (key<<4)  (i.e. key *= 21)
+        key = key * U64(14933078535860113213)
+        # invert key ^= key >> 14
+        tmp = key ^ (key >> U64(14))
+        tmp = key ^ (tmp >> U64(14))
+        tmp = key ^ (tmp >> U64(14))
+        key = key ^ (tmp >> U64(14))
+        # invert key = (key + (key<<3)) + (key<<8)  (i.e. key *= 265)
+        key = key * U64(15244667743933553977)
+        # invert key ^= key >> 24
+        tmp = key ^ (key >> U64(24))
+        key = key ^ (tmp >> U64(24))
+        # invert key = (~key) + (key << 21)
+        tmp = ~key
+        tmp = ~(key - (tmp << U64(21)))
+        tmp = ~(key - (tmp << U64(21)))
+        key = ~(key - (tmp << U64(21)))
+    return int(key) if scalar else key
+
+
 def fxhash64_seeded(seed: int | np.ndarray, words: np.ndarray) -> np.ndarray:
     """FxHasher64 of [seed_u64, word_u64] per element (types.rs:719-747 LSH).
 

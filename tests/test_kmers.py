@@ -179,3 +179,10 @@ def test_minimizer_sketch_shared_region():
     # is a raw kmer, interior are hashes)
     shared = np.isin(vb[1:], va).mean()
     assert shared > 0.8
+
+
+def test_rev_hash64_inverse():
+    v = RNG.integers(0, 2**63, 500, dtype=np.uint64)
+    from savont_tpu.ops.encode import rev_hash64
+
+    assert (rev_hash64(mm_hash64(v)) == v).all()
