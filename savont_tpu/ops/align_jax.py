@@ -153,9 +153,15 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128):
         )
         return (Hr, Fr, nmh_n, qsh_n, tsh_n, nmf_n, qsf_n, tsf_n, best_n), None
 
-    # derive the init carry from q so its sharding "varying" type matches the
-    # scan outputs when running inside shard_map (zero-cost: q & 0)
-    vary2 = (q[:, :1].astype(jnp.int32) & 0) + jnp.zeros((B, band), jnp.int32)
+    # derive the init carry from q AND t so its sharding "varying" type
+    # matches the scan outputs inside shard_map regardless of which input is
+    # the sharded one (zero-cost: x & 0)
+    vary2 = (
+        (q[:, :1].astype(jnp.int32) & 0)
+        + (t[:, :1].astype(jnp.int32) & 0)
+        + (tlens[:, None].astype(jnp.int32) & 0)
+        + jnp.zeros((B, band), jnp.int32)
+    )
     init = (
         vary2,  # H row 0 = 0 (local alignment)
         vary2 + NEG,

@@ -93,6 +93,41 @@ def sharded_align_em_step(
     return jax.jit(sharded)
 
 
+def sharded_classify_nm(mesh: Mesh, band: int = 128):
+    """Build a jitted classify scoring step: queries (ASVs) replicated, the
+    REFERENCE PANEL sharded over the mesh ("dp" axis = DB shards, the
+    `classify` scale-out in BASELINE.json config 5).  Each device aligns
+    every query against its local reference shard with the banded kernel;
+    the (Q, R) NM/score matrices come back sharded on R.
+
+    Step signature:
+      queries (Q, Lq) int32 replicated
+      lo      (Q, Lq+1) int32 replicated (smooth band offsets)
+      refs    (R, Lt) int32 sharded on "dp"
+      rlens   (R,) int32 sharded
+    Returns (nm (Q, R) int32, score (Q, R) int32), R-axis sharded.
+    """
+    axis = mesh.axis_names[0]
+
+    def per_shard(queries, lo, refs, rlens):
+        Q, Lq = queries.shape
+        R, Lt = refs.shape
+        q = jnp.repeat(queries, R, axis=0)
+        lo_t = jnp.repeat(lo, R, axis=0)
+        t = jnp.tile(refs, (Q, 1))
+        tl = jnp.tile(rlens, Q)
+        out = sw_forward_meta(q, t, lo_t, tl, band=band)
+        return out["nm"].reshape(Q, R), out["score"].reshape(Q, R)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(axis, None), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    return jax.jit(sharded)
+
+
 def shard_reads(mesh: Mesh, reads: np.ndarray, axis: str = "dp"):
     """Place a host batch with batch-axis sharding over the mesh."""
     return jax.device_put(reads, NamedSharding(mesh, P(axis) if reads.ndim == 1 else P(axis, *([None] * (reads.ndim - 1)))))

@@ -32,3 +32,40 @@ def test_kernel_matches_host_on_cpu():
         ht = (h[0], h[1], h[2], h[3], h[4], h[6]) if h else None
         dt = (d["score"], d["q_start"], d["q_end"], d["t_start"], d["t_end"], d["nm"]) if d else None
         assert ht == dt
+
+
+def test_sharded_classify_nm():
+    """DB-sharded classify scoring on the virtual mesh: each query's best
+    reference (min NM) must be its known source."""
+    import jax.numpy as jnp
+
+    from savont_tpu.ops.align_jax import smooth_lo
+    from savont_tpu.parallel.mesh import make_mesh, shard_reads, sharded_classify_nm
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    band = 32
+    Q, R, L = 4, 16, 96
+    rng = np.random.default_rng(3)
+    refs = rng.integers(0, 4, (R, L)).astype(np.int32)
+    queries = np.empty((Q, L), dtype=np.int32)
+    src = []
+    for i in range(Q):
+        j = int(rng.integers(R))
+        src.append(j)
+        q = refs[j].copy()
+        flip = rng.integers(0, L, 2)
+        q[flip] = (q[flip] + 1) % 4
+        queries[i] = q
+    lo = smooth_lo(
+        np.tile(np.maximum.accumulate(np.clip(np.arange(L + 1) - band // 2, 0, L - band))[None, :], (Q, 1)).astype(np.int32)
+    )
+    step = sharded_classify_nm(mesh, band=band)
+    nm, score = step(
+        jnp.asarray(queries), jnp.asarray(lo),
+        shard_reads(mesh, refs), shard_reads(mesh, np.full(R, L, np.int32)),
+    )
+    best = np.asarray(nm).argmin(axis=1)
+    assert best.tolist() == src
+    assert (np.asarray(nm)[np.arange(Q), best] <= 2).all()
