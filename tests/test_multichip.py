@@ -66,6 +66,7 @@ def test_sharded_classify_nm():
         jnp.asarray(queries), jnp.asarray(lo),
         shard_reads(mesh, refs), shard_reads(mesh, np.full(R, L, np.int32)),
     )
-    best = np.asarray(nm).argmin(axis=1)
+    # rank by SCORE (like minimap2 primary selection); NM of the best hit
+    best = np.asarray(score).argmax(axis=1)
     assert best.tolist() == src
     assert (np.asarray(nm)[np.arange(Q), best] <= 2).all()
