@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--chimera-allowable-errors", type=int, default=1)
     a.add_argument("--chimera-detect-length", type=int, default=None)
     a.add_argument("--clean-dir", action="store_true")
+    a.add_argument("--resume", action="store_true", help="Reuse the stage-3 checkpoint in <output>/temp when inputs and parameters are unchanged")
 
     c = sub.add_parser("classify", help="Classify ASVs against a reference database")
     c.add_argument("-i", "--input-dir", required=True)
@@ -129,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             use_blockmers=ns.use_blockmers,
             chimera_allowable_errors=ns.chimera_allowable_errors,
             chimera_detect_length=ns.chimera_detect_length, clean_dir=ns.clean_dir,
+            resume=ns.resume,
         )
         run_cluster(args)
         return 0

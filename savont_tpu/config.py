@@ -41,6 +41,7 @@ class ClusterArgs:
     chimera_detect_length: int | None = None
     clean_dir: bool = False
     phase_heterogeneous: bool = False
+    resume: bool = False
 
     def apply_presets(self) -> None:
         """main.rs:459-468."""

@@ -28,6 +28,23 @@ def log_memory_usage(message: str) -> None:
         log.info("Memory usage: unknown (WARNING)")
 
 
+def _checkpoint_key(args: ClusterArgs) -> str:
+    """Identity of a stage-3 checkpoint: inputs + every clustering tunable."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in args.input_files:
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    for field in (
+        "kmer_size", "c", "min_read_length", "max_read_length", "quality_value_cutoff",
+        "minimum_base_quality", "single_strand", "min_cluster_size", "no_snpmers",
+        "low_polymorphism", "use_blockmers", "blockmer_length", "max_iterations_recluster",
+    ):
+        h.update(f"{field}={getattr(args, field)};".encode())
+    return h.hexdigest()[:16]
+
+
 def run_cluster(args: ClusterArgs) -> Path:
     args.apply_presets()
     if args.kmer_size % 2 == 0:
@@ -37,37 +54,67 @@ def run_cluster(args: ClusterArgs) -> Path:
     temp_dir.mkdir(parents=True, exist_ok=True)
     t_start = time.time()
 
-    log.info("=== STAGE 1: k-mers and polymorphic markers ===")
-    kmers, counts = stage1_kmers.read_to_split_kmers(args)
-    blockmer_sorted = None
-    if args.use_blockmers:
-        import numpy as np
+    # Stage-3 checkpoint (real resume; the reference only has a stub around
+    # MAGIC_EXIST_STRING, main.rs:481-493 / SURVEY.md §5.4)
+    import pickle
 
-        blk_kmers, blk_counts = stage1_kmers.read_blockmer_counts(args)
-        blockmer_info = stage1_kmers.get_blockmers(blk_kmers, blk_counts, kmers, counts, args)
-        vals = [v for _, pair, _ in blockmer_info for v in pair]
-        blockmer_sorted = np.unique(np.array(vals, dtype=np.uint64)) if vals else np.zeros(0, np.uint64)
-        log.info("Using blockmers: True (%d biallelic anchors)", len(blockmer_info))
-    kmer_info = stage1_kmers.get_snpmers(kmers, counts, args)
-    log_memory_usage("STAGE 1 DONE: Obtained SNPmers")
+    ckpt_path = temp_dir / "checkpoint_stage3.pkl"
+    ckpt_key = _checkpoint_key(args)
+    resumed = False
+    if args.resume and ckpt_path.exists():
+        try:
+            with open(ckpt_path, "rb") as f:
+                ck = pickle.load(f)
+            if ck.get("key") == ckpt_key:
+                kmer_info, twin_reads, clusters = ck["kmer_info"], ck["twin_reads"], ck["clusters"]
+                args.low_polymorphism = ck["low_polymorphism"]
+                resumed = True
+                log.info("Resumed from stage-3 checkpoint (%d reads, %d clusters)", len(twin_reads), len(clusters))
+            else:
+                log.warning("Checkpoint key mismatch (inputs/params changed); recomputing")
+        except Exception as e:  # noqa: BLE001 - any corrupt checkpoint -> recompute
+            log.warning("Failed to load checkpoint: %s; recomputing", e)
 
-    log.info("=== STAGE 1.5: TwinRead construction ===")
-    twin_reads = stage1_kmers.twin_reads_from_files(kmer_info, args, blockmer_sorted)
-    n_no_snp = sum(1 for t in twin_reads if len(t.snp_pos) == 0)
-    frac_no_snp = n_no_snp / max(len(twin_reads), 1)
-    log.info("reads without SNPmers: %.1f%%", frac_no_snp * 100)
-    if frac_no_snp > 0.75 and not args.low_polymorphism:
-        log.warning("Auto-enabling --low-polymorphism (>75%% of reads have no SNPmers)")
-        args.low_polymorphism = True
+    if not resumed:
+        log.info("=== STAGE 1: k-mers and polymorphic markers ===")
+        kmers, counts = stage1_kmers.read_to_split_kmers(args)
+        blockmer_sorted = None
+        if args.use_blockmers:
+            import numpy as np
 
-    log.info("=== STAGE 2: k-mer clustering ===")
-    clusters = stage23_cluster.cluster_reads_by_kmers(twin_reads, args)
-    log_memory_usage("STAGE 2 DONE: Clustered reads by k-mers")
-    _write_simple_clusters(temp_dir / "kmer_clusters_stage2.tsv", clusters)
+            blk_kmers, blk_counts = stage1_kmers.read_blockmer_counts(args)
+            blockmer_info = stage1_kmers.get_blockmers(blk_kmers, blk_counts, kmers, counts, args)
+            vals = [v for _, pair, _ in blockmer_info for v in pair]
+            blockmer_sorted = np.unique(np.array(vals, dtype=np.uint64)) if vals else np.zeros(0, np.uint64)
+            log.info("Using blockmers: True (%d biallelic anchors)", len(blockmer_info))
+        kmer_info = stage1_kmers.get_snpmers(kmers, counts, args)
+        log_memory_usage("STAGE 1 DONE: Obtained SNPmers")
 
-    log.info("=== STAGE 3: SNPmer clustering ===")
-    clusters = stage23_cluster.cluster_reads_by_snpmers(twin_reads, clusters, args)
-    _write_final_snpmer_clusters(temp_dir / "final_snpmer_clusters_stage3.tsv", clusters, twin_reads)
+        log.info("=== STAGE 1.5: TwinRead construction ===")
+        twin_reads = stage1_kmers.twin_reads_from_files(kmer_info, args, blockmer_sorted)
+        n_no_snp = sum(1 for t in twin_reads if len(t.snp_pos) == 0)
+        frac_no_snp = n_no_snp / max(len(twin_reads), 1)
+        log.info("reads without SNPmers: %.1f%%", frac_no_snp * 100)
+        if frac_no_snp > 0.75 and not args.low_polymorphism:
+            log.warning("Auto-enabling --low-polymorphism (>75%% of reads have no SNPmers)")
+            args.low_polymorphism = True
+
+        log.info("=== STAGE 2: k-mer clustering ===")
+        clusters = stage23_cluster.cluster_reads_by_kmers(twin_reads, args)
+        log_memory_usage("STAGE 2 DONE: Clustered reads by k-mers")
+        _write_simple_clusters(temp_dir / "kmer_clusters_stage2.tsv", clusters)
+
+        log.info("=== STAGE 3: SNPmer clustering ===")
+        clusters = stage23_cluster.cluster_reads_by_snpmers(twin_reads, clusters, args)
+        _write_final_snpmer_clusters(temp_dir / "final_snpmer_clusters_stage3.tsv", clusters, twin_reads)
+        if args.resume:
+            with open(ckpt_path, "wb") as f:
+                pickle.dump(
+                    {"key": ckpt_key, "kmer_info": kmer_info, "twin_reads": twin_reads,
+                     "clusters": clusters, "low_polymorphism": args.low_polymorphism},
+                    f, protocol=pickle.HIGHEST_PROTOCOL,
+                )
+            log.info("Wrote stage-3 checkpoint to %s", ckpt_path)
 
     log.info("=== STAGE 4: consensus + polish ===")
     consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)

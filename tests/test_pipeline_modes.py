@@ -108,3 +108,21 @@ def test_export_two_real_runs(tmp_path):
         1 for l in lines[1:] if int(l.split("\t")[1]) > 0 and int(l.split("\t")[2]) > 0
     )
     assert shared > 0, "no ASVs shared between replicates — merge may be broken"
+
+
+@pytest.mark.skipif(not READS.exists(), reason="bundled data unavailable")
+def test_resume_checkpoint(tmp_path):
+    """--resume: second run reuses the stage-3 checkpoint and produces the
+    same ASVs."""
+    out = tmp_path / "resume_out"
+    args = ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4, resume=True)
+    run_cluster(args)
+    first = (out / "final_asvs.fasta").read_text()
+    assert (out / "temp" / "checkpoint_stage3.pkl").exists()
+    import time as _t
+
+    t0 = _t.time()
+    args2 = ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4, resume=True)
+    run_cluster(args2)
+    second = (out / "final_asvs.fasta").read_text()
+    assert first == second
