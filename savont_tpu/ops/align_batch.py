@@ -277,7 +277,42 @@ def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
 
     if not jobs:
         return []
-    if os.environ.get("SAVONT_ALIGN_BACKEND") == "jax" or _JAX_BACKEND is not None:
+    backend = os.environ.get("SAVONT_ALIGN_BACKEND")
+    if backend == "pallas":
+        from . import align_pallas
+
+        out = []
+        order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
+        results: list[tuple | None] = [None] * len(jobs)
+        bucket = align_pallas.PAIR_BLOCK
+        for start in range(0, len(order), bucket):
+            chunk = order[start : start + bucket]
+            cjobs = [jobs[i] for i in chunk]
+            B = len(cjobs)
+            Lq = max(len(j.qcodes) for j in cjobs)
+            Lt = max(len(j.tcodes) for j in cjobs)
+            qa = np.full((B, Lq), 5, np.int32)
+            ta = np.full((B, Lt), 6, np.int32)
+            lo = np.zeros((B, Lq + 1), np.int32)
+            tl = np.zeros(B, np.int32)
+            for x, j in enumerate(cjobs):
+                qa[x, : len(j.qcodes)] = j.qcodes
+                ta[x, : len(j.tcodes)] = j.tcodes
+                lo[x, 1 : len(j.lo) + 1] = j.lo
+                lo[x, 0] = j.lo[0]
+                if len(j.lo) < Lq:
+                    lo[x, len(j.lo) + 1 :] = j.lo[-1]
+                tl[x] = len(j.tcodes)
+            res = align_pallas.sw_forward_pallas(qa, ta, lo, tl, band=band)
+            for x, i in enumerate(chunk):
+                score, qe, te, nm = (int(v) for v in res[x])
+                if score <= 0:
+                    results[i] = None
+                else:
+                    # starts unknown in the pallas variant: span-only record
+                    results[i] = (score, 0, qe, 0, te, [], nm)
+        return results
+    if backend == "jax" or _JAX_BACKEND is not None:
         from . import align_jax
 
         out = []
