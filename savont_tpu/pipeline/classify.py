@@ -59,6 +59,30 @@ class DbMinimizerTable:
         return uniq[order][:top]
 
 
+def _load_or_build_table(fasta_path, seqs: list[bytes]) -> DbMinimizerTable:
+    """Disk-cached DB minimizer table (<fasta>.savont_idx.npz)."""
+    import os
+
+    cache = str(fasta_path) + ".savont_idx.npz"
+    try:
+        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(fasta_path):
+            data = np.load(cache)
+            t = DbMinimizerTable.__new__(DbMinimizerTable)
+            t.w, t.k = int(data["w"]), int(data["k"])
+            t.hashes, t.ids = data["hashes"], data["ids"]
+            log.info("Loaded cached DB minimizer table: %s", cache)
+            return t
+    except Exception as e:  # noqa: BLE001 - corrupt cache -> rebuild
+        log.warning("DB index cache unreadable (%s); rebuilding", e)
+    t = DbMinimizerTable(seqs)
+    try:
+        np.savez(cache, w=t.w, k=t.k, hashes=t.hashes, ids=t.ids)
+        log.info("Cached DB minimizer table to %s", cache)
+    except OSError:
+        pass  # read-only DB dir: skip caching
+    return t
+
+
 def run_em_algorithm(
     mappings: list[tuple[int, int, int]],  # (asv_idx, tax_index, depth)
     num_taxa: int,
@@ -176,10 +200,12 @@ def classify(args: ClassifyArgs, db: tax.Database) -> None:
     asv_depths = [sum(s) for s in per_asv]
     total_reads = sum(asv_depths)
 
-    # DB load + prefilter + batched alignment
+    # DB load + prefilter + batched alignment.  The minimizer table is
+    # cached next to the DB FASTA (the reference caches a .mmi minimap2
+    # index the same way, classify.rs:127-145).
     db_records = [(r.id, r.seq.upper()) for r in read_fastx(str(db.fasta_path))]
     log.info("Loaded %d database sequences", len(db_records))
-    table = DbMinimizerTable([s for _, s in db_records])
+    table = _load_or_build_table(db.fasta_path, [s for _, s in db_records])
 
     # (asv_idx, tax_key, identity, nm, depth, asv_header, ref_header)
     all_mappings: list[tuple] = []
