@@ -15,13 +15,39 @@ def binomial_test_gt(n: int | np.ndarray, k: int | np.ndarray, p: float):
     return binom.sf(k, n, p)
 
 
+from functools import lru_cache
+
+from scipy.special import gammaln as _gammaln
+
+
+@lru_cache(maxsize=1)
+def _lgamma_table(n: int) -> np.ndarray:
+    return _gammaln(np.arange(n + 2, dtype=np.float64))
+
+
 def fisher_two_tail(a: int, b: int, c: int, d: int) -> float:
     """Two-tailed Fisher exact p-value on table [[a, b], [c, d]].
 
-    Matches the fishers_exact crate semantics (sum of table probabilities
-    <= observed, with relative tolerance) as implemented by scipy.
+    Exact hypergeometric enumeration (sum of all tables with probability <=
+    observed, relative tolerance 1+1e-7) — the same definition as scipy /
+    the fishers_exact crate, vectorized over the support.
     """
-    return float(_scipy_fisher([[a, b], [c, d]]).pvalue)
+    r1, r2 = a + b, c + d
+    c1 = a + c
+    n = r1 + r2
+    lg = _lgamma_table(max(n, 16))
+    lo = max(0, c1 - r2)
+    hi = min(c1, r1)
+    x = np.arange(lo, hi + 1)
+    # log pmf of hypergeom: C(r1,x) C(r2,c1-x) / C(n,c1)
+    logp = (
+        lg[r1 + 1] - lg[x + 1] - lg[r1 - x + 1]
+        + lg[r2 + 1] - lg[c1 - x + 1] - lg[r2 - c1 + x + 1]
+        - (lg[n + 1] - lg[c1 + 1] - lg[n - c1 + 1])
+    )
+    p = np.exp(logp)
+    p_obs = p[a - lo]
+    return float(p[p <= p_obs * (1.0 + 1e-7)].sum())
 
 
 def snpmer_strand_test(counts_top: np.ndarray, counts_second: np.ndarray) -> tuple[float, float]:
