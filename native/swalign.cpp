@@ -41,42 +41,74 @@ void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
     std::vector<int16_t> F((size_t)(m + 1) * band, NEG);
     std::vector<int16_t> G((size_t)(m + 1) * band, 0);
 
+    // padded target-code window buffer so the scoring pass has no branches
+    std::vector<int16_t> twin(band + 2);
+
     int32_t best = 0, best_r = 0, best_j = 0;
     for (int32_t r = 1; r <= m; r++) {
-        const int32_t qc = q[r - 1];
+        const int16_t qc = (int16_t)q[r - 1];
         const int64_t l = lo_full[r];
         const int32_t dl = (int32_t)(l - lo_full[r - 1]);
-        const int16_t* Hp = &H[(size_t)(r - 1) * band];
-        const int16_t* Fp = &F[(size_t)(r - 1) * band];
-        int16_t* Hr = &H[(size_t)r * band];
-        int16_t* Er = &E[(size_t)r * band];
-        int16_t* Fr = &F[(size_t)r * band];
-        int16_t* Gr = &G[(size_t)r * band];
+        const int16_t* __restrict Hp = &H[(size_t)(r - 1) * band];
+        const int16_t* __restrict Fp = &F[(size_t)(r - 1) * band];
+        int16_t* __restrict Hr = &H[(size_t)r * band];
+        int16_t* __restrict Er = &E[(size_t)r * band];
+        int16_t* __restrict Fr = &F[(size_t)r * band];
+        int16_t* __restrict Gr = &G[(size_t)r * band];
 
-        // G and F pass
+        // gather this row's target codes once (padding code 255 mismatches)
         for (int32_t j = 0; j < band; j++) {
             const int64_t col = l + j;
+            twin[j] = (col < n) ? (int16_t)t[col] : (int16_t)255;
+        }
+
+        // G and F pass — branch-free over the interior, vectorizable
+        const int32_t interior = std::max(0, band - dl);  // j where j+dl < band
+        const int32_t dstart = (dl >= 1) ? 0 : 1;         // j where j+dl-1 >= 0
+        // boundary cells handled scalar below
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int32_t j = dstart; j < interior; j++) {
             const int32_t up = j + dl;
-            const int32_t hup = (up < band) ? Hp[up] : NEG;
-            const int32_t fup = (up < band) ? Fp[up] : NEG;
+            const int16_t hup = Hp[up];
+            const int16_t fup = Fp[up];
+            int16_t f = (int16_t)(std::max<int16_t>((int16_t)(hup - GAP_OPEN), fup) - GAP_EXT);
+            f = std::max<int16_t>(f, (int16_t)NEG);
+            const int16_t hdiag = Hp[up - 1];
+            const int16_t tc = twin[j];
+            const int16_t s = (tc == qc && qc < 4) ? (int16_t)MATCH : (int16_t)MISMATCH;
+            int16_t g = std::max<int16_t>(std::max<int16_t>(0, (int16_t)(hdiag + s)), f);
+            Fr[j] = f;
+            Gr[j] = g;
+        }
+        // left boundary (dl == 0, j == 0): diagonal is the free zero column
+        if (dstart == 1) {
+            const int32_t up = dl;  // == 0
+            const int32_t hup = Hp[up], fup = Fp[up];
             int32_t f = std::max(hup - GAP_OPEN, fup) - GAP_EXT;
             if (f < NEG) f = NEG;
-            const int32_t dj = up - 1;
-            int32_t hdiag;
-            if (dj >= 0 && dj < band) hdiag = Hp[dj];
-            else if (dj < 0 && col == 0) hdiag = 0;
-            else hdiag = NEG;
-            const int32_t tc = (col < n) ? t[col] : 255;
-            const int32_t s = (tc == qc && qc < 4 && tc < 4) ? MATCH : MISMATCH;
-            int32_t g = std::max(std::max(0, hdiag + s), f);
-            Fr[j] = (int16_t)f;
-            Gr[j] = (int16_t)g;
+            const int32_t hdiag = (l == 0) ? 0 : NEG;
+            const int16_t tc = twin[0];
+            const int32_t s = (tc == qc && qc < 4) ? MATCH : MISMATCH;
+            Fr[0] = (int16_t)f;
+            Gr[0] = (int16_t)std::max(std::max(0, hdiag + s), f);
         }
-        // E prefix scan + H
-        int32_t run = NEG;  // max over j'<j of (G[j'] + e*j')
+        // right tail (j + dl >= band): previous row out of band
+        for (int32_t j = interior; j < band; j++) {
+            const int32_t hdiag = (j + dl - 1 < band) ? Hp[j + dl - 1] : NEG;
+            const int16_t tc = twin[j];
+            const int32_t s = (tc == qc && qc < 4) ? MATCH : MISMATCH;
+            int32_t f = NEG;
+            Fr[j] = (int16_t)f;
+            Gr[j] = (int16_t)std::max(std::max(0, hdiag + s), f);
+        }
+
+        // E prefix scan + H (sequential in j)
+        int32_t run = NEG;
+        int32_t row_best = NEG, row_best_j = 0;
         for (int32_t j = 0; j < band; j++) {
-            int32_t e = (j == 0) ? NEG : (run - GAP_OPEN - GAP_EXT - GAP_EXT * (j - 1));
-            // e = max_{j'<j}(G[j'] - o - e*(j-j')) = run - o - e*j
+            int32_t e = NEG;
             if (j > 0) {
                 e = run - GAP_OPEN - GAP_EXT * j;
                 if (e < NEG) e = NEG;
@@ -89,8 +121,9 @@ void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
             Hr[j] = (int16_t)h;
             const int32_t cand = g + GAP_EXT * j;
             if (cand > run) run = cand;
-            if (h > best) { best = h; best_r = r; best_j = j; }
+            if (h > row_best) { row_best = h; row_best_j = j; }
         }
+        if (row_best > best) { best = row_best; best_r = r; best_j = row_best_j; }
     }
 
     res->score = best;
