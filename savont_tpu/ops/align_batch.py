@@ -85,6 +85,93 @@ def plan_jobs(
     return jobs
 
 
+def plan_jobs_batch(
+    index: TargetIndex,
+    queries: list[bytes],
+    band: int = 128,
+    min_anchors: int = 3,
+    no_diag: bool = False,
+) -> tuple[list[AlignJob], list[int]]:
+    """Seeding + chaining for MANY queries against one index in a single
+    vectorized lookup pass.  Returns (jobs, owner_query_index)."""
+    from .align import window_minimizers_cached
+
+    # gather all query minimizers with query ids
+    qmini = []
+    for qi, qb in enumerate(queries):
+        hq, pq, fq = window_minimizers_cached(bytes(qb), index.w, index.k)
+        qmini.append((hq, pq, fq))
+    if not qmini or len(index.h_sorted) == 0:
+        return [], []
+    all_h = np.concatenate([m[0] for m in qmini])
+    all_p = np.concatenate([m[1] for m in qmini]).astype(np.int32)
+    all_f = np.concatenate([m[2] for m in qmini])
+    qid = np.repeat(np.arange(len(queries)), [len(m[0]) for m in qmini]).astype(np.int32)
+    qlens = np.array([len(q) for q in queries], dtype=np.int64)
+
+    # one flat lookup
+    left = np.searchsorted(index.h_sorted, all_h, side="left")
+    right = np.searchsorted(index.h_sorted, all_h, side="right")
+    counts = right - left
+    total = int(counts.sum())
+    if total == 0:
+        return [], []
+    mi = np.repeat(np.arange(len(all_h)), counts)
+    starts = np.repeat(left, counts)
+    within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    hidx = starts + within
+
+    h_qid = qid[mi]
+    h_tid = index.h_tid[hidx]
+    if no_diag:
+        keep = h_tid != h_qid
+        mi, hidx, h_qid, h_tid = mi[keep], hidx[keep], h_qid[keep], h_tid[keep]
+        if len(mi) == 0:
+            return [], []
+    same = index.h_isf[hidx] == all_f[mi]
+    strand = np.where(same, 1, -1).astype(np.int8)
+    qp_o = np.where(same, all_p[mi], (qlens[h_qid] - index.k - all_p[mi])).astype(np.int64)
+    tpos = index.h_tpos[hidx].astype(np.int64)
+
+    order = np.lexsort((tpos, qp_o, strand, h_tid, h_qid))
+    h_qid, h_tid, strand, qp_o, tpos = (
+        h_qid[order], h_tid[order], strand[order], qp_o[order], tpos[order],
+    )
+    bounds = np.flatnonzero(
+        np.concatenate(
+            ([True],
+             (h_qid[1:] != h_qid[:-1]) | (h_tid[1:] != h_tid[:-1]) | (strand[1:] != strand[:-1]))
+        )
+    )
+    ends = np.append(bounds[1:], len(h_qid))
+
+    qcode_cache: dict[tuple[int, int], np.ndarray] = {}
+    jobs: list[AlignJob] = []
+    owners: list[int] = []
+    for s, e in zip(bounds, ends):
+        if e - s < min_anchors:
+            continue
+        qi, tid, st = int(h_qid[s]), int(h_tid[s]), int(strand[s])
+        qa, ta = qp_o[s:e], tpos[s:e]
+        chain = _chain_anchors(qa, ta)
+        if len(chain) < min_anchors:
+            continue
+        key = (qi, st)
+        qcodes = qcode_cache.get(key)
+        if qcodes is None:
+            qb = bytes(queries[qi])
+            qcodes = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
+            qcode_cache[key] = qcodes
+        centers = _band_centers(len(qcodes), qa[chain], ta[chain])
+        tcodes = index.targets[tid]
+        n = len(tcodes)
+        b = min(band, max(8, n))
+        lo = np.maximum.accumulate(np.clip(centers - b // 2, 0, max(n - b, 0)))
+        jobs.append(AlignJob(qcodes, tcodes, lo, tid, st, int(qlens[qi])))
+        owners.append(qi)
+    return jobs, owners
+
+
 def _run_bucket(jobs: list[AlignJob], band: int) -> list[tuple | None]:
     """Vectorized DP over a bucket of jobs with equal padded dims."""
     B = len(jobs)
@@ -334,18 +421,7 @@ def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
 def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
     """Batched pair alignment for NM-only consumers (stage-7 tie-break,
     classification): uses the device kernel when enabled."""
-    index_cache: dict[bytes, TargetIndex] = {}
-    all_jobs: list[AlignJob] = []
-    owner: list[int] = []
-    for i, (qa, ta) in enumerate(pairs):
-        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
-        idx = index_cache.get(tb)
-        if idx is None:
-            idx = TargetIndex([tb])
-            index_cache[tb] = idx
-        jobs = plan_jobs(idx, qa, band=band, min_anchors=2)
-        all_jobs.extend(jobs)
-        owner.extend([i] * len(jobs))
+    all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs_nm(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)
     for o, job, r in zip(owner, all_jobs, raw):
@@ -389,12 +465,10 @@ def map_batch(
 
     Returns per query a hit list sorted like align.map_query (best first,
     one per target, mapq>0 iff unique best)."""
-    all_jobs: list[AlignJob] = []
-    job_owner: list[int] = []
-    for qi, qa in enumerate(queries):
-        jobs = plan_jobs(index, qa, band=band, min_anchors=min_anchors, no_diag_id=qi if no_diag else None)
-        all_jobs.extend(jobs)
-        job_owner.extend([qi] * len(jobs))
+    all_jobs, job_owner = plan_jobs_batch(
+        index, [bytes(q) if isinstance(q, (bytes, bytearray)) else np.asarray(q, dtype=np.uint8).tobytes() for q in queries],
+        band=band, min_anchors=min_anchors, no_diag=no_diag,
+    )
     raw = run_jobs(all_jobs, band=band)
 
     per_query: dict[int, list[tuple[AlignJob, tuple]]] = {}
@@ -423,21 +497,34 @@ def map_batch(
     return results
 
 
+def _plan_pairs(pairs: list[tuple[bytes, bytes]], band: int) -> tuple[list[AlignJob], list[int]]:
+    """Plan independent pairs: group queries by unique target so each target
+    is indexed once and its queries planned in one batch."""
+    groups: dict[bytes, tuple[TargetIndex, list[int]]] = {}
+    for i, (qa, ta) in enumerate(pairs):
+        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
+        g = groups.get(tb)
+        if g is None:
+            g = (TargetIndex([tb]), [])
+            groups[tb] = g
+        g[1].append(i)
+    all_jobs: list[AlignJob] = []
+    owner: list[int] = []
+    for idx, pair_ids in groups.values():
+        qbytes = [
+            bytes(pairs[i][0]) if isinstance(pairs[i][0], (bytes, bytearray)) else np.asarray(pairs[i][0], dtype=np.uint8).tobytes()
+            for i in pair_ids
+        ]
+        jobs, owners_local = plan_jobs_batch(idx, qbytes, band=band, min_anchors=2)
+        all_jobs.extend(jobs)
+        owner.extend(pair_ids[o] for o in owners_local)
+    return all_jobs, owner
+
+
 def align_pairs(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
     """Batched independent pair alignments.  Targets are deduplicated so a
     seed/consensus aligned against many reads is indexed once."""
-    index_cache: dict[bytes, TargetIndex] = {}
-    all_jobs: list[AlignJob] = []
-    owner: list[int] = []
-    for i, (qa, ta) in enumerate(pairs):
-        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
-        idx = index_cache.get(tb)
-        if idx is None:
-            idx = TargetIndex([tb])
-            index_cache[tb] = idx
-        jobs = plan_jobs(idx, qa, band=band, min_anchors=2)
-        all_jobs.extend(jobs)
-        owner.extend([i] * len(jobs))
+    all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)
     for o, job, r in zip(owner, all_jobs, raw):
