@@ -31,12 +31,29 @@ def rolling_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     if n <= 0:
         return np.zeros(0, dtype=U64), np.zeros(0, dtype=U64)
     c = codes.astype(U64)
-    fwd = np.zeros(n, dtype=U64)
-    rev = np.zeros(n, dtype=U64)
-    for j in range(k):
-        w = c[j : j + n]
-        fwd |= w << U64(2 * (k - 1 - j))
-        rev |= (U64(3) - w) << U64(2 * j)
+    # recursive doubling: build 2^i-mer packs, then combine k's binary digits
+    # (log2(k) array passes instead of k).
+    fpack, rpack = c, U64(3) - c  # span-1 packs
+    spans = [(1, fpack, rpack)]
+    s = 1
+    while s * 2 <= k:
+        fpack = (fpack[: len(fpack) - s] << U64(2 * s)) | fpack[s:]
+        rpack = (rpack[s:] << U64(2 * s)) | rpack[: len(rpack) - s]
+        s *= 2
+        spans.append((s, fpack, rpack))
+    fwd = rev = None
+    off = 0
+    for s, fp, rp in reversed(spans):
+        if not (k & s):
+            continue
+        fw = fp[off : off + n]
+        rw = rp[off : off + n]
+        if fwd is None:
+            fwd, rev = fw.copy(), rw.copy()
+        else:
+            fwd = (fwd << U64(2 * s)) | fw
+            rev = rev | (rw << U64(2 * off))
+        off += s
     return fwd, rev
 
 
