@@ -131,27 +131,37 @@ def _snpmer_subcluster(
     use_blockmers = args is not None and args.use_blockmers
     blockmer_l = args.blockmer_length if args is not None else 3
     mask = _split_mask(k)
-    index: dict[int, list[tuple[int, int]]] = {}  # splitmer -> [(rep, kmer)]
     assignment: dict[int, int] = {}
     rep_size: dict[int, int] = {}
     representatives: list[int] = []
+    # flat sorted index over all representative snpmers: splitmer-sorted
+    # (searchsorted range scans instead of a Python dict walk per snpmer)
+    idx_sm = np.zeros(0, dtype=np.uint64)
+    idx_km = np.zeros(0, dtype=np.uint64)
+    idx_rep = np.zeros(0, dtype=np.int64)
 
     for read_id in cluster:
-        snps = twin_reads[read_id].snpmer_kmers()
-        stats: dict[int, list[int]] = {}  # cand -> [matches, mismatches]
-        for km in snps:
-            sm = int(km & mask)
-            for cand, ck in index.get(sm, ()):  # order = insertion order
-                st = stats.setdefault(cand, [0, 0])
-                if int(km) == ck:
-                    st[0] += 1
-                else:
-                    st[1] += 1
-        compat = [
-            (-m, rep_size[cand], cand)
-            for cand, (m, mm) in stats.items()
-            if mm == 0 and m > 0
-        ]
+        snps = np.asarray(twin_reads[read_id].snpmer_kmers(), dtype=np.uint64)
+        compat: list[tuple[int, int, int]] = []
+        if len(idx_sm) and len(snps):
+            sms = snps & mask
+            lo = np.searchsorted(idx_sm, sms, side="left")
+            hi = np.searchsorted(idx_sm, sms, side="right")
+            runs = hi - lo
+            nz = runs > 0
+            if nz.any():
+                lo_nz, runs_nz = lo[nz], runs[nz]
+                total = int(runs_nz.sum())
+                flat = np.repeat(lo_nz, runs_nz) + (
+                    np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
+                )
+                hit_rep = idx_rep[flat]
+                hit_match = idx_km[flat] == np.repeat(snps[nz], runs_nz)
+                m = np.bincount(hit_rep[hit_match], minlength=0)
+                mm_ids = np.unique(hit_rep[~hit_match])
+                m_ids = np.flatnonzero(m)
+                good = np.setdiff1d(m_ids, mm_ids, assume_unique=True)
+                compat = [(-int(m[cand]), rep_size[int(cand)], int(cand)) for cand in good]
         rep = None
         if compat:
             compat.sort()
@@ -170,8 +180,14 @@ def _snpmer_subcluster(
             rep_size[rep] = rep_size.get(rep, 0) + 1
         else:
             representatives.append(read_id)
-            for km in snps:
-                index.setdefault(int(km & mask), []).append((read_id, int(km)))
+            if len(snps):
+                new_sm = snps & mask
+                order = np.argsort(new_sm, kind="stable")  # np.insert needs
+                new_sm, new_km = new_sm[order], snps[order]  # sorted values
+                ins = np.searchsorted(idx_sm, new_sm, side="right")
+                idx_sm = np.insert(idx_sm, ins, new_sm)
+                idx_km = np.insert(idx_km, ins, new_km)
+                idx_rep = np.insert(idx_rep, ins, read_id)
             assignment[read_id] = read_id
             rep_size[read_id] = 1
 
