@@ -73,8 +73,8 @@ void split_kmers_batch(const uint8_t* codes, const uint8_t* phred,
                        uint64_t* out, const int64_t* out_off, int64_t* out_cnt,
                        int n_threads) {
 #ifdef _OPENMP
-    if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic)
+    const int nt_ = (n_threads > 0) ? n_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic) num_threads(nt_)
 #endif
     for (int64_t i = 0; i < n_reads; i++) {
         const int64_t len = off[i + 1] - off[i];
@@ -100,8 +100,8 @@ void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
     const int m = k - s + 1;
     const int mid = (k - s) / 2;
 #ifdef _OPENMP
-    if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel
+    const int nt_ = (n_threads > 0) ? n_threads : omp_get_max_threads();
+#pragma omp parallel num_threads(nt_)
 #endif
     {
         std::vector<uint64_t> shash;
@@ -199,6 +199,86 @@ void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
             }
             mini_cnt[ri] = nm;
             snp_cnt[ri] = nsnp;
+        }
+    }
+}
+
+// Canonical window minimizers (semantic twin of ops/align.py
+// _window_minimizers): codes are 0-3 with 4 = ambiguous; windows containing
+// an ambiguous base are excluded; leftmost-min per w-window, deduped.
+// out arrays have capacity len-k+1 per sequence at out_off[i].
+void window_minimizers_batch(
+    const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+    int k, int w,
+    uint64_t* out_h, int64_t* out_pos, uint8_t* out_fwd,
+    const int64_t* out_off, int64_t* out_cnt, int n_threads) {
+#ifdef _OPENMP
+    // num_threads clause, NOT omp_set_num_threads: the setter is sticky
+    // global state that would serialize later parallel regions (the DP).
+    const int nt = (n_threads > 0) ? n_threads
+                   : (n_seqs > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        std::vector<uint64_t> h;
+        std::vector<uint8_t> isf;
+        std::vector<int64_t> dq;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t si = 0; si < n_seqs; si++) {
+            const uint8_t* c = codes + offsets[si];
+            const int64_t len = offsets[si + 1] - offsets[si];
+            const int64_t n = len - k + 1;
+            out_cnt[si] = 0;
+            if (n <= 0) continue;
+            h.resize(n);
+            isf.resize(n);
+            const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+            const int rev_shift = 2 * (k - 1);
+            uint64_t f = 0, r = 0;
+            int64_t last_bad = -1;
+            for (int64_t i = 0; i < len; i++) {
+                uint64_t b = c[i];
+                if (b > 3) { last_bad = i; b = 3; }
+                f = ((f << 2) | b) & mask;
+                r = (r >> 2) | ((3 - b) << rev_shift);
+                if (i < k - 1) continue;
+                const int64_t p = i - k + 1;
+                const uint8_t fc = (f <= r);
+                isf[p] = fc;
+                h[p] = (last_bad >= p) ? ~0ULL : mm_hash64(fc ? f : r);
+            }
+            uint64_t* oh = out_h + out_off[si];
+            int64_t* op = out_pos + out_off[si];
+            uint8_t* of = out_fwd + out_off[si];
+            int64_t cnt = 0;
+            if (n < w) {
+                int64_t best = 0;
+                for (int64_t i = 1; i < n; i++)
+                    if (h[i] < h[best]) best = i;
+                if (h[best] != ~0ULL) {
+                    oh[0] = h[best]; op[0] = best; of[0] = isf[best]; cnt = 1;
+                }
+                out_cnt[si] = cnt;
+                continue;
+            }
+            // monotonic deque; strict pop keeps leftmost equal minima in front
+            dq.resize(n);
+            int64_t head = 0, tail = 0, last_out = -1;
+            for (int64_t i = 0; i < n; i++) {
+                while (tail > head && h[dq[tail - 1]] > h[i]) tail--;
+                dq[tail++] = i;
+                const int64_t wstart = i - w + 1;
+                if (wstart < 0) continue;
+                while (dq[head] < wstart) head++;
+                const int64_t p = dq[head];
+                if (p != last_out) {
+                    if (h[p] != ~0ULL) { oh[cnt] = h[p]; op[cnt] = p; of[cnt] = isf[p]; cnt++; }
+                    last_out = p;
+                }
+            }
+            out_cnt[si] = cnt;
         }
     }
 }

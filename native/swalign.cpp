@@ -235,8 +235,8 @@ void sw_banded_batch(
     int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
     int32_t n_threads) {
 #ifdef _OPENMP
-    if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic)
+    const int nt_ = (n_threads > 0) ? n_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic) num_threads(nt_)
 #endif
     for (int32_t i = 0; i < n_pairs; i++) {
         Result res{};

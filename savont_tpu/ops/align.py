@@ -100,7 +100,20 @@ def window_minimizers_cached(qbytes: bytes, w: int, k: int):
 def _window_minimizers(codes4: np.ndarray, w: int, k: int):
     """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
 
-    Windows containing ambiguous bases (code 4) are excluded."""
+    Windows containing ambiguous bases (code 4) are excluded.  Uses the native
+    batched kernel when available (bit-identical; tests/test_native.py)."""
+    n = len(codes4) - k + 1
+    if n <= 0:
+        return np.zeros(0, U64), np.zeros(0, np.int64), np.zeros(0, bool)
+    from .kmers_native import get_scan_lib, window_minimizers_native
+
+    if get_scan_lib() is not None:
+        return window_minimizers_native([codes4], k, w, threads=1)[0]
+    return _window_minimizers_numpy(codes4, w, k)
+
+
+def _window_minimizers_numpy(codes4: np.ndarray, w: int, k: int):
+    """Pure-NumPy reference implementation (correctness oracle)."""
     n = len(codes4) - k + 1
     if n <= 0:
         return np.zeros(0, U64), np.zeros(0, np.int64), np.zeros(0, bool)
@@ -133,9 +146,14 @@ class TargetIndex:
         ]
         self.targets = [ascii_to_align_codes(t) for t in self.raw]
         self.n_minis = np.zeros(len(targets), dtype=np.int64)
+        from .kmers_native import get_scan_lib, window_minimizers_native
+
+        if self.targets and get_scan_lib() is not None:
+            per_target = window_minimizers_native(self.targets, k, w)
+        else:
+            per_target = [_window_minimizers_numpy(tc, w, k) for tc in self.targets]
         hs, tids, tposs, isfs = [], [], [], []
-        for tid, tc in enumerate(self.targets):
-            h, pos, isf = _window_minimizers(tc, w, k)
+        for tid, (h, pos, isf) in enumerate(per_target):
             self.n_minis[tid] = len(h)
             hs.append(h)
             tids.append(np.full(len(h), tid, dtype=np.int32))

@@ -37,6 +37,11 @@ def get_scan_lib():
         u32p, u64p, u32p, u64p,
         i64p, i64p, i64p, ctypes.c_int,
     ]
+    lib.window_minimizers_batch.restype = None
+    lib.window_minimizers_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        u64p, i64p, u8p, i64p, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -124,3 +129,31 @@ def syncmer_scan_native(
             )
         )
     return out
+
+
+def window_minimizers_native(
+    seqs: list[np.ndarray], k: int, w: int, threads: int = 0
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Batched canonical window minimizers over code-4 sequences; per sequence
+    returns (hash u64, pos i64, is_fwd bool) — twin of _window_minimizers."""
+    lib = get_scan_lib()
+    assert lib is not None
+    codes, _, off = _concat(seqs, None)
+    out_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    for i in range(len(seqs)):
+        out_off[i + 1] = out_off[i] + max(len(seqs[i]) - k + 1, 0)
+    total = int(out_off[-1])
+    oh = np.zeros(total, dtype=np.uint64)
+    op = np.zeros(total, dtype=np.int64)
+    of = np.zeros(total, dtype=np.uint8)
+    cnt = np.zeros(len(seqs), dtype=np.int64)
+    lib.window_minimizers_batch(
+        _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(seqs), k, w,
+        _ptr(oh, ctypes.c_uint64), _ptr(op, ctypes.c_int64), _ptr(of, ctypes.c_uint8),
+        _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+    )
+    res = []
+    for i in range(len(seqs)):
+        o, c = out_off[i], cnt[i]
+        res.append((oh[o : o + c].copy(), op[o : o + c].copy(), of[o : o + c].astype(bool)))
+    return res

@@ -38,3 +38,27 @@ def test_native_matches_numpy():
         assert (a is None) == (b is None)
         if a is not None:
             assert a == b, f"native != numpy: {a[:6]} vs {b[:6]}"
+
+
+def test_window_minimizers_native_parity():
+    from savont_tpu.ops.align import _window_minimizers_numpy
+    from savont_tpu.ops.kmers_native import get_scan_lib, window_minimizers_native
+
+    if get_scan_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    seqs = []
+    for i in range(40):
+        n = int(RNG.integers(5, 2000))
+        s = RNG.integers(0, 4, n).astype(np.uint8)
+        for p in RNG.choice(n, min(n, int(RNG.integers(0, 5))), replace=False):
+            s[p] = 4  # ambiguous
+        seqs.append(s)
+    for w, k in [(10, 15), (5, 21), (28, 31), (10, 1)]:
+        native = window_minimizers_native(seqs, k, w)
+        for s, (nh, npos, nf) in zip(seqs, native):
+            h, pos, isf = _window_minimizers_numpy(s, w, k)
+            assert np.array_equal(h, nh)
+            assert np.array_equal(pos, npos)
+            assert np.array_equal(isf, nf)
