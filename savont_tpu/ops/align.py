@@ -97,6 +97,33 @@ def window_minimizers_cached(qbytes: bytes, w: int, k: int):
     return hit
 
 
+def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list[tuple]:
+    """Cache-backed minimizers for many queries; cache misses are computed in
+    ONE native batch call (threads across sequences, one ctypes round-trip)."""
+    out: list[tuple | None] = [None] * len(queries)
+    miss_idx: list[int] = []
+    for i, qb in enumerate(queries):
+        hit = _MINI_CACHE.get((qb, w, k))
+        if hit is not None:
+            out[i] = hit
+        else:
+            miss_idx.append(i)
+    if miss_idx:
+        from .kmers_native import get_scan_lib, window_minimizers_native
+
+        codes = [ascii_to_align_codes(queries[i]) for i in miss_idx]
+        if get_scan_lib() is not None:
+            computed = window_minimizers_native(codes, k, w)
+        else:
+            computed = [_window_minimizers_numpy(c, w, k) for c in codes]
+        if len(_MINI_CACHE) + len(miss_idx) >= _MINI_CACHE_MAX:
+            _MINI_CACHE.clear()
+        for i, res in zip(miss_idx, computed):
+            _MINI_CACHE[(queries[i], w, k)] = res
+            out[i] = res
+    return out  # type: ignore[return-value]
+
+
 def _window_minimizers(codes4: np.ndarray, w: int, k: int):
     """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
 

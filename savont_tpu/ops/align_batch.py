@@ -94,13 +94,10 @@ def plan_jobs_batch(
 ) -> tuple[list[AlignJob], list[int]]:
     """Seeding + chaining for MANY queries against one index in a single
     vectorized lookup pass.  Returns (jobs, owner_query_index)."""
-    from .align import window_minimizers_cached
+    from .align import window_minimizers_cached_batch
 
-    # gather all query minimizers with query ids
-    qmini = []
-    for qi, qb in enumerate(queries):
-        hq, pq, fq = window_minimizers_cached(bytes(qb), index.w, index.k)
-        qmini.append((hq, pq, fq))
+    # gather all query minimizers with query ids (misses in one native batch)
+    qmini = window_minimizers_cached_batch([bytes(q) for q in queries], index.w, index.k)
     if not qmini or len(index.h_sorted) == 0:
         return [], []
     all_h = np.concatenate([m[0] for m in qmini])
