@@ -6,6 +6,7 @@
 // OpenMP over reads.  Tested bit-identical in tests/test_native.py.
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 #include <algorithm>
 
@@ -279,6 +280,101 @@ void window_minimizers_batch(
                 }
             }
             out_cnt[si] = cnt;
+        }
+    }
+}
+
+// Chaining + band planning for anchor groups (semantic twin of ops/align.py
+// _chain_anchors + _band_centers + the lo computation in plan_jobs_batch).
+// Anchors are pre-sorted by (group, qpos, tpos).  Per group g, writes the
+// band lower bound lo (length qlen[g]) at out_lo + out_off[g] and the chain
+// length in out_nchain[g] (0 = too few anchors, caller skips the group).
+void chain_band_batch(
+    const int64_t* qa, const int64_t* ta,
+    const int64_t* grp_off, int64_t n_groups,
+    const int64_t* qlen, const int64_t* tlen,
+    int band, int min_anchors,
+    int64_t* out_lo, const int64_t* out_off, int64_t* out_nchain,
+    int n_threads) {
+#ifdef _OPENMP
+    const int nt = (n_threads > 0) ? n_threads
+                   : (n_groups > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        std::vector<int64_t> tails, tails_vals, parent, cq, ct;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t g = 0; g < n_groups; g++) {
+            const int64_t s = grp_off[g], e = grp_off[g + 1];
+            const int64_t n = e - s;
+            out_nchain[g] = 0;
+            if (n < min_anchors) continue;
+
+            // LIS on tpos (strictly increasing), same tie rules as the
+            // Python bisect_left version
+            tails.clear(); tails_vals.clear();
+            parent.assign(n, -1);
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t v = ta[s + i];
+                const int64_t pos = std::lower_bound(tails_vals.begin(), tails_vals.end(), v)
+                                    - tails_vals.begin();
+                if (pos > 0) parent[i] = tails[pos - 1];
+                if (pos == (int64_t)tails.size()) {
+                    tails.push_back(i);
+                    tails_vals.push_back(v);
+                } else {
+                    tails[pos] = i;
+                    tails_vals[pos] = v;
+                }
+            }
+            cq.clear(); ct.clear();
+            for (int64_t cur = tails.back(); cur != -1; cur = parent[cur]) {
+                cq.push_back(qa[s + cur]);
+                ct.push_back(ta[s + cur]);
+            }
+            std::reverse(cq.begin(), cq.end());
+            std::reverse(ct.begin(), ct.end());
+            const int64_t nc = (int64_t)cq.size();
+            if (nc < min_anchors) continue;
+            out_nchain[g] = nc;
+
+            // band centers: np.interp between chain anchors (exact hit on a
+            // duplicated x returns the LAST duplicate's value), diagonal
+            // extrapolation outside, ties-to-even rounding, running max;
+            // then lo = cummax(clip(centers - b/2, 0, max(tlen-b, 0)))
+            const int64_t m = qlen[g];
+            const int64_t tl = tlen[g];
+            const int64_t b = std::min<int64_t>(band, std::max<int64_t>(8, tl));
+            const int64_t lo_max = std::max<int64_t>(tl - b, 0);
+            int64_t* lo = out_lo + out_off[g];
+            int64_t run_c = INT64_MIN, run_lo = 0;
+            int64_t j = 0;  // interval index into chain
+            for (int64_t x = 0; x < m; x++) {
+                int64_t c;
+                if (x < cq[0]) {
+                    c = ct[0] - (cq[0] - x);
+                } else if (x > cq[nc - 1]) {
+                    c = ct[nc - 1] + (x - cq[nc - 1]);
+                } else {
+                    while (j + 1 < nc && cq[j + 1] <= x) j++;
+                    if (cq[j] == x || j == nc - 1) {
+                        c = ct[j];
+                    } else {
+                        const double slope =
+                            (double)(ct[j + 1] - ct[j]) / (double)(cq[j + 1] - cq[j]);
+                        c = (int64_t)std::nearbyint(slope * (double)(x - cq[j]) + (double)ct[j]);
+                    }
+                }
+                if (c > run_c) run_c = c;
+                int64_t l = run_c - b / 2;
+                if (l < 0) l = 0;
+                if (l > lo_max) l = lo_max;
+                if (l > run_lo) run_lo = l;
+                if (x == 0) run_lo = l;
+                lo[x] = run_lo;
+            }
         }
     }
 }

@@ -140,15 +140,38 @@ def plan_jobs_batch(
              (h_qid[1:] != h_qid[:-1]) | (h_tid[1:] != h_tid[:-1]) | (strand[1:] != strand[:-1]))
         )
     )
-    ends = np.append(bounds[1:], len(h_qid))
+    grp_off = np.append(bounds, len(h_qid))
+    g_qi, g_tid, g_st = h_qid[bounds], h_tid[bounds], strand[bounds]
+    t_lens = np.array([len(tc) for tc in index.targets], dtype=np.int64)
+
+    from .kmers_native import chain_band_native, get_scan_lib
 
     qcode_cache: dict[tuple[int, int], np.ndarray] = {}
     jobs: list[AlignJob] = []
     owners: list[int] = []
-    for s, e in zip(bounds, ends):
+
+    if get_scan_lib() is not None:
+        lo_flat, lo_off, nchain = chain_band_native(
+            qp_o, tpos, grp_off, qlens[g_qi], t_lens[g_tid], band, min_anchors
+        )
+        for g in np.flatnonzero(nchain >= min_anchors):
+            qi, tid, st = int(g_qi[g]), int(g_tid[g]), int(g_st[g])
+            key = (qi, st)
+            qcodes = qcode_cache.get(key)
+            if qcodes is None:
+                qb = bytes(queries[qi])
+                qcodes = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
+                qcode_cache[key] = qcodes
+            lo = lo_flat[lo_off[g] : lo_off[g] + len(qcodes)]
+            jobs.append(AlignJob(qcodes, index.targets[tid], lo, tid, st, int(qlens[qi])))
+            owners.append(qi)
+        return jobs, owners
+
+    for g in range(len(bounds)):
+        s, e = int(grp_off[g]), int(grp_off[g + 1])
         if e - s < min_anchors:
             continue
-        qi, tid, st = int(h_qid[s]), int(h_tid[s]), int(strand[s])
+        qi, tid, st = int(g_qi[g]), int(g_tid[g]), int(g_st[g])
         qa, ta = qp_o[s:e], tpos[s:e]
         chain = _chain_anchors(qa, ta)
         if len(chain) < min_anchors:

@@ -42,6 +42,11 @@ def get_scan_lib():
         u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         u64p, i64p, u8p, i64p, i64p, ctypes.c_int,
     ]
+    lib.chain_band_batch.restype = None
+    lib.chain_band_batch.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int, ctypes.c_int, i64p, i64p, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -129,6 +134,37 @@ def syncmer_scan_native(
             )
         )
     return out
+
+
+def chain_band_native(
+    qa: np.ndarray, ta: np.ndarray, grp_off: np.ndarray,
+    qlen: np.ndarray, tlen: np.ndarray, band: int, min_anchors: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched anchor chaining + band-lo planning over groups of anchors
+    pre-sorted by (group, qpos, tpos).  Returns (lo_flat, lo_off, nchain):
+    group g's lo is lo_flat[lo_off[g] : lo_off[g] + qlen[g]] when
+    nchain[g] >= min_anchors (0 marks a skipped group)."""
+    lib = get_scan_lib()
+    assert lib is not None
+    n_groups = len(grp_off) - 1
+    qa = np.ascontiguousarray(qa, dtype=np.int64)
+    ta = np.ascontiguousarray(ta, dtype=np.int64)
+    grp_off = np.ascontiguousarray(grp_off, dtype=np.int64)
+    qlen = np.ascontiguousarray(qlen, dtype=np.int64)
+    tlen = np.ascontiguousarray(tlen, dtype=np.int64)
+    lo_off = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(qlen, out=lo_off[1:])
+    lo_flat = np.zeros(int(lo_off[-1]), dtype=np.int64)
+    nchain = np.zeros(n_groups, dtype=np.int64)
+    lib.chain_band_batch(
+        _ptr(qa, ctypes.c_int64), _ptr(ta, ctypes.c_int64),
+        _ptr(grp_off, ctypes.c_int64), n_groups,
+        _ptr(qlen, ctypes.c_int64), _ptr(tlen, ctypes.c_int64),
+        band, min_anchors,
+        _ptr(lo_flat, ctypes.c_int64), _ptr(lo_off, ctypes.c_int64),
+        _ptr(nchain, ctypes.c_int64), 0,
+    )
+    return lo_flat, lo_off, nchain
 
 
 def window_minimizers_native(

@@ -62,3 +62,38 @@ def test_window_minimizers_native_parity():
             assert np.array_equal(h, nh)
             assert np.array_equal(pos, npos)
             assert np.array_equal(isf, nf)
+
+
+def test_chain_band_native_parity(monkeypatch):
+    """Native chain+band planning produces identical jobs to the NumPy path."""
+    from savont_tpu.ops import align_batch, kmers_native
+    from savont_tpu.ops.align import TargetIndex
+    from savont_tpu.ops.encode import revcomp_bytes
+
+    if kmers_native.get_scan_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    targets, queries = [], []
+    for i in range(12):
+        t = rand_seq(900 + int(RNG.integers(0, 900)))
+        targets.append(t)
+        for _ in range(4):
+            q = bytearray(t)
+            for p in RNG.choice(len(q), int(RNG.integers(0, 80)), replace=False):
+                q[p] = b"ACGT"[RNG.integers(4)]
+            if RNG.random() < 0.3:
+                del q[400 : 400 + int(RNG.integers(1, 10))]
+            if RNG.random() < 0.5:
+                q = bytearray(revcomp_bytes(bytes(q)))
+            queries.append(bytes(q))
+    idx = TargetIndex(targets)
+    jn, on = align_batch.plan_jobs_batch(idx, queries, band=96)
+    monkeypatch.setattr(kmers_native, "get_scan_lib", lambda: None)
+    jp, op = align_batch.plan_jobs_batch(idx, queries, band=96)
+    assert on == op
+    assert len(jn) == len(jp)
+    for a, b in zip(jn, jp):
+        assert a.target_id == b.target_id and a.strand == b.strand
+        assert np.array_equal(a.qcodes, b.qcodes)
+        assert np.array_equal(a.lo, b.lo), f"lo mismatch tid={a.target_id}"
