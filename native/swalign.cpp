@@ -28,21 +28,48 @@ struct Result {
     int32_t score, q0, q1, t0, t1, nm, cigar_len, overflow;
 };
 
+// Reused across pairs within a thread: rows 1..m are fully overwritten each
+// call, so only row 0 of H (zeros) and F (NEG) needs initialization — this
+// avoids ~1.5 MB of value-init per pair.
+struct Scratch {
+    std::vector<int16_t> H, E, F, G, twin;
+    std::vector<int16_t> A, P, T, je2;
+    std::vector<uint8_t> ops;
+};
+
 void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
                const int64_t* lo_full /* m+1 */, int32_t band,
-               Result* res, uint32_t* cigar_out, int32_t max_cigar) {
+               Result* res, uint32_t* cigar_out, int32_t max_cigar,
+               Scratch& sc) {
     res->score = 0;
     res->cigar_len = 0;
     res->overflow = 0;
     if (m <= 0 || n <= 0) return;
 
-    std::vector<int16_t> H((size_t)(m + 1) * band, 0);
-    std::vector<int16_t> E((size_t)(m + 1) * band, NEG);
-    std::vector<int16_t> F((size_t)(m + 1) * band, NEG);
-    std::vector<int16_t> G((size_t)(m + 1) * band, 0);
-
-    // padded target-code window buffer so the scoring pass has no branches
-    std::vector<int16_t> twin(band + 2);
+    const size_t cells = (size_t)(m + 1) * band;
+    sc.H.resize(cells);
+    sc.E.resize(cells);
+    sc.F.resize(cells);
+    sc.G.resize(cells);
+    sc.twin.resize(band + 2);
+    std::vector<int16_t>& H = sc.H;
+    std::vector<int16_t>& E = sc.E;
+    std::vector<int16_t>& F = sc.F;
+    std::vector<int16_t>& G = sc.G;
+    std::vector<int16_t>& twin = sc.twin;
+    std::fill(H.begin(), H.begin() + band, (int16_t)0);
+    std::fill(F.begin(), F.begin() + band, (int16_t)NEG);
+    sc.A.resize(band);
+    sc.P.resize(band);
+    sc.T.resize(band);
+    if ((int32_t)sc.je2.size() != band) {
+        sc.je2.resize(band);
+        for (int32_t j = 0; j < band; j++) sc.je2[j] = (int16_t)(GAP_EXT * j);
+    }
+    int16_t* __restrict A = sc.A.data();
+    int16_t* __restrict P = sc.P.data();
+    int16_t* __restrict T = sc.T.data();
+    const int16_t* __restrict je2 = sc.je2.data();
 
     int32_t best = 0, best_r = 0, best_j = 0;
     for (int32_t r = 1; r <= m; r++) {
@@ -104,33 +131,62 @@ void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
             Gr[j] = (int16_t)std::max(std::max(0, hdiag + s), f);
         }
 
-        // E prefix scan + H (sequential in j)
-        int32_t run = NEG;
-        int32_t row_best = NEG, row_best_j = 0;
-        for (int32_t j = 0; j < band; j++) {
-            int32_t e = NEG;
-            if (j > 0) {
-                e = run - GAP_OPEN - GAP_EXT * j;
-                if (e < NEG) e = NEG;
-            }
-            const int32_t g = Gr[j];
-            int32_t h = std::max(g, e);
-            const int64_t col = l + j;
-            if (col >= n) { h = NEG; Gr[j] = NEG; }
-            Er[j] = (int16_t)e;
-            Hr[j] = (int16_t)h;
-            const int32_t cand = g + GAP_EXT * j;
-            if (cand > run) run = cand;
-            if (h > row_best) { row_best = h; row_best_j = j; }
+        // E as an exclusive prefix max of A[j] = G[j] + ext*j (pre-override
+        // G, matching the NumPy oracle), computed with log-step shifted-max
+        // passes so the whole row stays SIMD.
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int32_t j = 0; j < band; j++) A[j] = (int16_t)(Gr[j] + je2[j]);
+        P[0] = (int16_t)NEG;
+        for (int32_t j = 1; j < band; j++) P[j] = A[j - 1];
+        for (int32_t s = 1; s < band; s <<= 1) {
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+            for (int32_t j = s; j < band; j++)
+                T[j] = std::max(P[j], P[j - s]);
+            for (int32_t j = 0; j < s; j++) T[j] = P[j];
+            std::swap(P, T);
         }
-        if (row_best > best) { best = row_best; best_r = r; best_j = row_best_j; }
+        // e/h pass: valid columns are j < n - l (lo is clipped, so this is
+        // the only place the target end can cut into the band)
+        const int32_t jmax =
+            (int32_t)std::min<int64_t>(band, std::max<int64_t>(n - l, 0));
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int32_t j = 0; j < band; j++) {
+            int16_t e = (int16_t)(P[j] - GAP_OPEN - je2[j]);
+            e = std::max<int16_t>(e, (int16_t)NEG);
+            const int16_t g = Gr[j];
+            int16_t h = std::max<int16_t>(g, e);
+            const bool valid = j < jmax;
+            Er[j] = e;
+            Hr[j] = valid ? h : (int16_t)NEG;
+            Gr[j] = valid ? g : (int16_t)NEG;
+        }
+        int16_t row_best = NEG;
+#ifdef _OPENMP
+#pragma omp simd reduction(max : row_best)
+#endif
+        for (int32_t j = 0; j < band; j++)
+            row_best = std::max(row_best, Hr[j]);
+        if (row_best > best) {
+            int32_t row_best_j = 0;
+            while (Hr[row_best_j] != row_best) row_best_j++;
+            best = row_best;
+            best_r = r;
+            best_j = row_best_j;
+        }
     }
 
     res->score = best;
     if (best <= 0) return;
 
     // traceback (same preference order as the Python _traceback)
-    std::vector<uint8_t> ops;  // end -> start
+    std::vector<uint8_t>& ops = sc.ops;  // end -> start
+    ops.clear();
     ops.reserve(m + 256);
     int32_t r = best_r, j = best_j;
     int state = 0;  // 0=H 1=G 2=E 3=F
@@ -235,18 +291,25 @@ void sw_banded_batch(
     int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
     int32_t n_threads) {
 #ifdef _OPENMP
-    const int nt_ = (n_threads > 0) ? n_threads : omp_get_max_threads();
-#pragma omp parallel for schedule(dynamic) num_threads(nt_)
+    const int nt_ = (n_threads > 0) ? n_threads
+                    : (n_pairs > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt_)
 #endif
-    for (int32_t i = 0; i < n_pairs; i++) {
-        Result res{};
-        align_one(q + q_off[i], q_len[i], t + t_off[i], t_len[i],
-                  lo + lo_off[i], band, &res, out_cigar + (size_t)i * max_cigar,
-                  max_cigar);
-        int32_t* m = out_meta + (size_t)i * 8;
-        m[0] = res.score; m[1] = res.q0; m[2] = res.q1;
-        m[3] = res.t0; m[4] = res.t1; m[5] = res.nm;
-        m[6] = res.cigar_len; m[7] = res.overflow;
+    {
+        Scratch sc;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int32_t i = 0; i < n_pairs; i++) {
+            Result res{};
+            align_one(q + q_off[i], q_len[i], t + t_off[i], t_len[i],
+                      lo + lo_off[i], band, &res,
+                      out_cigar + (size_t)i * max_cigar, max_cigar, sc);
+            int32_t* m = out_meta + (size_t)i * 8;
+            m[0] = res.score; m[1] = res.q0; m[2] = res.q1;
+            m[3] = res.t0; m[4] = res.t1; m[5] = res.nm;
+            m[6] = res.cigar_len; m[7] = res.overflow;
+        }
     }
 }
 
