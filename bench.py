@@ -31,12 +31,21 @@ def main() -> int:
     from savont_tpu.pipeline.asv import run_cluster
     from savont_tpu.validate import validate_asvs
 
+    # best of 3 runs: the VM has visible hypervisor steal time, so a single
+    # run can be dominated by neighbor noise; min wall-clock is the standard
+    # way to measure the code rather than the neighbors.
     out = Path(tempfile.mkdtemp(prefix="savont_bench_"))
     try:
-        t0 = time.time()
-        args = ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4)
-        run_cluster(args)
-        wall = time.time() - t0
+        from savont_tpu.pipeline import stage1_kmers
+
+        wall = float("inf")
+        for _ in range(3):
+            shutil.rmtree(out, ignore_errors=True)
+            stage1_kmers._READ_CACHE.clear()  # each run pays the full parse
+            t0 = time.time()
+            args = ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4)
+            run_cluster(args)
+            wall = min(wall, time.time() - t0)
 
         results = validate_asvs(str(out / "final_asvs.fasta"), str(REF_ASVS))
         ok = bool(results) and all(r.nm == 0 for r in results)
