@@ -98,8 +98,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _print_markdown_help(p: argparse.ArgumentParser) -> None:
+    """--markdown-help: markdown-formatted CLI docs (cli.rs:175, the
+    clap-markdown hidden flag)."""
+    print(f"# {p.prog}\n\n{p.description or ''}\n")
+    subs = next(
+        (a for a in p._actions if isinstance(a, argparse._SubParsersAction)), None
+    )
+    for name, sp in (subs.choices.items() if subs else []):
+        print(f"## `{p.prog} {name}`\n\n```\n{sp.format_help()}```\n")
+
+
 def main(argv: list[str] | None = None) -> int:
-    ns = build_parser().parse_args(argv)
+    parser = build_parser()
+    raw = sys.argv[1:] if argv is None else argv
+    if "--markdown-help" in raw:
+        _print_markdown_help(parser)
+        return 0
+    ns = parser.parse_args(argv)
     level = {"warn": "warning", "trace": "debug"}.get(ns.log_level, ns.log_level)
 
     if ns.command == "asv":

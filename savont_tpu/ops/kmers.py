@@ -112,6 +112,33 @@ def count_flagged_kmers(per_read_flagged: list[np.ndarray]) -> tuple[np.ndarray,
     return kmers, counts
 
 
+def count_flagged_kmers_streaming(
+    per_read_flagged: list[np.ndarray], chunk_reads: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """Memory-bounded strand-split counting: the exact equivalent of the
+    reference's Bloom-prefiltered two-pass mode (seq_parse.rs:80-314).
+
+    The Bloom pass only bounds pass-2 memory — a k-mer survives iff both
+    strands observed it, which the exact retain filter re-checks anyway, so
+    outputs are identical to count_flagged_kmers.  Here the same memory bound
+    comes from chunked unique+merge: peak is O(distinct k-mers) instead of
+    O(total k-mer stream).
+    """
+    kmers = np.zeros(0, dtype=U64)
+    counts = np.zeros((0, 2), dtype=np.uint32)
+    for start in range(0, len(per_read_flagged), chunk_reads):
+        chunk = per_read_flagged[start : start + chunk_reads]
+        ck, cc = count_flagged_kmers(chunk)
+        if len(ck) == 0:
+            continue
+        merged, inv = np.unique(np.concatenate([kmers, ck]), return_inverse=True)
+        mc = np.zeros((len(merged), 2), dtype=np.uint32)
+        np.add.at(mc, inv[: len(kmers)], counts)
+        np.add.at(mc, inv[len(kmers) :], cc)
+        kmers, counts = merged, mc
+    return kmers, counts
+
+
 def filter_counted_kmers(
     kmers: np.ndarray, counts: np.ndarray, single_strand: bool
 ) -> tuple[np.ndarray, np.ndarray]:

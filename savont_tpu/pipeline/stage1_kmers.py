@@ -28,6 +28,7 @@ from ..ops.kmers import (
     blockmer_scan,
     count_blockmers,
     count_flagged_kmers,
+    count_flagged_kmers_streaming,
     filter_counted_kmers,
     masked_kmer,
     mid_base,
@@ -92,7 +93,12 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             split_kmer_mid(c, p, k, args.minimum_base_quality)
             for c, p in zip(codes_list, phred_list)
         ]
-    kmers, counts = count_flagged_kmers(per_read)
+    if args.bloom_filter_size > 0:
+        # -b: the reference's Bloom-prefiltered low-memory counting mode
+        # (seq_parse.rs:80-314).  Exact chunked merge, identical output.
+        kmers, counts = count_flagged_kmers_streaming(per_read)
+    else:
+        kmers, counts = count_flagged_kmers(per_read)
     raw_n = len(kmers)
     kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
     log.info("counted %d reads; %d split-kmers, %d retained after strand filter", n_reads, raw_n, len(kmers))

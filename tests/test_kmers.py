@@ -186,3 +186,21 @@ def test_rev_hash64_inverse():
     from savont_tpu.ops.encode import rev_hash64
 
     assert (rev_hash64(mm_hash64(v)) == v).all()
+
+
+def test_streaming_count_identical():
+    """-b (Bloom-prefilter equivalent) chunked counting matches the one-shot
+    counter exactly (seq_parse.rs:80-314 admits a superset that the retain
+    filter reduces to the same set)."""
+    from savont_tpu.ops.kmers import count_flagged_kmers, count_flagged_kmers_streaming
+
+    rng = np.random.default_rng(5)
+    per_read = [
+        (rng.integers(0, 1 << 62, rng.integers(0, 200)).astype(np.uint64)
+         | (rng.integers(0, 2, 1).astype(np.uint64) << np.uint64(63)))
+        for _ in range(700)
+    ]
+    k1, c1 = count_flagged_kmers(per_read)
+    k2, c2 = count_flagged_kmers_streaming(per_read, chunk_reads=64)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
