@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--chimera-detect-length", type=int, default=None)
     a.add_argument("--clean-dir", action="store_true")
     a.add_argument("--resume", action="store_true", help="Reuse the stage-3 checkpoint in <output>/temp when inputs and parameters are unchanged")
+    # hidden no-op, mirrored from cli.rs:176-179 (driver use is commented out
+    # at main.rs:135)
+    a.add_argument("--phase-heterogeneous", action="store_true", help=argparse.SUPPRESS)
 
     c = sub.add_parser("classify", help="Classify ASVs against a reference database")
     c.add_argument("-i", "--input-dir", required=True)
@@ -146,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
             use_blockmers=ns.use_blockmers,
             chimera_allowable_errors=ns.chimera_allowable_errors,
             chimera_detect_length=ns.chimera_detect_length, clean_dir=ns.clean_dir,
-            resume=ns.resume,
+            resume=ns.resume, phase_heterogeneous=ns.phase_heterogeneous,
         )
         run_cluster(args)
         return 0

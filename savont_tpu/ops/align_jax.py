@@ -200,6 +200,29 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128):
     }
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _sharded_forward(band: int):
+    """jitted shard_map of the forward kernel over the pair ("dp") axis —
+    the multi-chip path for NM-only scoring batches."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+
+    def fn(q, t, lo, tlens):
+        return sw_forward_meta(q, t, lo, tlens, band=band)
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp", None), P("dp")),
+        out_specs=P("dp"),
+    )
+    return jax.jit(sharded)
+
+
 def sw_scores_numpy_jobs(jobs, band: int = 128):
     """Run AlignJobs through the device kernel; returns per-job dicts
     (score<=0 -> None).  Used by NM-only call sites."""
@@ -221,7 +244,21 @@ def sw_scores_numpy_jobs(jobs, band: int = 128):
             lo[i, len(j.lo) + 1 :] = j.lo[-1]
         tlens[i] = len(j.tcodes)
     lo = smooth_lo(lo)  # device kernel requires per-row advances <= 1
-    out = sw_forward_meta(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens), band=band)
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        # shard the pair axis over the mesh: each chip scores its slice of
+        # the batch (stage-7 EM / classify scale-out across devices)
+        pad = (-B) % n_dev
+        if pad:
+            q = np.concatenate([q, np.full((pad, q.shape[1]), 5, q.dtype)])
+            t = np.concatenate([t, np.full((pad, t.shape[1]), 6, t.dtype)])
+            lo = np.concatenate([lo, np.zeros((pad, lo.shape[1]), lo.dtype)])
+            tlens = np.concatenate([tlens, np.full(pad, t.shape[1], tlens.dtype)])
+        out = _sharded_forward(band)(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens)
+        )
+    else:
+        out = sw_forward_meta(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens), band=band)
     host = {k: np.asarray(v) for k, v in out.items()}
     res = []
     for i in range(B):

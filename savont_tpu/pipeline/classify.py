@@ -20,7 +20,7 @@ from ..constants import ASV_FILE, CLASSIFY_EM_MAX_ITERATIONS
 from ..db import taxonomy as tax
 from ..io.fastx import read_fastx
 from ..ops.align import _window_minimizers, ascii_to_align_codes
-from ..ops.align_batch import align_pairs
+from ..ops.align_batch import align_pairs_nm
 from ..ops.encode import U64
 
 log = logging.getLogger("savont")
@@ -213,7 +213,9 @@ def classify(args: ClassifyArgs, db: tax.Database) -> None:
         cands = table.candidates(seq)
         if len(cands) == 0:
             continue
-        results = align_pairs([(seq, db_records[c][1]) for c in cands])
+        # NM-only consumer: routes to the TPU kernel under
+        # SAVONT_ALIGN_BACKEND=jax, sharding pairs across all devices
+        results = align_pairs_nm([(seq, db_records[c][1]) for c in cands])
         hits = [(int(c), m) for c, m in zip(cands, results) if m is not None]
         if not hits:
             continue

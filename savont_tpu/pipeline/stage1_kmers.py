@@ -7,6 +7,7 @@ sharded hash maps become a sort/segment-reduce over all reads' split k-mers.
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 
@@ -86,7 +87,14 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
         codes_list.append(encode_seq(seq))
         phred_list.append(phred_from_ascii(qual) if qual is not None else None)
     n_reads = len(codes_list)
-    if get_scan_lib() is not None:
+    if os.environ.get("SAVONT_DEVICE_KMERS"):
+        # TPU path: batched (hi,lo)-plane split-kmer extraction on device
+        # (ops/kmers_jax.py), bit-exact vs the host scan.  Worth it when the
+        # chip is otherwise idle or read batches are large.
+        from ..ops.kmers_jax import device_split_kmers
+
+        per_read = device_split_kmers(codes_list, phred_list, k, args.minimum_base_quality)
+    elif get_scan_lib() is not None:
         per_read = split_kmers_native(codes_list, phred_list, k, args.minimum_base_quality)
     else:
         per_read = [

@@ -70,3 +70,43 @@ def test_sharded_classify_nm():
     best = np.asarray(score).argmax(axis=1)
     assert best.tolist() == src
     assert (np.asarray(nm)[np.arange(Q), best] <= 2).all()
+
+
+def test_run_jobs_nm_sharded_matches_native(monkeypatch):
+    """SAVONT_ALIGN_BACKEND=jax shards NM-only scoring batches over all
+    devices (align_jax._sharded_forward) with results equal to the host
+    kernel's (score, spans, NM)."""
+    import jax
+
+    from savont_tpu.ops.align import TargetIndex
+    from savont_tpu.ops.align_batch import plan_jobs_batch, run_jobs_nm
+    from savont_tpu.ops.encode import revcomp_bytes
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(11)
+
+    def rand_seq(n):
+        return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).tobytes()
+
+    targets = [rand_seq(600) for _ in range(3)]
+    queries = []
+    for t in targets:
+        for _ in range(7):
+            q = bytearray(t)
+            for p in rng.choice(len(q), 30, replace=False):
+                q[p] = b"ACGT"[rng.integers(4)]
+            queries.append(bytes(q) if rng.random() < 0.5 else revcomp_bytes(bytes(q)))
+    idx = TargetIndex(targets)
+    jobs, _ = plan_jobs_batch(idx, queries, band=64)
+    assert jobs
+    host = run_jobs_nm(jobs, band=64)
+    monkeypatch.setenv("SAVONT_ALIGN_BACKEND", "jax")
+    dev = run_jobs_nm(jobs, band=64)
+    assert len(host) == len(dev)
+    for h, d in zip(host, dev):
+        assert (h is None) == (d is None)
+        if h is not None:
+            # (score, q0, q1, t0, t1, cigar, nm) — device path has no cigar
+            assert h[0] == d[0] and h[6] == d[6], (h, d)
+            assert h[1:5] == d[1:5], (h, d)
