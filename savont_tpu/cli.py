@@ -21,6 +21,16 @@ def _setup_logging(level: str, log_file: Path | None) -> None:
         handlers=handlers,
         force=True,
     )
+    # startup banner (main.rs:444-448)
+    import platform
+
+    from . import __version__
+
+    log = logging.getLogger("savont")
+    log.info("COMMAND: %s", " ".join(sys.argv))
+    log.info("VERSION: %s", __version__)
+    log.info("SYSTEM NAME: %s", platform.system())
+    log.info("SYSTEM HOST NAME: %s", platform.node())
 
 
 def build_parser() -> argparse.ArgumentParser:

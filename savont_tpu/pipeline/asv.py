@@ -77,7 +77,10 @@ def run_cluster(args: ClusterArgs) -> Path:
 
     if not resumed:
         log.info("=== STAGE 1: k-mers and polymorphic markers ===")
+        t0 = time.time()
         kmers, counts = stage1_kmers.read_to_split_kmers(args)
+        log.info("Time elapsed in for counting k-mers is: %.2fs", time.time() - t0)
+        t0 = time.time()
         blockmer_sorted = None
         if args.use_blockmers:
             import numpy as np
@@ -88,6 +91,7 @@ def run_cluster(args: ClusterArgs) -> Path:
             blockmer_sorted = np.unique(np.array(vals, dtype=np.uint64)) if vals else np.zeros(0, np.uint64)
             log.info("Using blockmers: True (%d biallelic anchors)", len(blockmer_info))
         kmer_info = stage1_kmers.get_snpmers(kmers, counts, args)
+        log.info("Time elapsed in for parsing snpmers is: %.2fs", time.time() - t0)
         log_memory_usage("STAGE 1 DONE: Obtained SNPmers")
 
         log.info("=== STAGE 1.5: TwinRead construction ===")

@@ -220,6 +220,27 @@ def estimate_quality_error_rates(
         if seen[lvl]:
             # +1/+1 prior per observed quality key (alignment.rs:721)
             out[qvalue(lvl)] = (errors[lvl] + 1) / (totals[lvl] + 1)
+
+    # debug ASCII histogram (alignment.rs:749-773)
+    if log.isEnabledFor(logging.DEBUG):
+        n_total = int(totals.sum())
+        n_err = int(errors.sum())
+        overall = n_err / n_total if n_total else 0.0
+        log.debug("=" * 65)
+        log.debug("Quality Error Rate Histogram (from %d high-confidence positions)", n_total)
+        log.debug("Overall error rate: %.4f%% (%d/%d)", overall * 100.0, n_err, n_total)
+        log.debug("=" * 65)
+        for lvl in range(NQ):
+            if not seen[lvl]:
+                continue
+            rate = errors[lvl] / totals[lvl] if totals[lvl] else 0.0
+            bar_len = min(int(round(rate * 100.0)), 50)
+            log.debug(
+                "Q%3d: [%s%s] %6.3f%% (%7d/%7d errors)",
+                qvalue(lvl), "#" * bar_len, " " * (50 - bar_len),
+                rate * 100.0, int(errors[lvl]), int(totals[lvl]),
+            )
+        log.debug("=" * 65)
     return out
 
 

@@ -391,9 +391,12 @@ def twin_reads_from_files(
     use_native = get_scan_lib() is not None
     for file_idx, path in enumerate(args.input_files):
         recs, codes_list, phred_list = [], [], []
+        n_file_total = n_file_removed = 0
         for rec in _cached_records(path):
+            n_file_total += 1
             if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
                 n_len_filtered += 1
+                n_file_removed += 1
                 continue
             if len(rec.seq) < args.kmer_size:
                 continue
@@ -429,6 +432,15 @@ def twin_reads_from_files(
             tr.compute_lsh_signatures()
             tr.file_idx = file_idx
             twin_reads.append(tr)
+        if n_file_removed > n_file_total / 2:
+            # kmer_comp.rs:129-132
+            log.warning(
+                "More than 50%% of reads were removed in fastq file %s due to "
+                "length filtering (min: %d, max: %d). Please check your input "
+                "reads and filtering parameters.",
+                path, args.min_read_length, args.max_read_length,
+            )
+        log.info("Number of reads removed due to length filtering: %d.", n_file_removed)
 
     twin_reads.sort(key=lambda t: t.id)
     n_below = sum(1 for t in twin_reads if t.est_id is not None and t.est_id < args.quality_value_cutoff)
@@ -436,6 +448,14 @@ def twin_reads_from_files(
         "valid reads %d; %d below quality cutoff; %d length-filtered; %d repetitive",
         len(twin_reads), n_below, n_len_filtered, n_repetitive,
     )
+    if twin_reads and n_below / len(twin_reads) > 0.5:
+        # kmer_comp.rs:245-247
+        log.warning(
+            "More than 50%% of reads are below the quality threshold of %s%%. "
+            "This may imply that these reads are not high enough quality for "
+            "ASV reconstruction. Proceed with caution!",
+            args.quality_value_cutoff,
+        )
     twin_reads = [t for t in twin_reads if t.est_id is None or t.est_id >= args.quality_value_cutoff]
     # driver sorts by est accuracy desc, stable (main.rs:533)
     twin_reads.sort(key=lambda t: -(t.est_id if t.est_id is not None else 100.0))
