@@ -8,8 +8,12 @@ import sys
 from pathlib import Path
 
 
+TRACE = 5  # finer than DEBUG: per-read SNPmers, pileups, pairwise dumps
+logging.addLevelName(TRACE, "TRACE")
+
+
 def _setup_logging(level: str, log_file: Path | None) -> None:
-    lvl = getattr(logging, level.upper(), logging.INFO)
+    lvl = TRACE if level == "trace" else getattr(logging, level.upper(), logging.INFO)
     handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
     if log_file is not None:
         log_file.parent.mkdir(parents=True, exist_ok=True)
@@ -129,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         _print_markdown_help(parser)
         return 0
     ns = parser.parse_args(argv)
-    level = {"warn": "warning", "trace": "debug"}.get(ns.log_level, ns.log_level)
+    level = {"warn": "warning"}.get(ns.log_level, ns.log_level)
 
     if ns.command == "asv":
         from .config import ClusterArgs

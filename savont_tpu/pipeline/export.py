@@ -254,4 +254,29 @@ def export(args: ExportArgs) -> None:
             for lineage in sorted(lineage_counts):
                 f.write(lineage + "".join(f"\t{c}" for c in lineage_counts[lineage]) + "\n")
 
+    # QIIME2 import recipe (merge.rs:503-522)
+    log.info(
+        "To import into QIIME2:\n"
+        "\n"
+        "# Feature table\n"
+        "biom convert -i %(out)s/merged_feature_table.tsv -o feature-table.biom "
+        "--table-type='OTU table' --to-hdf5\n"
+        "qiime tools import --type 'FeatureTable[Frequency]' "
+        "--input-path feature-table.biom --output-path feature-table.qza\n"
+        "\n"
+        "# Representative sequences\n"
+        "qiime tools import --type 'FeatureData[Sequence]' \\\n"
+        "  --input-path %(out)s/merged_rep_seqs.fasta --output-path rep-seqs.qza\n"
+        "\n"
+        "# If `savont classify / sintax` was run: ASV-level taxonomy "
+        "(use with feature-table.qza for taxa barplot)\n"
+        "qiime tools import --type 'FeatureData[Taxonomy]' "
+        "--input-format HeaderlessTSVTaxonomyFormat \\\n"
+        "  --input-path %(out)s/merged_asv_taxonomy.tsv --output-path taxonomy.qza\n"
+        "\n"
+        "# If `savont classify / sintax` was run: Taxonomy bar plot\n"
+        "qiime taxa barplot --i-table feature-table.qza --i-taxonomy taxonomy.qza \\\n"
+        "  --o-visualization taxa-bar-plots.qzv",
+        {"out": out_dir},
+    )
     log.info("Export complete: outputs in %s", out_dir)

@@ -291,6 +291,9 @@ def analyze_pileup_consensuses(
         alt_post = lp_alt - (mx + np.log(np.exp(lp_ref - mx) + np.exp(lp_alt - mx)))
         flagged = np.flatnonzero(alt_post > -post_threshold) + start
         flagged_by_cons.append(flagged)
+        # TRACE: per-consensus pileup dump (posterior-flagged positions)
+        log.log(5, "pileup cluster %d: window [%d,%d] max depth %d, flagged positions %s",
+                ci, start, end, int(depth.max()), flagged.tolist())
         windows.append((start, end))
 
     for ci, cons in enumerate(consensuses):

@@ -432,6 +432,11 @@ def twin_reads_from_files(
             tr.compute_lsh_signatures()
             tr.file_idx = file_idx
             twin_reads.append(tr)
+        if log.isEnabledFor(5):  # TRACE: per-read SNPmer dump
+            for tr in trs:
+                if tr is not None:
+                    log.log(5, "read %s: %d minimizers, snpmer positions %s",
+                            tr.id, len(tr.mini_pos), tr.snp_pos.tolist())
         if n_file_removed > n_file_total / 2:
             # kmer_comp.rs:129-132
             log.warning(

@@ -294,6 +294,9 @@ def _recluster_one_round(
             ci, cj = allc[i][1], allc[j][1]
             concordant = _concordant(ci, cj) and _concordant(cj, ci)
             m, mm = compare_consensus(ci, cj)
+            # TRACE: pairwise cluster comparison dump
+            log.log(5, "recluster cmp sizes (%d,%d): matches=%d mismatches=%d concordant=%s",
+                    len(allc[i][0]), len(allc[j][0]), m, mm, concordant)
             max_len = max(len(allc[i][0]), len(allc[j][0]))
             min_len = min(len(allc[i][0]), len(allc[j][0]))
             if mm == 0 and m > min(len(ci), len(cj)) * 0.975 and max_len // min_len > 50:
