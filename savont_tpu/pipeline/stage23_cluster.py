@@ -227,26 +227,39 @@ def build_consensus_snpmers(
     FxHashMap::max_by_key tie order is unspecified; this is deterministic).
     """
     mask = _split_mask(k)
-    data: dict[int, dict[int, tuple[int, list[int]]]] = {}
     n_use = len(cluster) if top_n is None else min(len(cluster), top_n)
+    pos_arrs, km_arrs = [], []
     for read_id in cluster[:n_use]:
         if marker == "blockmer":
             pos, kms = twin_reads[read_id].blockmers_vec()
         else:
             pos, kms = twin_reads[read_id].snpmers_vec()
-        for p, km in zip(pos, kms):
-            sm = (int(km) >> (2 * l)) if marker == "blockmer" else int(km & mask)
-            kd = data.setdefault(sm, {})
-            cnt, plist = kd.get(int(km), (0, []))
-            plist = plist + [int(p)] if cnt else [int(p)]
-            kd[int(km)] = (cnt + 1, plist)
-    out: list[ConsensusPoly] = []
+        pos_arrs.append(np.asarray(pos, dtype=np.int64))
+        km_arrs.append(np.asarray(kms, dtype=np.uint64))
+    if not pos_arrs:
+        return []
+    allp = np.concatenate(pos_arrs)
+    allk = np.concatenate(km_arrs)
+    if len(allk) == 0:
+        return []
+    # per full kmer: count + median position (positions sorted in-segment)
+    order = np.lexsort((allp, allk))
+    allp, allk = allp[order], allk[order]
+    starts = np.flatnonzero(np.concatenate(([True], allk[1:] != allk[:-1])))
+    counts = np.diff(np.append(starts, len(allk)))
+    ukm = allk[starts]
+    medians = allp[starts + counts // 2]
+    sms = (ukm >> np.uint64(2 * l)) if marker == "blockmer" else (ukm & mask)
+    # per splitmer: variant with max (count, kmer); keep if count >= min_count
+    o2 = np.lexsort((ukm, counts, sms))
+    sms, ukm, counts, medians = sms[o2], ukm[o2], counts[o2], medians[o2]
+    last = np.flatnonzero(np.concatenate((sms[1:] != sms[:-1], [True])))
     min_count = max(len(cluster) // 6, 1)
-    for sm, kd in data.items():
-        best_km, (cnt, plist) = max(kd.items(), key=lambda x: (x[1][0], x[0]))
-        if cnt >= min_count:
-            plist.sort()
-            out.append(ConsensusPoly(plist[len(plist) // 2], sm, best_km, cnt))
+    keep = last[counts[last] >= min_count]
+    out = [
+        ConsensusPoly(int(medians[i]), int(sms[i]), int(ukm[i]), int(counts[i]))
+        for i in keep
+    ]
     out.sort(key=lambda cp: (cp.position, cp.splitmer))
     return out
 
@@ -324,8 +337,15 @@ def _reassign_reads(
     (asv_cluster.rs:1007-1130).  Initial best = first candidate evaluated
     (index 0) since any mismatch count beats usize::MAX."""
     consensus = [build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l) for c in clusters]
-    maps = [{cp.splitmer: cp.kmer for cp in cons} for cons in consensus]
     mask = _split_mask(k)
+    C = len(clusters)
+    # flat sorted (splitmer, kmer, cluster) table over all consensuses
+    cons_sm = np.array([cp.splitmer for cons in consensus for cp in cons], dtype=np.uint64)
+    cons_km = np.array([cp.kmer for cons in consensus for cp in cons], dtype=np.uint64)
+    cons_cid = np.repeat(np.arange(C, dtype=np.int64), [len(cons) for cons in consensus])
+    o = np.argsort(cons_sm, kind="stable")
+    cons_sm, cons_km, cons_cid = cons_sm[o], cons_km[o], cons_cid[o]
+
     new_clusters: list[list[int]] = [[] for _ in clusters]
     reassigned = 0
     for ci, cluster in enumerate(clusters):
@@ -334,21 +354,28 @@ def _reassign_reads(
                 _, kms = twin_reads[read_id].blockmers_vec()
             else:
                 _, kms = twin_reads[read_id].snpmers_vec()
-            best_cluster = ci
-            best = (np.inf, 0)
-            for cand in range(len(clusters)):
-                mp = maps[cand]
-                m = mm = 0
-                for km in kms:
-                    ck = mp.get((int(km) >> (2 * l)) if marker == "blockmer" else int(km & mask))
-                    if ck is not None:
-                        if ck == int(km):
-                            m += 1
-                        else:
-                            mm += 1
-                if mm < best[0] or (mm == best[0] and m > best[1]):
-                    best = (mm, m)
-                    best_cluster = cand
+            kms = np.asarray(kms, dtype=np.uint64)
+            mm = np.zeros(C, dtype=np.int64)
+            m = np.zeros(C, dtype=np.int64)
+            if len(kms) and len(cons_sm):
+                sms = (kms >> np.uint64(2 * l)) if marker == "blockmer" else (kms & mask)
+                lo = np.searchsorted(cons_sm, sms, side="left")
+                hi = np.searchsorted(cons_sm, sms, side="right")
+                runs = hi - lo
+                nz = runs > 0
+                if nz.any():
+                    runs_nz = runs[nz]
+                    total = int(runs_nz.sum())
+                    flat = np.repeat(lo[nz], runs_nz) + (
+                        np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
+                    )
+                    hit_cid = cons_cid[flat]
+                    hit_match = cons_km[flat] == np.repeat(kms[nz], runs_nz)
+                    m = np.bincount(hit_cid[hit_match], minlength=C)
+                    mm = np.bincount(hit_cid[~hit_match], minlength=C)
+            # argmin of (mm, -m), first index on ties — matches the scalar
+            # loop's strict-improvement rule (initial best beats inf)
+            best_cluster = int(np.argmin((mm << np.int64(32)) - m))
             new_clusters[best_cluster].append(read_id)
             if best_cluster != ci:
                 reassigned += 1
