@@ -1,0 +1,61 @@
+"""Opt-in scale test (SAVONT_RUN_SLOW=1): 20k synthetic reads from 10 Zymo
+templates must stay NM=0-perfect and finish in linear-ish time.  Guards the
+vectorized stage-3 paths whose dict-loop ancestors were superlinear in
+cluster depth."""
+import gzip
+import os
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SAVONT_RUN_SLOW"), reason="set SAVONT_RUN_SLOW=1 to run"
+)
+
+
+def test_20k_synthetic_scale(tmp_path):
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.io.fastx import read_fastx
+    from savont_tpu.ops.encode import revcomp_bytes
+    from savont_tpu.pipeline.asv import run_cluster
+    from savont_tpu.validate import validate_asvs
+
+    ref_fa = "/root/reference/tests/data/zymo_ref_asvs.fa.gz"
+    refs = [(r.id, r.seq.upper()) for r in read_fastx(ref_fa)]
+    seen, picked = set(), []
+    for rid, seq in refs:
+        contig = rid.split("::")[1].split(":")[0]
+        if contig not in seen and 1300 < len(seq) < 1700:
+            seen.add(contig)
+            picked.append(seq)
+    picked = picked[:10]
+    rng = np.random.default_rng(42)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    path = tmp_path / "synth.fq.gz"
+    with gzip.open(path, "wt") as out:
+        for ti, seq in enumerate(picked):
+            arr = np.frombuffer(seq, dtype=np.uint8)
+            for i in range(2000):
+                b = arr.copy()
+                nsub = rng.binomial(len(b), 0.015)
+                pos = rng.choice(len(b), nsub, replace=False)
+                b[pos] = BASES[(np.searchsorted(BASES, b[pos]) + rng.integers(1, 4, nsub)) % 4]
+                s = b.tobytes()
+                if rng.random() < 0.3:
+                    p = int(rng.integers(50, len(s) - 50))
+                    s = s[:p] + s[p + int(rng.integers(1, 3)):]
+                if rng.random() < 0.5:
+                    s = revcomp_bytes(s)
+                out.write(f"@t{ti}_r{i}\n{s.decode()}\n+\n{'I' * len(s)}\n")
+
+    t0 = time.time()
+    out_dir = tmp_path / "out"
+    run_cluster(ClusterArgs(input_files=[str(path)], output_dir=str(out_dir), threads=4))
+    wall = time.time() - t0
+    res = validate_asvs(str(out_dir / "final_asvs.fasta"), ref_fa)
+    assert res, "no ASVs"
+    assert all(r.nm == 0 for r in res), [r.nm for r in res]
+    assert len(res) >= 8
+    assert wall < 300, f"20k reads took {wall:.0f}s — superlinear regression?"
