@@ -39,7 +39,7 @@ class ClusterArgs:
     use_blockmers: bool = False
     chimera_allowable_errors: int = 1
     chimera_detect_length: int | None = None
-    clean_dir: bool = False
+    clean_dir: bool = False  # declared but unused in the reference too (cli.rs:59-61)
     phase_heterogeneous: bool = False
     resume: bool = False
 

@@ -203,3 +203,22 @@ def test_export_two_runs(tmp_path):
     }
     assert rep_ids == set(rows)
     assert (out / "merged_asv_taxonomy.tsv").exists()
+
+
+def test_download_flow_with_mocked_fetch(tmp_path, monkeypatch):
+    """download.rs:5-31: per-keyword dest dir, fetch, .savont_db marker;
+    unknown keywords abort.  Network fetches are mocked."""
+    from savont_tpu.db import registry
+
+    calls = []
+    monkeypatch.setattr(registry, "_run", lambda cmd: calls.append(cmd))
+    registry.download(str(tmp_path), ["emu-1"])
+    dest = tmp_path / "emu-1"
+    assert (dest / registry.MARKER_FILE).exists()
+    assert registry.read_marker(dest) == "emu-1"
+    assert any("wget" in c[0] for c in calls)
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="Unknown database"):
+        registry.download(str(tmp_path), ["not-a-db"])
