@@ -314,3 +314,329 @@ void sw_banded_batch(
 }
 
 }  // extern "C"
+
+// ── NM-only forward kernel, inter-pair SIMD ─────────────────────────────────
+//
+// Port of savont_tpu/ops/align_jax.py::sw_forward_meta (same tie-breaking,
+// proven equal to the traceback backends): banded forward DP carrying
+// (nm, q_start, t_start) metadata along winning paths, so no matrices are
+// stored and no traceback runs.  SIMD lanes = PAIRS (16 int16 lanes); the
+// band loop is scalar but every op inside is vertical across the block.
+// Requires smooth_lo bands (per-row advance dl in {0, 1}) like the device
+// kernels — the caller smooths.
+namespace {
+
+constexpr int PBLK = 16;
+
+// branchless select on an all-ones/zeros int16 mask
+#define SEL16(m, a, b) ((int16_t)((b) ^ (((a) ^ (b)) & (m))))
+
+struct NmScratch {
+    // planes [band+1][PBLK] (one slot of padding so up() at j = band-1 can
+    // read a fill slot instead of branching)
+    std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
+    std::vector<int16_t> Gr, Er, nmg, qsg, tsg, tc;
+    std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
+};
+
+inline void nm_block(
+    const uint8_t* const* q, const int32_t* qlen,
+    const uint8_t* const* t, const int32_t* tlen,
+    const int64_t* const* lo,  // smoothed, len qlen+1 per pair
+    int np, int band, int32_t* out /* (PBLK, 6) */, NmScratch& sc) {
+    const int stride = PBLK;
+    const size_t plane = (size_t)(band + 1) * stride;
+    auto init_plane = [&](std::vector<int16_t>& v, int16_t val) {
+        v.assign(plane, val);
+    };
+    init_plane(sc.H, 0);
+    init_plane(sc.F, NEG);
+    init_plane(sc.nmh, 0);
+    init_plane(sc.qsh, 0);
+    init_plane(sc.tsh, 0);
+    init_plane(sc.nmf, 0);
+    init_plane(sc.qsf, 0);
+    init_plane(sc.tsf, 0);
+    sc.Gr.resize(plane); sc.Er.resize(plane);
+    sc.nmg.resize(plane); sc.qsg.resize(plane); sc.tsg.resize(plane);
+    sc.tc.resize(plane);
+    sc.Hn.resize(plane); sc.Fn.resize(plane);
+    sc.nmhn.resize(plane); sc.qshn.resize(plane); sc.tshn.resize(plane);
+
+    int32_t m_max = 0;
+    for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
+
+    // per-lane running best (value, qs, ts, qe, te, nm)
+    int16_t bv[PBLK], bqs[PBLK], bts[PBLK], bqe[PBLK], bte[PBLK], bnm[PBLK];
+    for (int p = 0; p < PBLK; p++) {
+        bv[p] = 0; bqs[p] = bts[p] = bqe[p] = bte[p] = bnm[p] = 0;
+    }
+    // fill slots at j = band stay at their init values (NEG / 0): the up()
+    // access j+1 at j = band-1 lands there, matching shl1's fill.
+
+    int16_t qc[PBLK], dl[PBLK], lrow16[PBLK], tlen16[PBLK];
+    int32_t lrow[PBLK];
+    for (int p = 0; p < PBLK; p++) tlen16[p] = (int16_t)tlen[p < np ? p : 0];
+    for (int32_t r = 1; r <= m_max; r++) {
+        for (int p = 0; p < np; p++) {
+            if (r <= qlen[p]) {
+                qc[p] = (int16_t)q[p][r - 1];
+                lrow[p] = (int32_t)lo[p][r];
+                dl[p] = (int16_t)(lo[p][r] - lo[p][r - 1]);
+            } else {  // inert padding row (same as the NumPy bucket padding)
+                qc[p] = 5;
+                lrow[p] = (int32_t)lo[p][qlen[p]];
+                dl[p] = 0;
+            }
+            lrow16[p] = (int16_t)lrow[p];
+        }
+        // target window: full gather on the first row, then an incremental
+        // lane-blend shift (dl in {0,1}) plus one fresh load per advanced
+        // lane — clamped tails stay clamped, so the shift recurrence holds
+        if (r == 1) {
+            for (int32_t j = 0; j < band; j++) {
+                int16_t* tcj = &sc.tc[(size_t)j * stride];
+                for (int p = 0; p < np; p++) {
+                    int64_t col = lrow[p] + j;
+                    if (col >= tlen[p]) col = tlen[p] - 1;
+                    tcj[p] = (col >= 0) ? (int16_t)t[p][col] : (int16_t)255;
+                }
+            }
+        } else {
+            int16_t* __restrict tcb = sc.tc.data();
+            int16_t md1v[PBLK];
+            for (int p = 0; p < PBLK; p++) md1v[p] = (int16_t)-(int16_t)(dl[p] == 1);
+            for (int32_t j = 0; j < band - 1; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const size_t o1 = o0 + stride;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++)
+                    tcb[o0 + p] = SEL16(md1v[p], tcb[o1 + p], tcb[o0 + p]);
+            }
+            int16_t* tclast = &sc.tc[(size_t)(band - 1) * stride];
+            for (int p = 0; p < np; p++) {
+                if (dl[p] == 1) {
+                    int64_t col = lrow[p] + band - 1;
+                    if (col >= tlen[p]) col = tlen[p] - 1;
+                    tclast[p] = (int16_t)t[p][col];
+                }
+            }
+        }
+
+        // F / G pass with metadata (vertical across lanes).  All planes via
+        // __restrict pointers so the lane loops vectorize.
+        {
+            const int16_t* __restrict Hb = sc.H.data();
+            const int16_t* __restrict Fb = sc.F.data();
+            const int16_t* __restrict nmhb = sc.nmh.data();
+            const int16_t* __restrict qshb = sc.qsh.data();
+            const int16_t* __restrict tshb = sc.tsh.data();
+            const int16_t* __restrict nmfb = sc.nmf.data();
+            const int16_t* __restrict qsfb = sc.qsf.data();
+            const int16_t* __restrict tsfb = sc.tsf.data();
+            int16_t* __restrict Grb = sc.Gr.data();
+            int16_t* __restrict nmgb = sc.nmg.data();
+            int16_t* __restrict qsgb = sc.qsg.data();
+            int16_t* __restrict tsgb = sc.tsg.data();
+            int16_t* __restrict Fnb = sc.Fn.data();
+            int16_t* __restrict nmfnb = sc.nmhn.data();  // temp F meta
+            int16_t* __restrict qsfnb = sc.qshn.data();
+            int16_t* __restrict tsfnb = sc.tshn.data();
+            const int16_t* __restrict tcb = sc.tc.data();
+            for (int32_t j = 0; j < band; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const size_t o1 = o0 + stride;
+                const size_t om = (j > 0) ? o0 - stride : 0;
+                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++) {
+                    // all-int16 mask arithmetic: sel(m,a,b) = b ^ ((a^b)&m)
+                    const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
+                    const int16_t col = (int16_t)(lrow16[p] + j);
+                    const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+                    const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
+                    const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], nmhb[o0 + p]);
+                    const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
+                    const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
+                    const int16_t nmf_up = SEL16(md1, nmfb[o1 + p], nmfb[o0 + p]);
+                    const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
+                    const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
+                    // diag = previous row, column j + dl - 1; at j = 0 with
+                    // dl = 0, the free zero boundary applies only at col 0
+                    const int16_t mdiag = (int16_t)(md1 | mjpos);
+                    const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
+                    const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
+                    const int16_t nmd0 = SEL16(md1, nmhb[o0 + p], nmhb[om + p]);
+                    const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
+                    const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
+                    const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
+                    const int16_t nmd = (int16_t)(mdiag & nmd0);
+                    const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
+                    const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
+                    const int16_t tcv = tcb[o0 + p];
+                    const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
+                    const int16_t s = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
+                    // F: prefer H-origin on ties
+                    const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
+                    const int16_t mfh = (int16_t)-(int16_t)(hgo >= Fup);
+                    int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
+                    f = std::max<int16_t>(f, (int16_t)NEG);
+                    const int16_t nmf_n = (int16_t)(SEL16(mfh, nmh_up, nmf_up) + 1);
+                    const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
+                    const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
+                    // G: priority zero > F > diag
+                    const int16_t gd = (int16_t)(Hdiag + s);
+                    const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
+                    const int16_t mgz = (int16_t)-(int16_t)(g == 0);
+                    const int16_t mgf = (int16_t)(~mgz & (int16_t)-(int16_t)(g == f));
+                    const int16_t nmdm = (int16_t)(nmd + (int16_t)(~mmatch & 1));
+                    nmgb[o0 + p] = (int16_t)(~mgz & SEL16(mgf, nmf_n, nmdm));
+                    qsgb[o0 + p] = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
+                    tsgb[o0 + p] = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
+                    Grb[o0 + p] = g;
+                    Fnb[o0 + p] = f;
+                    nmfnb[o0 + p] = nmf_n;
+                    qsfnb[o0 + p] = qsf_n;
+                    tsfnb[o0 + p] = tsf_n;
+                }
+            }
+        }
+
+        // E prefix (sequential in j, vertical across lanes) + H + best
+        {
+            int16_t run_v[PBLK], run_nm[PBLK], run_qs[PBLK], run_ts[PBLK];
+            for (int p = 0; p < PBLK; p++) {
+                run_v[p] = NEG; run_nm[p] = 0; run_qs[p] = 0; run_ts[p] = 0;
+            }
+            int16_t* __restrict Hnb = sc.Hn.data();
+            const int16_t* __restrict Grb = sc.Gr.data();
+            int16_t* __restrict nmgb = sc.nmg.data();
+            int16_t* __restrict qsgb = sc.qsg.data();
+            int16_t* __restrict tsgb = sc.tsg.data();
+            for (int32_t j = 0; j < band; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++) {
+                    const int16_t col = (int16_t)(lrow16[p] + j);
+                    int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
+                    e = std::max<int16_t>(e, (int16_t)NEG);
+                    e = SEL16(mjpos, e, (int16_t)NEG);
+                    const int16_t nme = (int16_t)(mjpos & (int16_t)(run_nm[p] + j));
+                    const int16_t qse = (int16_t)(mjpos & run_qs[p]);
+                    const int16_t tse = (int16_t)(mjpos & run_ts[p]);
+                    const int16_t g = Grb[o0 + p];
+                    const int16_t nmg_v = nmgb[o0 + p];
+                    const int16_t qsg_v = qsgb[o0 + p];
+                    const int16_t tsg_v = tsgb[o0 + p];
+                    const int16_t mg = (int16_t)-(int16_t)(g >= e);
+                    const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
+                    const int16_t h0 = SEL16(mg, g, e);
+                    const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
+                    const int16_t nmh_n = SEL16(mg, nmg_v, nme);
+                    const int16_t qsh_n = SEL16(mg, qsg_v, qse);
+                    const int16_t tsh_n = SEL16(mg, tsg_v, tse);
+                    Hnb[o0 + p] = h;
+                    // overwrite G meta planes with H meta (consumed next row)
+                    nmgb[o0 + p] = nmh_n;
+                    qsgb[o0 + p] = qsh_n;
+                    tsgb[o0 + p] = tsh_n;
+                    // prefix update with A = G + ext*j, ties -> larger j
+                    const int16_t cand = (int16_t)(g + GAP_EXT * j);
+                    const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
+                    run_v[p] = SEL16(mtake, cand, run_v[p]);
+                    run_nm[p] = SEL16(mtake, (int16_t)(nmg_v - j), run_nm[p]);
+                    run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
+                    run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
+                    // per-lane best (strict >: earliest row, lowest j wins)
+                    const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
+                    bv[p] = SEL16(mb, h, bv[p]);
+                    bqs[p] = SEL16(mb, qsh_n, bqs[p]);
+                    bts[p] = SEL16(mb, tsh_n, bts[p]);
+                    bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
+                    bte[p] = SEL16(mb, (int16_t)(col + 1), bte[p]);
+                    bnm[p] = SEL16(mb, nmh_n, bnm[p]);
+                }
+            }
+        }
+
+        // rotate planes: H <- Hn, H-meta <- (nmg,qsg,tsg), F <- Fn,
+        // F-meta <- (nmhn,qshn,tshn which temporarily hold F meta)
+        std::swap(sc.H, sc.Hn);
+        std::swap(sc.F, sc.Fn);
+        std::swap(sc.nmh, sc.nmg);
+        std::swap(sc.qsh, sc.qsg);
+        std::swap(sc.tsh, sc.tsg);
+        std::swap(sc.nmf, sc.nmhn);
+        std::swap(sc.qsf, sc.qshn);
+        std::swap(sc.tsf, sc.tshn);
+        // restore fill slots at j = band (swaps may have moved stale data in)
+        const size_t ob = (size_t)band * stride;
+        for (int p = 0; p < PBLK; p++) {
+            sc.H[ob + p] = NEG; sc.F[ob + p] = NEG;
+            sc.nmh[ob + p] = 0; sc.qsh[ob + p] = 0; sc.tsh[ob + p] = 0;
+            sc.nmf[ob + p] = 0; sc.qsf[ob + p] = 0; sc.tsf[ob + p] = 0;
+        }
+    }
+
+    for (int p = 0; p < np; p++) {
+        int32_t* o = out + (size_t)p * 6;
+        o[0] = bv[p]; o[1] = bqs[p]; o[2] = bqe[p];
+        o[3] = bts[p]; o[4] = bte[p]; o[5] = bnm[p];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// NM-only batch: q/t/lo concatenated like sw_banded_batch; lo must be
+// smoothed (per-row advance in {0,1}).  out_meta: (B, 6) int32 =
+// (score, q_start, q_end, t_start, t_end, nm).
+void sw_nm_batch(
+    const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
+    const int64_t* lo, const int64_t* lo_off,
+    int32_t n_pairs, int32_t band,
+    int32_t* out_meta, int32_t n_threads) {
+    const int32_t n_blocks = (n_pairs + PBLK - 1) / PBLK;
+#ifdef _OPENMP
+    const int nt_ = (n_threads > 0) ? n_threads
+                    : (n_blocks > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt_)
+#endif
+    {
+        NmScratch sc;
+        const uint8_t* qp[PBLK];
+        const uint8_t* tp[PBLK];
+        const int64_t* lop[PBLK];
+        int32_t ql[PBLK], tl[PBLK];
+        int32_t blk_out[PBLK * 6];
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int32_t b = 0; b < n_blocks; b++) {
+            const int32_t start = b * PBLK;
+            const int np = std::min<int32_t>(PBLK, n_pairs - start);
+            for (int i = 0; i < PBLK; i++) {
+                const int32_t src = (i < np) ? start + i : start;  // clone row 0
+                qp[i] = q + q_off[src];
+                tp[i] = t + t_off[src];
+                lop[i] = lo + lo_off[src];
+                ql[i] = q_len[src];
+                tl[i] = t_len[src];
+            }
+            nm_block(qp, ql, tp, tl, lop, PBLK, band, blk_out, sc);
+            std::memcpy(out_meta + (size_t)start * 6, blk_out,
+                        (size_t)np * 6 * sizeof(int32_t));
+        }
+    }
+}
+
+}  // extern "C"

@@ -222,6 +222,18 @@ class TargetIndex:
         return pq[qi].astype(np.int32), self.h_tid[hidx], self.h_tpos[hidx], same
 
 
+
+def smooth_lo(lo):
+    """Clamp per-row band advances to <= 1 column: lo'[i] = i + cummin(lo - i).
+
+    The device kernels and the native NM kernel use static {0,1} shifts
+    instead of dynamic gathers; a 128-wide band tolerates the resulting
+    <=64-column lag on diagonal jumps (larger structural indels are filtered
+    downstream)."""
+    ar = np.arange(lo.shape[-1])
+    return (ar + np.minimum.accumulate(lo - ar, axis=-1)).astype(lo.dtype)
+
+
 def _chain_anchors(qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:
     """Longest co-linear chain: LIS on tpos after sorting by (qpos, tpos)."""
     order = np.lexsort((tpos, qpos))

@@ -350,6 +350,54 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0) -> lis
     return results
 
 
+def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
+    """NM-only jobs through the inter-pair SIMD forward kernel (sw_nm_batch):
+    no matrices, no traceback, metadata carried along winning paths — the C++
+    twin of align_jax.sw_forward_meta (same tie rules, same results)."""
+    import ctypes
+
+    from .align import smooth_lo
+
+    B = len(jobs)
+    # int16 metadata planes: fall back to the traceback kernel on huge seqs
+    if any(len(j.qcodes) > 32000 or len(j.tcodes) > 32000 for j in jobs):
+        return _run_native(jobs, band, lib)
+    # sort by query length so PBLK blocks have similar padded heights
+    order = sorted(range(B), key=lambda i: len(jobs[i].qcodes))
+    sjobs = [jobs[i] for i in order]
+    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in sjobs])
+    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in sjobs])
+    q_lens = np.array([len(j.qcodes) for j in sjobs], dtype=np.int32)
+    t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
+    q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
+    t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
+    lo_parts, lo_lens = [], []
+    for j in sjobs:
+        lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
+        lo_parts.append(smooth_lo(lo_full[None, :])[0])  # dl in {0, 1}
+        lo_lens.append(len(lo_full))
+    lo_cat = np.ascontiguousarray(np.concatenate(lo_parts), dtype=np.int64)
+    lo_off = np.concatenate(([0], np.cumsum(lo_lens[:-1]))).astype(np.int64)
+    out_meta = np.zeros((B, 6), dtype=np.int32)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.sw_nm_batch(
+        ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
+        ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
+        ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+        ctypes.c_int32(B), ctypes.c_int32(band),
+        ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
+    )
+    results: list[tuple | None] = [None] * B
+    for si, i in enumerate(order):
+        score, q0, q1, t0, t1, nm = (int(x) for x in out_meta[si])
+        if score > 0:
+            results[i] = (score, q0, q1, t0, t1, [], nm)
+    return results
+
+
 def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tuple | None]:
     """Run all jobs, bucketed by query length for padding efficiency.
 
@@ -435,6 +483,11 @@ def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
                 else:
                     results[i] = (r["score"], r["q_start"], r["q_end"], r["t_start"], r["t_end"], [], r["nm"])
         return results
+    from .native_build import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _run_native_nm(jobs, band, lib)
     return run_jobs(jobs, band)
 
 

@@ -31,14 +31,7 @@ from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 NEG = -20000
 
 
-def smooth_lo(lo: np.ndarray) -> np.ndarray:
-    """Clamp per-row band advances to <= 1 column: lo'[i] = i + cummin(lo - i).
-
-    The device kernel uses static {0,1}-lane shifts instead of dynamic
-    gathers; a 128-wide band tolerates the resulting <=64-column lag on
-    diagonal jumps (larger structural indels are filtered downstream)."""
-    ar = np.arange(lo.shape[-1])
-    return (ar + np.minimum.accumulate(lo - ar, axis=-1)).astype(lo.dtype)
+from .align import smooth_lo  # numpy helper shared with the native NM kernel
 
 
 @partial(jax.jit, static_argnames=("band",))
