@@ -337,12 +337,13 @@ struct NmScratch {
     std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
     std::vector<int16_t> Gr, Er, nmg, qsg, tsg, tc;
     std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
+    std::vector<int32_t> lo_s;
 };
 
 inline void nm_block(
     const uint8_t* const* q, const int32_t* qlen,
     const uint8_t* const* t, const int32_t* tlen,
-    const int64_t* const* lo,  // smoothed, len qlen+1 per pair
+    const int64_t* const* lo_raw,  // planner lo, len qlen per pair
     int np, int band, int32_t* out /* (PBLK, 6) */, NmScratch& sc) {
     const int stride = PBLK;
     const size_t plane = (size_t)(band + 1) * stride;
@@ -366,6 +367,26 @@ inline void nm_block(
     int32_t m_max = 0;
     for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
 
+    // smooth lo in place of the caller: lo_full = [lo[0], lo...] then
+    // lo'[i] = i + cummin(lo_full - i) — per-row advances become {0, 1}
+    sc.lo_s.resize((size_t)(m_max + 1) * PBLK);
+    int32_t* __restrict lo_s = sc.lo_s.data();
+    for (int p = 0; p < np; p++) {
+        const int64_t* lp = lo_raw[p];
+        const int32_t m = qlen[p];
+        int64_t run = lp[0];
+        lo_s[p] = (int32_t)run;
+        for (int32_t i = 1; i <= m; i++) {
+            run = std::min(run, lp[i - 1] - i);
+            lo_s[(size_t)i * PBLK + p] = (int32_t)(i + run);
+        }
+        for (int32_t i = m + 1; i <= m_max; i++)
+            lo_s[(size_t)i * PBLK + p] = lo_s[(size_t)m * PBLK + p];
+    }
+    for (int p = np; p < PBLK; p++)
+        for (int32_t i = 0; i <= m_max; i++)
+            lo_s[(size_t)i * PBLK + p] = lo_s[(size_t)i * PBLK];
+
     // per-lane running best (value, qs, ts, qe, te, nm)
     int16_t bv[PBLK], bqs[PBLK], bts[PBLK], bqe[PBLK], bte[PBLK], bnm[PBLK];
     for (int p = 0; p < PBLK; p++) {
@@ -379,16 +400,11 @@ inline void nm_block(
     for (int p = 0; p < PBLK; p++) tlen16[p] = (int16_t)tlen[p < np ? p : 0];
     for (int32_t r = 1; r <= m_max; r++) {
         for (int p = 0; p < np; p++) {
-            if (r <= qlen[p]) {
-                qc[p] = (int16_t)q[p][r - 1];
-                lrow[p] = (int32_t)lo[p][r];
-                dl[p] = (int16_t)(lo[p][r] - lo[p][r - 1]);
-            } else {  // inert padding row (same as the NumPy bucket padding)
-                qc[p] = 5;
-                lrow[p] = (int32_t)lo[p][qlen[p]];
-                dl[p] = 0;
-            }
-            lrow16[p] = (int16_t)lrow[p];
+            const int32_t lr = lo_s[(size_t)r * PBLK + p];
+            qc[p] = (r <= qlen[p]) ? (int16_t)q[p][r - 1] : (int16_t)5;
+            lrow[p] = lr;
+            dl[p] = (int16_t)(lr - lo_s[(size_t)(r - 1) * PBLK + p]);
+            lrow16[p] = (int16_t)lr;
         }
         // target window: full gather on the first row, then an incremental
         // lane-blend shift (dl in {0,1}) plus one fresh load per advanced

@@ -356,8 +356,6 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     twin of align_jax.sw_forward_meta (same tie rules, same results)."""
     import ctypes
 
-    from .align import smooth_lo
-
     B = len(jobs)
     # int16 metadata planes: fall back to the traceback kernel on huge seqs
     if any(len(j.qcodes) > 32000 or len(j.tcodes) > 32000 for j in jobs):
@@ -371,13 +369,11 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
     q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
     t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
-    lo_parts, lo_lens = [], []
-    for j in sjobs:
-        lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
-        lo_parts.append(smooth_lo(lo_full[None, :])[0])  # dl in {0, 1}
-        lo_lens.append(len(lo_full))
-    lo_cat = np.ascontiguousarray(np.concatenate(lo_parts), dtype=np.int64)
-    lo_off = np.concatenate(([0], np.cumsum(lo_lens[:-1]))).astype(np.int64)
+    # raw planner lo; the kernel smooths internally (dl in {0, 1})
+    lo_cat = np.ascontiguousarray(
+        np.concatenate([j.lo for j in sjobs]), dtype=np.int64
+    )
+    lo_off = q_off  # lo has q_len entries per pair
     out_meta = np.zeros((B, 6), dtype=np.int32)
 
     def ptr(a, typ):

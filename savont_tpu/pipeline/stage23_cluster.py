@@ -62,8 +62,14 @@ def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> lis
             read_set = np.unique(read.minimizer_kmers())
             best_sim = 0.0
             for cand in to_check:
-                rep_set = rep_kmer_sets[cand]
-                count = int(np.isin(read_set, rep_set, assume_unique=True).sum())
+                rep_set = rep_kmer_sets[cand]  # sorted unique
+                # membership via binary search (np.isin re-sorts both sides)
+                if len(rep_set) == 0 or len(read_set) == 0:
+                    count = 0
+                else:
+                    idx = np.searchsorted(rep_set, read_set)
+                    idx[idx == len(rep_set)] = len(rep_set) - 1
+                    count = int((rep_set[idx] == read_set).sum())
                 denom = max(len(read_set), rep_vec_len[cand])
                 if denom == 0:
                     continue
