@@ -56,3 +56,33 @@ def test_outputs_structure(zymo_output):
         assert h[1:].split()[0] == line.split("\t")[0]
     assert (zymo_output / "final_clusters.tsv").exists()
     assert (zymo_output / "temp" / "kmer_clusters_stage2.tsv").exists()
+
+
+def test_cli_black_box_run(tmp_path):
+    """Drive the actual CLI end-to-end like integration_test.rs:20,97 does
+    with the compiled binary: subprocess `python -m savont_tpu asv`, then
+    assert NM=0 on every ASV and feature-table/rep-seqs ID-set equality
+    (integration_test.rs:312-369)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "cli_out"
+    r = subprocess.run(
+        [sys.executable, "-m", "savont_tpu", "asv", str(READS),
+         "-o", str(out), "-t", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    fasta = out / "final_asvs.fasta"
+    assert fasta.exists()
+    from savont_tpu.validate import validate_asvs
+
+    results = validate_asvs(str(fasta), str(REF_ASVS))
+    assert results and all(m.nm == 0 for m in results)
+
+    headers = [l[1:].split()[0] for l in fasta.read_text().splitlines() if l.startswith(">")]
+    ft_lines = (out / "feature-table.tsv").read_text().splitlines()
+    ft_ids = [l.split("\t")[0] for l in ft_lines[1:]]
+    assert sorted(ft_ids) == sorted(headers)
+    assert (out / "savont.log").exists()
+    assert (out / "final_clusters.tsv").exists()
