@@ -130,7 +130,25 @@ def plan_jobs_batch(
     qp_o = np.where(same, all_p[mi], (qlens[h_qid] - index.k - all_p[mi])).astype(np.int64)
     tpos = index.h_tpos[hidx].astype(np.int64)
 
-    order = np.lexsort((tpos, qp_o, strand, h_tid, h_qid))
+    # sort by (qid, tid, strand, qp, tpos): pack into one u64 key when the
+    # dims fit (20+14+1+14+14 bits) — one argsort beats a 5-key lexsort
+    if (
+        len(queries) < (1 << 20)
+        and len(index.targets) < (1 << 14)
+        and int(qp_o.max(initial=0)) < (1 << 14)
+        and int(tpos.max(initial=0)) < (1 << 14)
+        and int(qp_o.min(initial=0)) >= 0
+    ):
+        key = (
+            (h_qid.astype(np.uint64) << np.uint64(43))
+            | (h_tid.astype(np.uint64) << np.uint64(29))
+            | ((strand == 1).astype(np.uint64) << np.uint64(28))
+            | (qp_o.astype(np.uint64) << np.uint64(14))
+            | tpos.astype(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((tpos, qp_o, strand, h_tid, h_qid))
     h_qid, h_tid, strand, qp_o, tpos = (
         h_qid[order], h_tid[order], strand[order], qp_o[order], tpos[order],
     )
