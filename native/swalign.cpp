@@ -322,8 +322,8 @@ void sw_banded_batch(
 // (nm, q_start, t_start) metadata along winning paths, so no matrices are
 // stored and no traceback runs.  SIMD lanes = PAIRS (16 int16 lanes); the
 // band loop is scalar but every op inside is vertical across the block.
-// Requires smooth_lo bands (per-row advance dl in {0, 1}) like the device
-// kernels — the caller smooths.
+// Band advances of 0/1 are lane blends; rare larger jumps pre-shift the
+// lane's previous-row planes, so raw planner bands are handled exactly.
 namespace {
 
 constexpr int PBLK = 16;
@@ -337,7 +337,6 @@ struct NmScratch {
     std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
     std::vector<int16_t> Gr, Er, nmg, qsg, tsg, tc;
     std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
-    std::vector<int32_t> lo_s;
 };
 
 inline void nm_block(
@@ -367,26 +366,6 @@ inline void nm_block(
     int32_t m_max = 0;
     for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
 
-    // smooth lo in place of the caller: lo_full = [lo[0], lo...] then
-    // lo'[i] = i + cummin(lo_full - i) — per-row advances become {0, 1}
-    sc.lo_s.resize((size_t)(m_max + 1) * PBLK);
-    int32_t* __restrict lo_s = sc.lo_s.data();
-    for (int p = 0; p < np; p++) {
-        const int64_t* lp = lo_raw[p];
-        const int32_t m = qlen[p];
-        int64_t run = lp[0];
-        lo_s[p] = (int32_t)run;
-        for (int32_t i = 1; i <= m; i++) {
-            run = std::min(run, lp[i - 1] - i);
-            lo_s[(size_t)i * PBLK + p] = (int32_t)(i + run);
-        }
-        for (int32_t i = m + 1; i <= m_max; i++)
-            lo_s[(size_t)i * PBLK + p] = lo_s[(size_t)m * PBLK + p];
-    }
-    for (int p = np; p < PBLK; p++)
-        for (int32_t i = 0; i <= m_max; i++)
-            lo_s[(size_t)i * PBLK + p] = lo_s[(size_t)i * PBLK];
-
     // per-lane running best (value, qs, ts, qe, te, nm)
     int16_t bv[PBLK], bqs[PBLK], bts[PBLK], bqe[PBLK], bte[PBLK], bnm[PBLK];
     for (int p = 0; p < PBLK; p++) {
@@ -396,15 +375,55 @@ inline void nm_block(
     // access j+1 at j = band-1 lands there, matching shl1's fill.
 
     int16_t qc[PBLK], dl[PBLK], lrow16[PBLK], tlen16[PBLK];
+    uint8_t regather[PBLK];
     int32_t lrow[PBLK];
     for (int p = 0; p < PBLK; p++) tlen16[p] = (int16_t)tlen[p < np ? p : 0];
     for (int32_t r = 1; r <= m_max; r++) {
+        bool any_jump = false;
         for (int p = 0; p < np; p++) {
-            const int32_t lr = lo_s[(size_t)r * PBLK + p];
-            qc[p] = (r <= qlen[p]) ? (int16_t)q[p][r - 1] : (int16_t)5;
+            const int32_t m = qlen[p];
+            const int32_t ri = std::min(r, m);           // clamp into lo range
+            const int32_t lr = (int32_t)lo_raw[p][ri - 1];
+            const int32_t lprev = (r <= 1 || r > m)
+                ? lr                                      // row 1: lo_full[0]
+                : (int32_t)lo_raw[p][ri - 2];
+            qc[p] = (r <= m) ? (int16_t)q[p][r - 1] : (int16_t)5;
             lrow[p] = lr;
-            dl[p] = (int16_t)(lr - lo_s[(size_t)(r - 1) * PBLK + p]);
+            const int32_t d = lr - lprev;
+            dl[p] = (int16_t)d;
+            if (d > 1) any_jump = true;
             lrow16[p] = (int16_t)lr;
+            regather[p] = 0;
+        }
+        // rare band jumps (large deletions): shift the lane's previous-row
+        // planes left by d-1 (fills NEG / 0 like shl1) and regather its
+        // target window, then the normal dl = 1 blend path applies — exact
+        // raw-lo semantics without per-lane gathers in the hot loops
+        if (any_jump) {
+            int16_t* planes_neg[2] = { sc.H.data(), sc.F.data() };
+            int16_t* planes_zero[6] = { sc.nmh.data(), sc.qsh.data(), sc.tsh.data(),
+                                        sc.nmf.data(), sc.qsf.data(), sc.tsf.data() };
+            for (int p = 0; p < np; p++) {
+                const int32_t d = dl[p];
+                if (d <= 1) continue;
+                const int32_t sh = d - 1;
+                for (int x = 0; x < 2; x++) {
+                    int16_t* pl = planes_neg[x];
+                    for (int32_t j = 0; j + sh < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = pl[(size_t)(j + sh) * PBLK + p];
+                    for (int32_t j = std::max(0, band + 1 - sh); j < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = NEG;
+                }
+                for (int x = 0; x < 6; x++) {
+                    int16_t* pl = planes_zero[x];
+                    for (int32_t j = 0; j + sh < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = pl[(size_t)(j + sh) * PBLK + p];
+                    for (int32_t j = std::max(0, band + 1 - sh); j < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = 0;
+                }
+                dl[p] = 1;
+                regather[p] = 1;
+            }
         }
         // target window: full gather on the first row, then an incremental
         // lane-blend shift (dl in {0,1}) plus one fresh load per advanced
@@ -421,7 +440,8 @@ inline void nm_block(
         } else {
             int16_t* __restrict tcb = sc.tc.data();
             int16_t md1v[PBLK];
-            for (int p = 0; p < PBLK; p++) md1v[p] = (int16_t)-(int16_t)(dl[p] == 1);
+            for (int p = 0; p < PBLK; p++)
+                md1v[p] = (int16_t)-(int16_t)(dl[p] == 1 && !regather[p]);
             for (int32_t j = 0; j < band - 1; j++) {
                 const size_t o0 = (size_t)j * stride;
                 const size_t o1 = o0 + stride;
@@ -433,7 +453,13 @@ inline void nm_block(
             }
             int16_t* tclast = &sc.tc[(size_t)(band - 1) * stride];
             for (int p = 0; p < np; p++) {
-                if (dl[p] == 1) {
+                if (regather[p]) {
+                    for (int32_t j = 0; j < band; j++) {
+                        int64_t col = lrow[p] + j;
+                        if (col >= tlen[p]) col = tlen[p] - 1;
+                        sc.tc[(size_t)j * stride + p] = (int16_t)t[p][col];
+                    }
+                } else if (dl[p] == 1) {
                     int64_t col = lrow[p] + band - 1;
                     if (col >= tlen[p]) col = tlen[p] - 1;
                     tclast[p] = (int16_t)t[p][col];
@@ -612,9 +638,9 @@ inline void nm_block(
 
 extern "C" {
 
-// NM-only batch: q/t/lo concatenated like sw_banded_batch; lo must be
-// smoothed (per-row advance in {0,1}).  out_meta: (B, 6) int32 =
-// (score, q_start, q_end, t_start, t_end, nm).
+// NM-only batch: q/t/lo concatenated like sw_banded_batch; lo is the raw
+// planner band (len q_len per pair, arbitrary non-decreasing advances).
+// out_meta: (B, 6) int32 = (score, q_start, q_end, t_start, t_end, nm).
 void sw_nm_batch(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,

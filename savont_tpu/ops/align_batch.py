@@ -387,7 +387,7 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
     q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
     t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
-    # raw planner lo; the kernel smooths internally (dl in {0, 1})
+    # raw planner lo (len q_len per pair); exact semantics in-kernel
     lo_cat = np.ascontiguousarray(
         np.concatenate([j.lo for j in sjobs]), dtype=np.int64
     )

@@ -97,3 +97,44 @@ def test_chain_band_native_parity(monkeypatch):
         assert a.target_id == b.target_id and a.strand == b.strand
         assert np.array_equal(a.qcodes, b.qcodes)
         assert np.array_equal(a.lo, b.lo), f"lo mismatch tid={a.target_id}"
+
+
+def test_nm_kernel_exact_on_structural_indels():
+    """The inter-pair SIMD NM kernel must equal the traceback kernel on raw
+    planner bands, including rows with band jumps > 1 (large deletions) —
+    band smoothing is NOT result-preserving there, so the kernel pre-shifts
+    lanes instead."""
+    from savont_tpu.ops.align import TargetIndex
+    from savont_tpu.ops.align_batch import _run_native_nm, plan_jobs_batch, run_jobs
+    from savont_tpu.ops.encode import revcomp_bytes
+    from savont_tpu.ops.native_build import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    targets = [rand_seq(x) for x in [1500] * 3 + [90, 400]]
+    queries = []
+    for t in targets:
+        for _ in range(30):
+            q = bytearray(t)
+            for p in RNG.choice(len(q), max(2, len(q) // 20), replace=False):
+                q[p] = b"ACGT"[RNG.integers(4)]
+            if RNG.random() < 0.7 and len(q) > 1000:
+                d = int(RNG.integers(300, 900))
+                del q[d : d + int(RNG.integers(40, 160))]
+            if RNG.random() < 0.5 and len(q) > 1000:
+                d = int(RNG.integers(300, 900))
+                q[d:d] = rand_seq(int(RNG.integers(40, 160)))
+            if RNG.random() < 0.5:
+                q = bytearray(revcomp_bytes(bytes(q)))
+            queries.append(bytes(q))
+    jobs, _ = plan_jobs_batch(TargetIndex(targets), queries, band=128)
+    assert jobs
+    tb = run_jobs(jobs, band=128)
+    nm = _run_native_nm(jobs, 128, lib)
+    for a, b in zip(tb, nm):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert (a[0], a[1], a[2], a[3], a[4], a[6]) == (b[0], b[1], b[2], b[3], b[4], b[6])
