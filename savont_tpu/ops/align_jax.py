@@ -43,6 +43,10 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128):
     lo: (B, Lq+1) int32 band lower bound per row, non-decreasing with
         per-row increments of AT MOST 1 (see smooth_lo) — this lets every
         previous-row access be a static lane shift instead of a gather.
+        CAVEAT: smoothing a band whose chain jumps >1 column per row (large
+        structural deletions) can change results vs the raw-band oracle;
+        the host NM kernel (native/swalign.cpp sw_nm_batch) handles raw
+        bands exactly and is the default.  The device paths are opt-in.
     tlens: (B,) int32
     Returns dict of (B,) arrays: score, q_start, q_end, t_start, t_end, nm.
     """
