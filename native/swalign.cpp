@@ -682,3 +682,368 @@ void sw_nm_batch(
 }
 
 }  // extern "C"
+
+// ── Full traceback kernel, inter-pair SIMD ──────────────────────────────────
+//
+// Same lane-block forward as sw_nm_batch but without metadata planes;
+// instead each cell stores one packed direction byte (the five comparisons
+// the traceback makes on the H/E/F/G matrices), and a scalar per-pair walk
+// reconstructs the CIGAR.  Bits are computed from the same post-override
+// values the value-based traceback reads, so results are bit-identical to
+// sw_banded_batch (tests assert it).
+namespace {
+
+constexpr uint8_t T_H_IS_G = 1;    // H == G
+constexpr uint8_t T_G_ZERO = 2;    // G == 0
+constexpr uint8_t T_G_IS_F = 4;    // G == F
+constexpr uint8_t T_E_FROM_G = 8;  // E[j] == G[j-1] - o - e
+constexpr uint8_t T_F_FROM_H = 16; // F[j] == Hprev[j+dl] - o - e
+
+struct TbScratch {
+    std::vector<int16_t> H, F, Hn, Fn, Gr, tc;  // planes [band+1][PBLK]
+    std::vector<uint8_t> dirs;                  // [m_max][band][PBLK]
+    std::vector<uint8_t> ops;
+};
+
+inline void tb_block(
+    const uint8_t* const* q, const int32_t* qlen,
+    const uint8_t* const* t, const int32_t* tlen,
+    const int64_t* const* lo_raw,  // planner lo, len qlen per pair
+    int np, int band, Result* res /* PBLK */,
+    uint32_t* cigars /* PBLK * max_cigar */, int32_t max_cigar,
+    TbScratch& sc) {
+    const int stride = PBLK;
+    const size_t plane = (size_t)(band + 1) * stride;
+    sc.H.assign(plane, 0);
+    sc.F.assign(plane, NEG);
+    sc.Hn.resize(plane);
+    sc.Fn.resize(plane);
+    sc.Gr.resize(plane);
+    sc.tc.resize(plane);
+
+    int32_t m_max = 0;
+    for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
+    sc.dirs.resize((size_t)m_max * band * stride);
+
+    int16_t bv[PBLK], bqe[PBLK], bj[PBLK];
+    for (int p = 0; p < PBLK; p++) { bv[p] = 0; bqe[p] = 0; bj[p] = 0; }
+
+    int16_t qc[PBLK], dl[PBLK], lrow16[PBLK], tlen16[PBLK];
+    uint8_t regather[PBLK];
+    int32_t lrow[PBLK];
+    for (int p = 0; p < PBLK; p++) tlen16[p] = (int16_t)tlen[p < np ? p : 0];
+
+    for (int32_t r = 1; r <= m_max; r++) {
+        bool any_jump = false;
+        for (int p = 0; p < np; p++) {
+            const int32_t m = qlen[p];
+            const int32_t ri = std::min(r, m);
+            const int32_t lr = (int32_t)lo_raw[p][ri - 1];
+            const int32_t lprev = (r <= 1 || r > m) ? lr : (int32_t)lo_raw[p][ri - 2];
+            qc[p] = (r <= m) ? (int16_t)q[p][r - 1] : (int16_t)5;
+            lrow[p] = lr;
+            const int32_t d = lr - lprev;
+            dl[p] = (int16_t)d;
+            if (d > 1) any_jump = true;
+            lrow16[p] = (int16_t)lr;
+            regather[p] = 0;
+        }
+        if (any_jump) {
+            int16_t* planes_neg[2] = { sc.H.data(), sc.F.data() };
+            for (int p = 0; p < np; p++) {
+                const int32_t d = dl[p];
+                if (d <= 1) continue;
+                const int32_t sh = d - 1;
+                for (int x = 0; x < 2; x++) {
+                    int16_t* pl = planes_neg[x];
+                    for (int32_t j = 0; j + sh < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = pl[(size_t)(j + sh) * PBLK + p];
+                    for (int32_t j = std::max(0, band + 1 - sh); j < band + 1; j++)
+                        pl[(size_t)j * PBLK + p] = NEG;
+                }
+                dl[p] = 1;
+                regather[p] = 1;
+            }
+        }
+
+        // target window (same incremental scheme as sw_nm_batch)
+        if (r == 1) {
+            for (int32_t j = 0; j < band; j++) {
+                int16_t* tcj = &sc.tc[(size_t)j * stride];
+                for (int p = 0; p < np; p++) {
+                    int64_t col = lrow[p] + j;
+                    if (col >= tlen[p]) col = tlen[p] - 1;
+                    tcj[p] = (col >= 0) ? (int16_t)t[p][col] : (int16_t)255;
+                }
+            }
+        } else {
+            int16_t* __restrict tcb = sc.tc.data();
+            int16_t md1v[PBLK];
+            for (int p = 0; p < PBLK; p++)
+                md1v[p] = (int16_t)-(int16_t)(dl[p] == 1 && !regather[p]);
+            for (int32_t j = 0; j < band - 1; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const size_t o1 = o0 + stride;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++)
+                    tcb[o0 + p] = SEL16(md1v[p], tcb[o1 + p], tcb[o0 + p]);
+            }
+            int16_t* tclast = &sc.tc[(size_t)(band - 1) * stride];
+            for (int p = 0; p < np; p++) {
+                if (regather[p]) {
+                    for (int32_t j = 0; j < band; j++) {
+                        int64_t col = lrow[p] + j;
+                        if (col >= tlen[p]) col = tlen[p] - 1;
+                        sc.tc[(size_t)j * stride + p] = (int16_t)t[p][col];
+                    }
+                } else if (dl[p] == 1) {
+                    int64_t col = lrow[p] + band - 1;
+                    if (col >= tlen[p]) col = tlen[p] - 1;
+                    tclast[p] = (int16_t)t[p][col];
+                }
+            }
+        }
+
+        uint8_t* __restrict drow_base = sc.dirs.data() + (size_t)(r - 1) * band * stride;
+
+        // F / G pass (+ the F-origin bit)
+        {
+            const int16_t* __restrict Hb = sc.H.data();
+            const int16_t* __restrict Fb = sc.F.data();
+            int16_t* __restrict Grb = sc.Gr.data();
+            int16_t* __restrict Fnb = sc.Fn.data();
+            const int16_t* __restrict tcb = sc.tc.data();
+            for (int32_t j = 0; j < band; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const size_t o1 = o0 + stride;
+                const size_t om = (j > 0) ? o0 - stride : 0;
+                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+                uint8_t* __restrict dj = drow_base + (size_t)j * stride;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++) {
+                    const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
+                    const int16_t col = (int16_t)(lrow16[p] + j);
+                    const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+                    const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
+                    const int16_t mdiag = (int16_t)(md1 | mjpos);
+                    const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
+                    const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
+                    const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
+                    const int16_t tcv = tcb[o0 + p];
+                    const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
+                    const int16_t sv = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
+                    const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
+                    int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
+                    f = std::max<int16_t>(f, (int16_t)NEG);
+                    const int16_t gd = (int16_t)(Hdiag + sv);
+                    const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
+                    Grb[o0 + p] = g;
+                    Fnb[o0 + p] = f;
+                    // F-origin bit: F[j] == Hprev[j+dl] - o - e (out-of-band
+                    // Hup is the NEG fill, never equal after clamping)
+                    dj[p] = (uint8_t)(T_F_FROM_H &
+                            (uint8_t)-(int8_t)(f == (int16_t)(Hup - GAP_OPEN - GAP_EXT)));
+                }
+            }
+        }
+
+        // E prefix + H + remaining bits + per-lane best
+        {
+            int16_t run_v[PBLK], gprev[PBLK];
+            for (int p = 0; p < PBLK; p++) { run_v[p] = NEG; gprev[p] = 0; }
+            int16_t* __restrict Hnb = sc.Hn.data();
+            const int16_t* __restrict Grb = sc.Gr.data();
+            const int16_t* __restrict Fnb = sc.Fn.data();
+            for (int32_t j = 0; j < band; j++) {
+                const size_t o0 = (size_t)j * stride;
+                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+                uint8_t* __restrict dj = drow_base + (size_t)j * stride;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int p = 0; p < PBLK; p++) {
+                    const int16_t col = (int16_t)(lrow16[p] + j);
+                    int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
+                    e = std::max<int16_t>(e, (int16_t)NEG);
+                    e = SEL16(mjpos, e, (int16_t)NEG);
+                    const int16_t g = Grb[o0 + p];
+                    const int16_t f = Fnb[o0 + p];
+                    const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
+                    const int16_t gpost = SEL16(mvalid, g, (int16_t)NEG);
+                    const int16_t h0 = std::max<int16_t>(g, e);
+                    const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
+                    Hnb[o0 + p] = h;
+                    uint8_t d = dj[p];
+                    d |= (uint8_t)(T_H_IS_G & (uint8_t)-(int8_t)(h == gpost));
+                    d |= (uint8_t)(T_G_ZERO & (uint8_t)-(int8_t)(gpost == 0));
+                    d |= (uint8_t)(T_G_IS_F & (uint8_t)-(int8_t)(gpost == f));
+                    d |= (uint8_t)(T_E_FROM_G & (uint8_t)(mjpos &
+                         (int16_t)-(int16_t)(e == (int16_t)(gprev[p] - GAP_OPEN - GAP_EXT))));
+                    dj[p] = d;
+                    // prefix update with PRE-override g (oracle convention)
+                    const int16_t cand = (int16_t)(g + GAP_EXT * j);
+                    const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
+                    run_v[p] = SEL16(mtake, cand, run_v[p]);
+                    gprev[p] = gpost;
+                    // per-lane best: strict > keeps earliest (row, j)
+                    const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
+                    bv[p] = SEL16(mb, h, bv[p]);
+                    bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
+                    bj[p] = SEL16(mb, (int16_t)j, bj[p]);
+                }
+            }
+        }
+
+        std::swap(sc.H, sc.Hn);
+        std::swap(sc.F, sc.Fn);
+        const size_t ob = (size_t)band * stride;
+        for (int p = 0; p < PBLK; p++) { sc.H[ob + p] = NEG; sc.F[ob + p] = NEG; }
+    }
+
+    // per-pair scalar traceback over direction bytes
+    for (int p = 0; p < np; p++) {
+        Result* rs = &res[p];
+        rs->score = bv[p];
+        rs->cigar_len = 0;
+        rs->overflow = 0;
+        if (bv[p] <= 0) continue;
+        const int32_t m = qlen[p];
+        const int64_t* lp = lo_raw[p];
+        auto lo_full = [&](int32_t rr) -> int64_t {
+            return (rr <= 0) ? lp[0] : lp[rr - 1];
+        };
+        std::vector<uint8_t>& ops = sc.ops;
+        ops.clear();
+        int32_t r = bqe[p], j = bj[p];
+        const int32_t best_r = r, best_j = j;
+        int state = 0;
+        while (r > 0 && j >= 0 && j < band) {
+            const int32_t d_l = (int32_t)(lo_full(r) - lo_full(r - 1));
+            const uint8_t d = sc.dirs[((size_t)(r - 1) * band + j) * PBLK + p];
+            if (state == 0) { state = (d & T_H_IS_G) ? 1 : 2; continue; }
+            if (state == 1) {
+                if (d & T_G_ZERO) break;
+                if (d & T_G_IS_F) { state = 3; continue; }
+                ops.push_back(0);
+                r -= 1;
+                j = j + d_l - 1;
+                state = 0;
+                if (j < 0) break;
+                continue;
+            }
+            if (state == 2) {
+                ops.push_back(2);
+                if (d & T_E_FROM_G) state = 1;
+                j -= 1;
+                continue;
+            }
+            ops.push_back(1);
+            if (d & T_F_FROM_H) state = 0;
+            r -= 1;
+            j = j + d_l;
+            if (j >= band) break;
+        }
+
+        int32_t q_len2 = 0, t_len2 = 0;
+        for (uint8_t o : ops) {
+            if (o != 2) q_len2++;
+            if (o != 1) t_len2++;
+        }
+        const int32_t q_end = best_r;
+        const int64_t t_end = lo_full(best_r) + best_j + 1;
+        const int32_t q_start = q_end - q_len2;
+        const int64_t t_start = t_end - t_len2;
+        rs->q0 = q_start; rs->q1 = q_end;
+        rs->t0 = (int32_t)t_start; rs->t1 = (int32_t)t_end;
+
+        int32_t nm = 0, clen = 0;
+        int64_t qp2 = q_start, tp2 = t_start;
+        uint32_t* cig = cigars + (size_t)p * max_cigar;
+        for (int64_t i = (int64_t)ops.size() - 1; i >= 0;) {
+            const uint8_t op = ops[i];
+            int64_t jend = i;
+            while (jend >= 0 && ops[jend] == op) jend--;
+            const int32_t len = (int32_t)(i - jend);
+            if (op == 0) {
+                for (int32_t x = 0; x < len; x++) {
+                    const uint8_t qb = q[p][qp2 + x], tb = t[p][tp2 + x];
+                    if (qb != tb || (qb == 4 && tb == 4)) nm++;
+                }
+                qp2 += len; tp2 += len;
+            } else if (op == 1) { nm += len; qp2 += len; }
+            else { nm += len; tp2 += len; }
+            if (clen < max_cigar) cig[clen] = ((uint32_t)len << 4) | op;
+            else rs->overflow = 1;
+            clen++;
+            i = jend;
+        }
+        rs->nm = nm;
+        rs->cigar_len = std::min(clen, max_cigar);
+        (void)m;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full traceback batch on raw planner bands; drop-in results vs
+// sw_banded_batch.  out_meta: (B, 8) int32 like sw_banded_batch.
+void sw_tb_batch(
+    const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
+    const int64_t* lo, const int64_t* lo_off,
+    int32_t n_pairs, int32_t band,
+    int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
+    int32_t n_threads) {
+    const int32_t n_blocks = (n_pairs + PBLK - 1) / PBLK;
+#ifdef _OPENMP
+    const int nt_ = (n_threads > 0) ? n_threads
+                    : (n_blocks > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt_)
+#endif
+    {
+        TbScratch sc;
+        const uint8_t* qp[PBLK];
+        const uint8_t* tp[PBLK];
+        const int64_t* lop[PBLK];
+        int32_t ql[PBLK], tl[PBLK];
+        Result blk_res[PBLK];
+        std::vector<uint32_t> blk_cig;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int32_t b = 0; b < n_blocks; b++) {
+            const int32_t start = b * PBLK;
+            const int np = std::min<int32_t>(PBLK, n_pairs - start);
+            for (int i = 0; i < PBLK; i++) {
+                const int32_t src = (i < np) ? start + i : start;
+                qp[i] = q + q_off[src];
+                tp[i] = t + t_off[src];
+                lop[i] = lo + lo_off[src];
+                ql[i] = q_len[src];
+                tl[i] = t_len[src];
+            }
+            blk_cig.assign((size_t)PBLK * max_cigar, 0);
+            tb_block(qp, ql, tp, tl, lop, np, band, blk_res, blk_cig.data(),
+                     max_cigar, sc);
+            for (int i = 0; i < np; i++) {
+                int32_t* mrow = out_meta + (size_t)(start + i) * 8;
+                mrow[0] = blk_res[i].score; mrow[1] = blk_res[i].q0;
+                mrow[2] = blk_res[i].q1; mrow[3] = blk_res[i].t0;
+                mrow[4] = blk_res[i].t1; mrow[5] = blk_res[i].nm;
+                mrow[6] = blk_res[i].cigar_len; mrow[7] = blk_res[i].overflow;
+                std::memcpy(out_cigar + (size_t)(start + i) * max_cigar,
+                            blk_cig.data() + (size_t)i * max_cigar,
+                            (size_t)max_cigar * sizeof(uint32_t));
+            }
+        }
+    }
+}
+
+}  // extern "C"
+

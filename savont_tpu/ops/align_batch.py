@@ -317,25 +317,30 @@ def use_jax_backend(enable: bool = True) -> None:
         _JAX_BACKEND = None
 
 
-def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0) -> list[tuple | None]:
-    """Route jobs through the C++ kernel (native/swalign.cpp)."""
+def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
+                simd: bool = True) -> list[tuple | None]:
+    """Route jobs through the C++ kernel (native/swalign.cpp): the
+    inter-pair SIMD traceback batch (sw_tb_batch) when int16 coordinates
+    fit, else the per-pair kernel — identical results either way."""
     import ctypes
 
     B = len(jobs)
-    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in jobs])
-    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in jobs])
-    q_lens = np.array([len(j.qcodes) for j in jobs], dtype=np.int32)
-    t_lens = np.array([len(j.tcodes) for j in jobs], dtype=np.int32)
+    use_simd = simd and not any(
+        len(j.qcodes) > 32000 or len(j.tcodes) > 32000 for j in jobs
+    )
+    if use_simd:
+        # length-sort so PBLK lane blocks have similar padded heights
+        order = sorted(range(B), key=lambda i: len(jobs[i].qcodes))
+        sjobs = [jobs[i] for i in order]
+    else:
+        order = list(range(B))
+        sjobs = jobs
+    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in sjobs])
+    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in sjobs])
+    q_lens = np.array([len(j.qcodes) for j in sjobs], dtype=np.int32)
+    t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
     q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
     t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
-    lo_parts = []
-    lo_lens = []
-    for j in jobs:
-        lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
-        lo_parts.append(lo_full)
-        lo_lens.append(len(lo_full))
-    lo_cat = np.concatenate(lo_parts)
-    lo_off = np.concatenate(([0], np.cumsum(lo_lens[:-1]))).astype(np.int64)
 
     max_cigar = 512
     out_meta = np.zeros((B, 8), dtype=np.int32)
@@ -344,27 +349,45 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0) -> lis
     def ptr(a, typ):
         return a.ctypes.data_as(ctypes.POINTER(typ))
 
-    lib.sw_banded_batch(
-        ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
-        ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
-        ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
-        ctypes.c_int32(B), ctypes.c_int32(band),
-        ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
-        ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
-    )
+    if use_simd:
+        # raw planner lo, len q_len per pair
+        lo_cat = np.ascontiguousarray(np.concatenate([j.lo for j in sjobs]), dtype=np.int64)
+        lib.sw_tb_batch(
+            ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
+            ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
+            ptr(lo_cat, ctypes.c_int64), ptr(q_off, ctypes.c_int64),
+            ctypes.c_int32(B), ctypes.c_int32(band),
+            ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
+            ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
+        )
+    else:
+        lo_parts, lo_lens = [], []
+        for j in sjobs:
+            lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
+            lo_parts.append(lo_full)
+            lo_lens.append(len(lo_full))
+        lo_cat = np.concatenate(lo_parts)
+        lo_off = np.concatenate(([0], np.cumsum(lo_lens[:-1]))).astype(np.int64)
+        lib.sw_banded_batch(
+            ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
+            ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
+            ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+            ctypes.c_int32(B), ctypes.c_int32(band),
+            ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
+            ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
+        )
 
-    results: list[tuple | None] = []
-    for i, job in enumerate(jobs):
-        score, q0, q1, t0, t1, nm, clen, overflow = (int(x) for x in out_meta[i])
+    results: list[tuple | None] = [None] * B
+    for si, i in enumerate(order):
+        score, q0, q1, t0, t1, nm, clen, overflow = (int(x) for x in out_meta[si])
         if score <= 0:
-            results.append(None)
             continue
         if overflow:
             # extremely fragmented alignment: redo on the NumPy path
-            results.append(_run_bucket([job], band)[0])
+            results[i] = _run_bucket([jobs[i]], band)[0]
             continue
-        cigar = [(int(v) >> 4, int(v) & 0xF) for v in out_cigar[i, :clen]]
-        results.append((score, q0, q1, t0, t1, cigar, nm))
+        cigar = [(int(v) >> 4, int(v) & 0xF) for v in out_cigar[si, :clen]]
+        results[i] = (score, q0, q1, t0, t1, cigar, nm)
     return results
 
 

@@ -98,6 +98,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.sw_tb_batch.restype = None
+        lib.sw_tb_batch.argtypes = lib.sw_banded_batch.argtypes
         lib.sw_nm_batch.restype = None
         lib.sw_nm_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),

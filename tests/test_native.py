@@ -138,3 +138,38 @@ def test_nm_kernel_exact_on_structural_indels():
         assert (a is None) == (b is None)
         if a is not None:
             assert (a[0], a[1], a[2], a[3], a[4], a[6]) == (b[0], b[1], b[2], b[3], b[4], b[6])
+
+
+def test_tb_kernel_bitidentical_to_per_pair():
+    """The inter-pair SIMD traceback kernel (sw_tb_batch) must produce
+    byte-identical tuples — including full CIGARs — to the per-pair kernel
+    on raw planner bands with structural indels."""
+    from savont_tpu.ops.align import TargetIndex
+    from savont_tpu.ops.align_batch import _run_native, plan_jobs_batch
+    from savont_tpu.ops.encode import revcomp_bytes
+    from savont_tpu.ops.native_build import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    targets = [rand_seq(x) for x in [1500] * 3 + [90, 400, 2600]]
+    queries = []
+    for t in targets:
+        for _ in range(25):
+            q = bytearray(t)
+            for p in RNG.choice(len(q), max(2, len(q) // 16), replace=False):
+                q[p] = b"ACGT"[RNG.integers(4)]
+            if RNG.random() < 0.5 and len(q) > 1000:
+                d = int(RNG.integers(300, 900))
+                del q[d : d + int(RNG.integers(1, 160))]
+            if RNG.random() < 0.4 and len(q) > 1000:
+                d = int(RNG.integers(300, 900))
+                q[d:d] = rand_seq(int(RNG.integers(1, 160)))
+            if RNG.random() < 0.5:
+                q = bytearray(revcomp_bytes(bytes(q)))
+            queries.append(bytes(q))
+    jobs, _ = plan_jobs_batch(TargetIndex(targets), queries, band=128)
+    assert jobs
+    assert _run_native(jobs, 128, lib, simd=False) == _run_native(jobs, 128, lib, simd=True)
