@@ -117,7 +117,6 @@ void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
             mini_cnt[ri] = 0;
             snp_cnt[ri] = 0;
             if (len < k) continue;
-            const int64_t n = len - k + 1;
             const int64_t ns = len - s + 1;
 
             bool use_qual = false;

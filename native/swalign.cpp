@@ -335,7 +335,7 @@ struct NmScratch {
     // planes [band+1][PBLK] (one slot of padding so up() at j = band-1 can
     // read a fill slot instead of branching)
     std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
-    std::vector<int16_t> Gr, Er, nmg, qsg, tsg, tc;
+    std::vector<int16_t> Gr, nmg, qsg, tsg, tc;
     std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
 };
 
@@ -357,7 +357,7 @@ inline void nm_block(
     init_plane(sc.nmf, 0);
     init_plane(sc.qsf, 0);
     init_plane(sc.tsf, 0);
-    sc.Gr.resize(plane); sc.Er.resize(plane);
+    sc.Gr.resize(plane);
     sc.nmg.resize(plane); sc.qsg.resize(plane); sc.tsg.resize(plane);
     sc.tc.resize(plane);
     sc.Hn.resize(plane); sc.Fn.resize(plane);
@@ -911,7 +911,6 @@ inline void tb_block(
         rs->cigar_len = 0;
         rs->overflow = 0;
         if (bv[p] <= 0) continue;
-        const int32_t m = qlen[p];
         const int64_t* lp = lo_raw[p];
         auto lo_full = [&](int32_t rr) -> int64_t {
             return (rr <= 0) ? lp[0] : lp[rr - 1];
@@ -983,7 +982,6 @@ inline void tb_block(
         }
         rs->nm = nm;
         rs->cigar_len = std::min(clen, max_cigar);
-        (void)m;
     }
 }
 
