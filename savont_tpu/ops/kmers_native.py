@@ -5,7 +5,6 @@ import ctypes
 
 import numpy as np
 
-from .encode import U64
 from .native_build import build_extra
 
 _LIB = None
