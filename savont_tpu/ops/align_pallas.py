@@ -153,30 +153,32 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         nmh_n = jnp.where(use_g, nmg, nme)
         Hr = jnp.where(valid, Hr, NEG)
 
-        better = Hr > best_v
-        best_v = jnp.where(better, Hr, best_v)
+        # reduce over the band INSIDE the row so the running best is four
+        # (1, P) rows instead of four (band, P) planes — the big carry
+        # planes spill to VMEM every iteration, and this more than halves
+        # the carried bytes.  Row winner: max value, leftmost j on ties.
+        row_v = jnp.max(Hr, axis=0, keepdims=True)
+        at_max = Hr == row_v
+        row_j = jnp.min(jnp.where(at_max, jrow, band), axis=0, keepdims=True)
+        winner = at_max & (jrow == row_j)
+        row_nm = jnp.sum(jnp.where(winner, nmh_n, 0), axis=0, keepdims=True)
+        row_te = jnp.sum(jnp.where(winner, cols + 1, 0), axis=0, keepdims=True)
+        better = row_v > best_v  # strict: earliest row wins ties
+        best_v = jnp.where(better, row_v, best_v)
         best_r = jnp.where(better, r, best_r)
-        best_j = jnp.where(better, cols + 1, best_j)
-        best_nm = jnp.where(better, nmh_n, best_nm)
+        best_j = jnp.where(better, row_te, best_j)
+        best_nm = jnp.where(better, row_nm, best_nm)
         return Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm
 
     zero = jnp.zeros((band, P), jnp.int32)
-    init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zero, zero, zero, zero)
+    zrow = jnp.zeros((1, P), jnp.int32)
+    init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zrow, zrow, zrow, zrow)
     H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = lax.fori_loop(1, n_rows + 1, body, init)
 
-    tb = (n_rows + 1 - best_r) * (band + 1) + (band - jrow)
-    vmax = jnp.max(best_v, axis=0, keepdims=True)
-    is_best = best_v == vmax
-    tb_masked = jnp.where(is_best, tb, -1)
-    chosen = is_best & (tb_masked == jnp.max(tb_masked, axis=0, keepdims=True))
-
-    def pick(x):
-        return jnp.sum(jnp.where(chosen, x, 0), axis=0)
-
-    out_ref[0, :] = pick(best_v)
-    out_ref[1, :] = pick(best_r)
-    out_ref[2, :] = pick(best_j)
-    out_ref[3, :] = pick(best_nm)
+    out_ref[0, :] = best_v[0, :]
+    out_ref[1, :] = best_r[0, :]
+    out_ref[2, :] = best_j[0, :]
+    out_ref[3, :] = best_nm[0, :]
 
 
 def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False):
