@@ -109,7 +109,7 @@ def run_cluster(args: ClusterArgs) -> Path:
         _write_simple_clusters(temp_dir / "kmer_clusters_stage2.tsv", clusters)
 
         log.info("=== STAGE 3: SNPmer clustering ===")
-        clusters = stage23_cluster.cluster_reads_by_snpmers(twin_reads, clusters, args)
+        clusters = stage23_cluster.cluster_reads_by_snpmers(twin_reads, clusters, args, temp_dir)
         _write_final_snpmer_clusters(temp_dir / "final_snpmer_clusters_stage3.tsv", clusters, twin_reads)
         if args.resume:
             with open(ckpt_path, "wb") as f:

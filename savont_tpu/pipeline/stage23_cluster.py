@@ -389,8 +389,21 @@ def _reassign_reads(
     return out, reassigned
 
 
+def write_snpmer_clusters_tsv(path, clusters, twin_reads, prefix="final_cluster"):
+    """Stage-3 cluster dump format shared by the pre-recluster snapshot and
+    the final stage-3 TSV (asv_cluster.rs debug outputs)."""
+    with open(path, "w") as f:
+        for i, c in enumerate(clusters):
+            members = "\n".join(
+                f"{twin_reads[x].id} {twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0}"
+                for x in c
+            )
+            f.write(f"{prefix}_{i}\tsize_{len(c)}\trepresentative_{c[0]}\tmembers\n{members}\n")
+
+
 def cluster_reads_by_snpmers(
-    twin_reads: list[TwinRead], kmer_clusters: list[list[int]], args: ClusterArgs
+    twin_reads: list[TwinRead], kmer_clusters: list[list[int]], args: ClusterArgs,
+    temp_dir=None,
 ) -> list[list[int]]:
     """Stage 3 driver (asv_cluster.rs:561-795 + 1272-1433)."""
     if args.low_polymorphism:
@@ -409,6 +422,13 @@ def cluster_reads_by_snpmers(
 
     n0 = sum(len(v) for v in groups.values())
     log.info("Stage 3 greedy: %d SNPmer clusters in %d k-mer groups", n0, len(groups))
+    if temp_dir is not None:
+        pre = [c for g in sorted(groups) for c in groups[g] if c]
+        pre.sort(key=lambda c: (-len(c), c[0]))
+        write_snpmer_clusters_tsv(
+            temp_dir / "snpmer_clusters_before_reclust2.5.tsv", pre, twin_reads,
+            prefix="cluster",
+        )
 
     # iterative reclustering: merge + reassign until no merges
     for iteration in range(args.max_iterations_recluster):

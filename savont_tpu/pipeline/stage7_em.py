@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import logging
+from pathlib import Path
 
 import numpy as np
 
@@ -170,6 +171,7 @@ def refine_asv_depths_with_em(
     leq10 = np.zeros(len(consensuses), dtype=np.int64)
     total_assigned = 0
     filtered = 0
+    mapping_lines: list[str] = []
 
     # gather candidates for all reads, then batch the tie-break alignments
     read_list = [
@@ -214,9 +216,16 @@ def refine_asv_depths_with_em(
             if best_nm <= 10:
                 for a in best_set:
                     leq10[a] += 1
+            mapping_lines.extend(
+                f"{tr.id}\tasv:{consensuses[a].id}\t{best_nm}\n" for a in best_set
+            )
         eq_classes[tuple(best_set)] = eq_classes.get(tuple(best_set), 0) + 1
         total_assigned += 1
 
+    if sample_filter is None:
+        _write_read_asv_mappings(
+            Path(args.output_dir) / "temp" / "read_to_asv_mappings.tsv", mapping_lines
+        )
     log.info("Stage 7: %d reads assigned, %d filtered, %d eq classes", total_assigned, filtered, len(eq_classes))
     if not eq_classes:
         return consensuses, eq_classes, total_assigned
@@ -229,6 +238,13 @@ def refine_asv_depths_with_em(
         abund = _run_em(eq_classes, len(consensuses), total_assigned)
         consensuses = _apply_depths(consensuses, abund, total_assigned)
     return consensuses, eq_classes, total_assigned
+
+
+def _write_read_asv_mappings(path, lines):
+    """temp/read_to_asv_mappings.tsv (alignment.rs:1532-1601):
+    one `read\tasv:<id>\t<best_nm>` row per (read, tied-best ASV)."""
+    with open(path, "w") as f:
+        f.writelines(lines)
 
 
 def refine_asv_depths_with_minimap(
@@ -248,6 +264,7 @@ def refine_asv_depths_with_minimap(
     leq10 = np.zeros(len(consensuses), dtype=np.int64)
     total_assigned = 0
     filtered = 0
+    mapping_lines: list[str] = []
     read_list = [tr for tr in twin_reads if sample_filter is None or tr.file_idx == sample_filter]
     all_hits = map_batch(index, [tr.seq_bytes() for tr in read_list])
     for tr, raw_hits in zip(read_list, all_hits):
@@ -258,6 +275,9 @@ def refine_asv_depths_with_minimap(
         best_nm = min(m.nm for m in hits)
         best_set = sorted({m.target_id for m in hits if m.nm == best_nm})
         if sample_filter is None:
+            mapping_lines.extend(
+                f"{tr.id}\tasv:{consensuses[a].id}\t{best_nm}\n" for a in best_set
+            )
             if len(best_set) == 1:
                 unambig[best_set[0]] += 1
             else:
@@ -269,6 +289,10 @@ def refine_asv_depths_with_minimap(
         eq_classes[tuple(best_set)] = eq_classes.get(tuple(best_set), 0) + 1
         total_assigned += 1
 
+    if sample_filter is None:
+        _write_read_asv_mappings(
+            Path(args.output_dir) / "temp" / "read_to_asv_mappings.tsv", mapping_lines
+        )
     log.info("Stage 7 (low-poly): %d assigned, %d filtered", total_assigned, filtered)
     if not eq_classes:
         return consensuses, eq_classes, total_assigned
