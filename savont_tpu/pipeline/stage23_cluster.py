@@ -352,39 +352,44 @@ def _reassign_reads(
     o = np.argsort(cons_sm, kind="stable")
     cons_sm, cons_km, cons_cid = cons_sm[o], cons_km[o], cons_cid[o]
 
+    # flatten ALL reads of ALL clusters into one lookup batch
+    read_ids = [rid for cluster in clusters for rid in cluster]
+    orig_ci = np.repeat(np.arange(C, dtype=np.int64), [len(c) for c in clusters])
+    km_arrs = []
+    for rid in read_ids:
+        if marker == "blockmer":
+            _, kms = twin_reads[rid].blockmers_vec()
+        else:
+            _, kms = twin_reads[rid].snpmers_vec()
+        km_arrs.append(np.asarray(kms, dtype=np.uint64))
+    R = len(read_ids)
+    mm_mat = np.zeros((R, C), dtype=np.int64)
+    m_mat = np.zeros((R, C), dtype=np.int64)
+    if R and len(cons_sm):
+        allk = np.concatenate(km_arrs) if km_arrs else np.zeros(0, np.uint64)
+        ridx = np.repeat(np.arange(R, dtype=np.int64), [len(a) for a in km_arrs])
+        sms = (allk >> np.uint64(2 * l)) if marker == "blockmer" else (allk & mask)
+        lo = np.searchsorted(cons_sm, sms, side="left")
+        hi = np.searchsorted(cons_sm, sms, side="right")
+        runs = hi - lo
+        nz = runs > 0
+        if nz.any():
+            runs_nz = runs[nz]
+            total = int(runs_nz.sum())
+            flat = np.repeat(lo[nz], runs_nz) + (
+                np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
+            )
+            hit_rc = ridx[nz].repeat(runs_nz) * C + cons_cid[flat]
+            hit_match = cons_km[flat] == np.repeat(allk[nz], runs_nz)
+            m_mat = np.bincount(hit_rc[hit_match], minlength=R * C).reshape(R, C)
+            mm_mat = np.bincount(hit_rc[~hit_match], minlength=R * C).reshape(R, C)
+    # per read: argmin of (mm, -m), first index on ties — matches the scalar
+    # loop's strict-improvement rule (initial best beats inf)
+    best = np.argmin((mm_mat << np.int64(32)) - m_mat, axis=1) if R else np.zeros(0, np.int64)
+    reassigned = int((best != orig_ci).sum())
     new_clusters: list[list[int]] = [[] for _ in clusters]
-    reassigned = 0
-    for ci, cluster in enumerate(clusters):
-        for read_id in cluster:
-            if marker == "blockmer":
-                _, kms = twin_reads[read_id].blockmers_vec()
-            else:
-                _, kms = twin_reads[read_id].snpmers_vec()
-            kms = np.asarray(kms, dtype=np.uint64)
-            mm = np.zeros(C, dtype=np.int64)
-            m = np.zeros(C, dtype=np.int64)
-            if len(kms) and len(cons_sm):
-                sms = (kms >> np.uint64(2 * l)) if marker == "blockmer" else (kms & mask)
-                lo = np.searchsorted(cons_sm, sms, side="left")
-                hi = np.searchsorted(cons_sm, sms, side="right")
-                runs = hi - lo
-                nz = runs > 0
-                if nz.any():
-                    runs_nz = runs[nz]
-                    total = int(runs_nz.sum())
-                    flat = np.repeat(lo[nz], runs_nz) + (
-                        np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
-                    )
-                    hit_cid = cons_cid[flat]
-                    hit_match = cons_km[flat] == np.repeat(kms[nz], runs_nz)
-                    m = np.bincount(hit_cid[hit_match], minlength=C)
-                    mm = np.bincount(hit_cid[~hit_match], minlength=C)
-            # argmin of (mm, -m), first index on ties — matches the scalar
-            # loop's strict-improvement rule (initial best beats inf)
-            best_cluster = int(np.argmin((mm << np.int64(32)) - m))
-            new_clusters[best_cluster].append(read_id)
-            if best_cluster != ci:
-                reassigned += 1
+    for rid, b in zip(read_ids, best):
+        new_clusters[b].append(rid)
     out = [sorted(c) for c in new_clusters if c and len(c) >= min_cluster_size]
     return out, reassigned
 
