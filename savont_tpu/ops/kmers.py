@@ -90,19 +90,32 @@ def split_kmer_mid(
     return flagged[keep]
 
 
-def count_flagged_kmers(per_read_flagged: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+def count_flagged_kmers(
+    per_read_flagged: list[np.ndarray], threads: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
     """Global strand-split k-mer counting (seq_parse.rs second_iteration).
 
     Input: list of bit63-flagged canonical split k-mer arrays (one per read).
     Output: (kmers sorted ascending, counts[n,2]) where counts[:,canon_flag]
     are per-strand occurrence counts.  This is the sort/segment-reduce
-    formulation of the reference's sharded hash-map counting.
+    formulation of the reference's sharded hash-map counting; the native
+    parallel radix sort (native/sortcount.cpp) is used when available,
+    bit-identical to the np.unique path below.
     """
     if not per_read_flagged:
         return np.zeros(0, dtype=U64), np.zeros((0, 2), dtype=np.uint32)
     allk = np.concatenate(per_read_flagged)
+    return _count_flagged_stream(allk, threads)
+
+
+def _count_flagged_stream(allk: np.ndarray, threads: int) -> tuple[np.ndarray, np.ndarray]:
     if len(allk) == 0:
         return np.zeros(0, dtype=U64), np.zeros((0, 2), dtype=np.uint32)
+    from .kmers_native import count_flagged_native
+
+    native = count_flagged_native(allk, threads)
+    if native is not None:
+        return native
     uniq, cnt = np.unique(allk, return_counts=True)  # sort + segmented reduce
     bare = uniq & ~_BIT63
     flag = (uniq >> U64(63)).astype(np.int64)
@@ -374,7 +387,9 @@ def blockmer_hits_scan(
     return pos, hit_f[pos]
 
 
-def count_blockmers(per_read: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+def count_blockmers(
+    per_read: list[tuple[np.ndarray, np.ndarray]], threads: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
     """Count (blockmer, is_forward) observations (seq_parse.rs blockmer
     counting): returns (blockmers sorted, counts[n,2]) with counts[:,1] =
     forward-orientation count."""
@@ -383,16 +398,7 @@ def count_blockmers(per_read: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.n
     flagged = []
     for kms, is_fwd in per_read:
         flagged.append(kms | (is_fwd.astype(U64) << U64(63)))
-    allk = np.concatenate(flagged)
-    if len(allk) == 0:
-        return np.zeros(0, U64), np.zeros((0, 2), dtype=np.uint32)
-    uniq, cnt = np.unique(allk, return_counts=True)
-    bare = uniq & ~_BIT63
-    flag = (uniq >> U64(63)).astype(np.int64)
-    kmers, inv = np.unique(bare, return_inverse=True)
-    counts = np.zeros((len(kmers), 2), dtype=np.uint32)
-    np.add.at(counts, (inv, flag), cnt.astype(np.uint32))
-    return kmers, counts
+    return _count_flagged_stream(np.concatenate(flagged), threads)
 
 
 def blockmer_scan(

@@ -195,3 +195,45 @@ def window_minimizers_native(
         o, c = out_off[i], cnt[i]
         res.append((oh[o : o + c].copy(), op[o : o + c].copy(), of[o : o + c].astype(bool)))
     return res
+
+
+_SC_LIB = None
+_SC_TRIED = False
+
+
+def get_sortcount_lib():
+    global _SC_LIB, _SC_TRIED
+    if _SC_TRIED:
+        return _SC_LIB
+    _SC_TRIED = True
+    so = build_extra("sortcount", extra_link=["-fopenmp"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.count_flagged_u64.restype = ctypes.c_int64
+    lib.count_flagged_u64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+    ]
+    _SC_LIB = lib
+    return _SC_LIB
+
+
+def count_flagged_native(allk: np.ndarray, threads: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """Parallel radix sort + run-length strand-split count of a bit63-flagged
+    canonical k-mer stream (native/sortcount.cpp).  Same output as the
+    np.unique formulation in ops/kmers.count_flagged_kmers; None if the
+    native library is unavailable."""
+    lib = get_sortcount_lib()
+    if lib is None:
+        return None
+    allk = np.ascontiguousarray(allk, dtype=np.uint64)
+    n = len(allk)
+    out_u = np.empty(n, dtype=np.uint64)
+    out_c = np.zeros(2 * n, dtype=np.uint32)
+    nu = lib.count_flagged_u64(
+        _ptr(allk, ctypes.c_uint64), n,
+        _ptr(out_u, ctypes.c_uint64), _ptr(out_c, ctypes.c_uint32), threads,
+    )
+    return out_u[:nu].copy(), out_c[: 2 * nu].reshape(-1, 2).copy()

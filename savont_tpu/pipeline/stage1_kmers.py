@@ -106,7 +106,7 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
         # (seq_parse.rs:80-314).  Exact chunked merge, identical output.
         kmers, counts = count_flagged_kmers_streaming(per_read)
     else:
-        kmers, counts = count_flagged_kmers(per_read)
+        kmers, counts = count_flagged_kmers(per_read, threads=args.threads)
     raw_n = len(kmers)
     kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
     log.info("counted %d reads; %d split-kmers, %d retained after strand filter", n_reads, raw_n, len(kmers))
@@ -128,7 +128,7 @@ def read_blockmer_counts(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
         codes = encode_seq(seq)
         phred = phred_from_ascii(qual) if qual is not None else None
         per_read.append(blockmer_scan(codes, phred, k, l, args.minimum_base_quality))
-    kmers, counts = count_blockmers(per_read)
+    kmers, counts = count_blockmers(per_read, threads=args.threads)
     if args.single_strand:
         keep = counts[:, 0] > 2
     else:

@@ -173,3 +173,28 @@ def test_tb_kernel_bitidentical_to_per_pair():
     jobs, _ = plan_jobs_batch(TargetIndex(targets), queries, band=128)
     assert jobs
     assert _run_native(jobs, 128, lib, simd=False) == _run_native(jobs, 128, lib, simd=True)
+
+
+def test_sortcount_native_matches_numpy():
+    """native/sortcount.cpp count_flagged_u64 vs the np.unique formulation,
+    including multi-thread determinism and skewed/dense key distributions."""
+    from savont_tpu.ops.kmers_native import count_flagged_native
+
+    rng = np.random.default_rng(7)
+    for n, span in [(0, 1), (1, 1), (1000, 50), (200_000, 10_000), (300_000, 40)]:
+        bare = rng.integers(0, span, size=n, dtype=np.uint64)
+        flag = rng.integers(0, 2, size=n, dtype=np.uint64)
+        allk = (bare | (flag << np.uint64(63))).astype(np.uint64)
+        uniq, cnt = np.unique(allk, return_counts=True)
+        b = uniq & np.uint64(0x7FFFFFFFFFFFFFFF)
+        f = (uniq >> np.uint64(63)).astype(np.int64)
+        kmers, inv = np.unique(b, return_inverse=True)
+        counts = np.zeros((len(kmers), 2), dtype=np.uint32)
+        np.add.at(counts, (inv, f), cnt.astype(np.uint32))
+        for threads in (1, 4):
+            got = count_flagged_native(allk, threads)
+            if got is None:
+                return  # no compiler: NumPy fallback covered elsewhere
+            gk, gc = got
+            assert np.array_equal(gk, kmers), (n, span, threads)
+            assert np.array_equal(gc, counts), (n, span, threads)
