@@ -378,4 +378,53 @@ void chain_band_batch(
     }
 }
 
+// Batched LSH signatures (types.rs:719-747 semantics, matches
+// core.py compute_lsh_signatures bit-for-bit).  For each read and table
+// seed t in [0, n_tables): rank the read's UNFILTERED minimizer k-mers by
+// FxHash64 fed [seed, kmer] (ties keep input order), take the `bucket`
+// lowest, signature = XOR_j kmer_j * (j+1) with wrapping multiplies.
+// out_sigs is (n_reads, n_tables); out_valid[r]=0 when the read has fewer
+// than `bucket` minimizers (Python side maps those to None).
+void lsh_batch(const uint64_t* minis, const int64_t* off, int64_t n_reads,
+               int n_tables, int bucket, uint64_t* out_sigs,
+               uint8_t* out_valid, int threads) {
+    const uint64_t FX = 0x517CC1B727220A95ULL;
+#pragma omp parallel for schedule(dynamic, 64) num_threads(threads)
+    for (int64_t r = 0; r < n_reads; r++) {
+        const int64_t s = off[r], e = off[r + 1];
+        const int64_t n = e - s;
+        if (n < bucket) {
+            out_valid[r] = 0;
+            continue;
+        }
+        out_valid[r] = 1;
+        for (int t = 0; t < n_tables; t++) {
+            const uint64_t seed_h = (uint64_t)t * FX;
+            const uint64_t rot = (seed_h << 5) | (seed_h >> 59);
+            // bottom-`bucket` (h, idx) with stable ties; bucket is 3 in
+            // practice so insertion into a tiny array is fastest
+            uint64_t best_h[8];
+            int64_t best_i[8];
+            int filled = 0;
+            for (int64_t i = 0; i < n; i++) {
+                uint64_t h = (rot ^ minis[s + i]) * FX;
+                if (filled == bucket && h >= best_h[bucket - 1]) continue;
+                int j = filled < bucket ? filled : bucket - 1;
+                while (j > 0 && best_h[j - 1] > h) {
+                    best_h[j] = best_h[j - 1];
+                    best_i[j] = best_i[j - 1];
+                    j--;
+                }
+                best_h[j] = h;
+                best_i[j] = i;
+                if (filled < bucket) filled++;
+            }
+            uint64_t sig = 0;
+            for (int j = 0; j < bucket; j++)
+                sig ^= minis[s + best_i[j]] * (uint64_t)(j + 1);
+            out_sigs[r * n_tables + t] = sig;
+        }
+    }
+}
+
 }  // extern "C"

@@ -152,6 +152,26 @@ class TwinRead:
         self.lsh_signatures = [int(s) for s in sigs]
 
 
+def compute_lsh_signatures_batch(trs: list["TwinRead"], threads: int = 1) -> None:
+    """Batched LSH signatures for many reads via native/kmerscan.cpp
+    lsh_batch (bit-identical to the per-read method; falls back to it
+    without the native library)."""
+    from .ops.kmers_native import lsh_batch_native
+
+    res = lsh_batch_native(
+        [tr.mini_kmers_all for tr in trs], LSH_NUM_TABLES, LSH_BUCKET_SIZE, threads
+    )
+    if res is None:
+        for tr in trs:
+            tr.compute_lsh_signatures()
+        return
+    sigs, valid = res
+    for i, tr in enumerate(trs):
+        tr.lsh_signatures = (
+            sigs[i].tolist() if valid[i] else [None] * LSH_NUM_TABLES
+        )
+
+
 @dataclass
 class ConsensusSequence:
     """HPC consensus + metadata (types.rs:161-226)."""

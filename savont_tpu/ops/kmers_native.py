@@ -46,6 +46,11 @@ def get_scan_lib():
         i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
         ctypes.c_int, ctypes.c_int, i64p, i64p, i64p, ctypes.c_int,
     ]
+    lib.lsh_batch.restype = None
+    lib.lsh_batch.argtypes = [
+        u64p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        u64p, u8p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -237,3 +242,31 @@ def count_flagged_native(allk: np.ndarray, threads: int) -> tuple[np.ndarray, np
         _ptr(out_u, ctypes.c_uint64), _ptr(out_c, ctypes.c_uint32), threads,
     )
     return out_u[:nu].copy(), out_c[: 2 * nu].reshape(-1, 2).copy()
+
+
+def lsh_batch_native(
+    mini_lists: list[np.ndarray], n_tables: int, bucket: int, threads: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Batched LSH signatures over per-read UNFILTERED minimizer k-mers.
+    Returns (sigs (n, n_tables) u64, valid (n,) u8) or None without the
+    native library.  Bit-identical to TwinRead.compute_lsh_signatures."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(mini_lists)
+    off = np.zeros(n + 1, dtype=np.int64)
+    for i, m in enumerate(mini_lists):
+        off[i + 1] = off[i] + len(m)
+    minis = (
+        np.ascontiguousarray(np.concatenate(mini_lists), dtype=np.uint64)
+        if n
+        else np.zeros(0, np.uint64)
+    )
+    sigs = np.zeros((n, n_tables), dtype=np.uint64)
+    valid = np.zeros(n, dtype=np.uint8)
+    lib.lsh_batch(
+        _ptr(minis, ctypes.c_uint64), _ptr(off, ctypes.c_int64), n,
+        n_tables, bucket,
+        _ptr(sigs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), threads,
+    )
+    return sigs, valid

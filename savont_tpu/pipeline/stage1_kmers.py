@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import ClusterArgs
 from ..constants import MAX_KMER_COUNT_IN_READ
-from ..core import KmerGlobalInfo, SnpmerInfo, TwinRead
+from ..core import KmerGlobalInfo, SnpmerInfo, TwinRead, compute_lsh_signatures_batch
 from ..io.fastx import read_fastx
 from ..ops.encode import (
     U64,
@@ -429,7 +429,6 @@ def twin_reads_from_files(
             if not _apply_solid_filters(tr, args, high_freq):
                 n_repetitive += 1
                 continue
-            tr.compute_lsh_signatures()
             tr.file_idx = file_idx
             twin_reads.append(tr)
         if log.isEnabledFor(5):  # TRACE: per-read SNPmer dump
@@ -464,6 +463,7 @@ def twin_reads_from_files(
     twin_reads = [t for t in twin_reads if t.est_id is None or t.est_id >= args.quality_value_cutoff]
     # driver sorts by est accuracy desc, stable (main.rs:533)
     twin_reads.sort(key=lambda t: -(t.est_id if t.est_id is not None else 100.0))
+    compute_lsh_signatures_batch(twin_reads, args.threads)
     return twin_reads
 
 

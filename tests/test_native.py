@@ -198,3 +198,30 @@ def test_sortcount_native_matches_numpy():
             gk, gc = got
             assert np.array_equal(gk, kmers), (n, span, threads)
             assert np.array_equal(gc, counts), (n, span, threads)
+
+
+def test_lsh_batch_native_matches_python():
+    """native lsh_batch vs TwinRead.compute_lsh_signatures, including reads
+    with < bucket minimizers (None signatures) and hash-tie stability."""
+    from savont_tpu.core import TwinRead, compute_lsh_signatures_batch
+    from savont_tpu.ops.kmers_native import get_scan_lib
+
+    rng = np.random.default_rng(11)
+    trs = []
+    for i in range(50):
+        n = int(rng.integers(0, 40)) if i % 7 == 0 else int(rng.integers(3, 400))
+        # duplicate values force FxHash ties: stable pick must match numpy's
+        minis = rng.integers(0, 50, size=n, dtype=np.uint64)
+        tr = TwinRead(id=f"r{i}", base_id=f"r{i}", codes=np.zeros(8, np.uint8), k=17, l=3)
+        tr.mini_kmers_all = minis
+        trs.append(tr)
+    want = []
+    for tr in trs:
+        tr.compute_lsh_signatures()
+        want.append(list(tr.lsh_signatures))
+        tr.lsh_signatures = []
+    compute_lsh_signatures_batch(trs, threads=3)
+    got = [list(tr.lsh_signatures) for tr in trs]
+    if get_scan_lib() is None:
+        return  # fallback path exercised; equality is trivial
+    assert got == want
