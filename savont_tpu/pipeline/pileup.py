@@ -61,6 +61,60 @@ def _expand_cigar(cigar: list[tuple[int, int]]):
     return per_base
 
 
+def read_pileup_indices(
+    ref: np.ndarray,
+    oseq: bytes,
+    oqual: np.ndarray,
+    ohp: np.ndarray | None,
+    cigar: list[tuple[int, int]],
+    t_start: int,
+    q_start: int,
+):
+    """CIGAR walk as vector ops (semantics of alignment.rs:520-564).
+
+    Returns flat scatter indices (bq_flat, del_pos, ins_flat, hp_flat) for
+    one read; the caller accumulates indices per consensus and bincounts
+    ONCE per matrix — a per-read bincount over the full (L, NQ, 2) matrix
+    was the stage-4 hotspot at 20k reads."""
+    ops = _expand_cigar(cigar)
+    t_adv = (ops != 1).astype(np.int64)
+    q_adv = (ops != 2).astype(np.int64)
+    tpos = t_start + np.cumsum(t_adv) - t_adv
+    qpos = q_start + np.cumsum(q_adv) - q_adv
+    L = len(ref)
+    sarr = np.frombuffer(oseq, dtype=np.uint8)
+
+    is_m = ops == 0
+    tm = tpos[is_m]
+    qm = qpos[is_m]
+    ok = (tm < L) & (qm < len(sarr))
+    tm, qm = tm[ok], qm[ok]
+    bases = sarr[qm]
+    levels = qlevel(oqual[qm])
+    is_ref = (bases == ref[tm]).astype(np.int64)
+    bq_flat = (tm * NQ + levels) * 2 + is_ref
+
+    is_d = ops == 2
+    td = tpos[is_d]
+    td = td[td < L]
+
+    # insertions: one event per run, attached to tpos-1, first-base quality
+    bounds = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
+    ends = np.append(bounds[1:], len(ops))
+    ins = ops[bounds] == 1
+    rs, re = bounds[ins], ends[ins]
+    tp = tpos[rs]
+    qp = qpos[rs]
+    keep = (tp > 0) & (tp - 1 < L) & (qp + (re - rs) <= len(sarr))
+    ins_flat = (tp[keep] - 1) * NQ + qlevel(oqual[qp[keep]])
+
+    hp_flat = None
+    if ohp is not None:
+        hp = np.minimum(ohp[qm], 63).astype(np.int64)
+        hp_flat = tm * 64 + hp
+    return bq_flat, td, ins_flat, hp_flat
+
+
 def add_read_to_pileup(
     pm: PileupMatrix,
     oseq: bytes,
@@ -71,49 +125,18 @@ def add_read_to_pileup(
     q_start: int,
     max_ins_store: int = 2,
 ) -> None:
-    """CIGAR walk as vector ops (semantics of alignment.rs:520-564)."""
-    ops = _expand_cigar(cigar)
-    t_adv = (ops != 1).astype(np.int64)
-    q_adv = (ops != 2).astype(np.int64)
-    tpos = t_start + np.cumsum(t_adv) - t_adv
-    qpos = q_start + np.cumsum(q_adv) - q_adv
+    """Single-read scatter (kept for API parity; the batch path in
+    generate_consensus_pileups accumulates indices instead)."""
     L = len(pm.ref)
-    sarr = np.frombuffer(oseq, dtype=np.uint8)
-
-    is_m = ops == 0
-    tm = tpos[is_m]
-    qm = qpos[is_m]
-    ok = (tm < L) & (qm < len(sarr))
-    tm, qm = tm[ok], qm[ok]
-    bases = sarr[qm]
-    levels = qlevel(oqual[qm])
-    is_ref = (bases == pm.ref[tm]).astype(np.int64)
-    flat = (tm * NQ + levels) * 2 + is_ref
-    pm.bq.reshape(-1)[:] += np.bincount(flat, minlength=L * NQ * 2)
-
-    is_d = ops == 2
-    td = tpos[is_d]
-    td = td[td < L]
+    bq_flat, td, ins_flat, hp_flat = read_pileup_indices(
+        pm.ref, oseq, oqual, ohp if pm.hp_hist is not None else None,
+        cigar, t_start, q_start,
+    )
+    pm.bq.reshape(-1)[:] += np.bincount(bq_flat, minlength=L * NQ * 2)
     pm.dels += np.bincount(td, minlength=L)
-
-    # insertions: one event per run, attached to tpos-1, first-base quality
-    run_start = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
-    for rs in run_start:
-        if ops[rs] != 1:
-            continue
-        re = rs
-        while re < len(ops) and ops[re] == 1:
-            re += 1
-        length = re - rs
-        tp = int(tpos[rs])
-        qp = int(qpos[rs])
-        if tp > 0 and tp - 1 < L and qp + length <= len(sarr):
-            pm.ins_q[tp - 1, int(qlevel(int(oqual[qp])))] += 1
-
-    if pm.hp_hist is not None and ohp is not None:
-        hp = np.minimum(ohp[qm], 63).astype(np.int64)
-        flat_hp = tm * 64 + hp
-        pm.hp_hist.reshape(-1)[:] += np.bincount(flat_hp, minlength=L * 64)
+    pm.ins_q.reshape(-1)[:] += np.bincount(ins_flat, minlength=L * NQ)
+    if pm.hp_hist is not None and hp_flat is not None:
+        pm.hp_hist.reshape(-1)[:] += np.bincount(hp_flat, minlength=L * 64)
 
 
 def _median_from_hist(hist: np.ndarray) -> np.ndarray:
@@ -172,6 +195,7 @@ def generate_consensus_pileups(
                 hp_hist=np.zeros((L, 64), dtype=np.int64) if args.use_hpc else None,
             )
         )
+    acc: list[list[list[np.ndarray]]] = [[[], [], [], []] for _ in consensuses]
     for ci, (seq, qual, hp), m in zip(owners, payload, results):
         if m is None:
             continue
@@ -183,7 +207,31 @@ def generate_consensus_pileups(
         else:
             oseq, oqual, ohp = seq, qual, hp
             q0 = m.query_start
-        add_read_to_pileup(pms[ci], oseq, oqual, ohp, m.cigar, m.target_start, q0)
+        bq_flat, td, ins_flat, hp_flat = read_pileup_indices(
+            pms[ci].ref, oseq, oqual,
+            ohp if pms[ci].hp_hist is not None else None,
+            m.cigar, m.target_start, q0,
+        )
+        a = acc[ci]
+        a[0].append(bq_flat)
+        a[1].append(td)
+        a[2].append(ins_flat)
+        if hp_flat is not None:
+            a[3].append(hp_flat)
+    for pm, a in zip(pms, acc):
+        L = len(pm.ref)
+        if a[0]:
+            pm.bq.reshape(-1)[:] += np.bincount(
+                np.concatenate(a[0]), minlength=L * NQ * 2
+            )
+            pm.dels += np.bincount(np.concatenate(a[1]), minlength=L)
+            pm.ins_q.reshape(-1)[:] += np.bincount(
+                np.concatenate(a[2]), minlength=L * NQ
+            )
+        if pm.hp_hist is not None and a[3]:
+            pm.hp_hist.reshape(-1)[:] += np.bincount(
+                np.concatenate(a[3]), minlength=L * 64
+            )
 
     # modal (median) HP length per position -> consensus hp_lengths
     for cons, pm in zip(consensuses, pms):
