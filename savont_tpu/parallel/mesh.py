@@ -128,6 +128,54 @@ def sharded_classify_nm(mesh: Mesh, band: int = 128):
     return jax.jit(sharded)
 
 
+def sharded_sintax_scores(mesh: Mesh, query_kmers: np.ndarray):
+    """Build a jitted SINTAX scoring step with the DATABASE sharded over the
+    mesh (the "sintax DB shards per device" sweep — sintax.rs:219-273 is an
+    embarrassingly parallel max-reduce over references).
+
+    query_kmers (P, S) uint32: the S=32 subsampled k-mers per (asv, iter)
+    pair, replicated to every device (a few hundred KB).  Rows of empty
+    ASVs hold the 0xFFFFFFFE sentinel, which never matches a reference.
+
+    The returned step takes one reference chunk:
+      refk (R, L) uint32 — per-reference sorted unique k-mers padded with
+                           0xFFFFFFFF, sharded on the mesh axis
+      ridx (R,)  uint32 — kept-reference stream ordinals (< 2^26)
+    and returns a replicated (P,) uint32 key vector:
+      key = (score << 26) | (0x3FFFFFF - ordinal), or 0 when score == 0.
+    Maximizing the key reproduces the host stream's tie-break exactly
+    (strictly-greater score wins; equal scores keep the EARLIEST reference),
+    so chunks and shards can be max-reduced in any order (lax.pmax over
+    ICI here, np.maximum across chunks on host).
+    """
+    axis = mesh.axis_names[0]
+    qk = jnp.asarray(query_kmers, jnp.uint32)
+    n_pairs, S = qk.shape
+    flat = qk.reshape(-1)
+
+    def per_shard(refk, ridx):
+        def row_key(row, ri):
+            pos = jnp.searchsorted(row, flat)
+            hit = row[jnp.clip(pos, 0, row.shape[0] - 1)] == flat
+            score = hit.reshape(n_pairs, S).sum(axis=1).astype(jnp.uint32)
+            return jnp.where(
+                score > 0, (score << jnp.uint32(26)) | (jnp.uint32(0x3FFFFFF) - ri),
+                jnp.uint32(0),
+            )
+
+        keys = jax.vmap(row_key)(refk, ridx)  # (R/D, P)
+        local = keys.max(axis=0)
+        return lax.pmax(local, axis)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(),
+    )
+    return jax.jit(sharded)
+
+
 def shard_reads(mesh: Mesh, reads: np.ndarray, axis: str = "dp"):
     """Place a host batch with batch-axis sharding over the mesh."""
     return jax.device_put(reads, NamedSharding(mesh, P(axis) if reads.ndim == 1 else P(axis, *([None] * (reads.ndim - 1)))))

@@ -5,6 +5,7 @@ scores)."""
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 
 import numpy as np
@@ -54,48 +55,24 @@ class Xorshift:
         return self.next() % n
 
 
-def sintax(args: SintaxArgs, db: tax.Database) -> None:
-    input_fasta = Path(args.input_dir) / ASV_FILE
-    if not input_fasta.exists():
-        raise SystemExit(f"Input FASTA not found: {input_fasta}")
-    sequences = [(f">{r.id}", r.seq.upper()) for r in read_fastx(str(input_fasta))]
-    if not sequences:
-        log.warning("No sequences in %s", input_fasta)
-        return
-    n_asvs = len(sequences)
-    n_iter = args.n_iter
-    n_pairs = n_asvs * n_iter
-    asv_depths = tax.extract_depths_from_headers([h for h, _ in sequences])
-    total_reads = sum(asv_depths)
+def _host_scores(subs: np.ndarray, sentinel: np.uint32, db: tax.Database, n_pairs: int):
+    """Phase 2, host path: stream the database once; per ref, dedup k-mers,
+    bump (asv, iter) hit counts, keep the argmax ref's taxonomy per pair
+    (strictly greater — ties keep the earliest ref, sintax.rs:219-273).
+    The query map is a CSR structure so per-ref scoring is pure vector ops
+    (real DBs have 10^5-10^6 references)."""
+    live = subs.reshape(-1) != sentinel
+    pair_of = np.repeat(np.arange(n_pairs, dtype=np.int64), subs.shape[1])[live]
+    flat = subs.reshape(-1)[live]
+    order = np.argsort(flat, kind="stable")
+    flat, pair_of = flat[order], pair_of[order]
+    query_keys_sorted = np.unique(flat)
+    csr_off = np.searchsorted(flat, query_keys_sorted, side="left")
+    csr_off = np.append(csr_off, len(flat)).astype(np.int64)
+    csr_pairs = pair_of
 
-    # Phase 1: subsample 32 k-mers per (asv, iter) with the seeded xorshift
-    log.info("Building SINTAX query map (%d ASVs x %d iterations)", n_asvs, n_iter)
-    kmer_query: dict[int, list[int]] = {}  # kmer -> flat (asv*n_iter+iter) list
-    for asv_i, (_, seq) in enumerate(sequences):
-        kmers = extract_kmers(seq)
-        if len(kmers) == 0:
-            continue
-        for iter_j in range(n_iter):
-            rng = Xorshift(asv_i * n_iter + iter_j + 1)
-            for _ in range(SINTAX_SUBSAMPLE):
-                km = int(kmers[rng.next_usize(len(kmers))])
-                kmer_query.setdefault(km, []).append(asv_i * n_iter + iter_j)
-
-    # Phase 2: stream database once; per ref, dedup k-mers, bump (asv, iter)
-    # hit counts, keep the argmax ref's taxonomy per pair (strictly greater).
-    # The query map is a CSR structure so per-ref scoring is pure vector ops
-    # (real DBs have 10^5-10^6 references).
     best_scores = np.zeros(n_pairs, dtype=np.int32)
     best_ref = np.full(n_pairs, -1, dtype=np.int64)
-    query_keys_sorted = np.sort(np.fromiter(kmer_query.keys(), dtype=np.uint32, count=len(kmer_query)))
-    csr_off = np.zeros(len(query_keys_sorted) + 1, dtype=np.int64)
-    csr_pairs_parts = []
-    for i, km in enumerate(query_keys_sorted):
-        lst = kmer_query[int(km)]
-        csr_off[i + 1] = csr_off[i] + len(lst)
-        csr_pairs_parts.append(np.asarray(lst, dtype=np.int64))
-    csr_pairs = np.concatenate(csr_pairs_parts) if csr_pairs_parts else np.zeros(0, np.int64)
-
     ref_entries: list[tax.TaxonomyEntry] = []
     n_refs = 0
     for rec in read_fastx(str(db.fasta_path)):
@@ -134,7 +111,111 @@ def sintax(args: SintaxArgs, db: tax.Database) -> None:
     best_tax: list[tax.TaxonomyEntry | None] = [
         ref_entries[r] if r >= 0 else None for r in best_ref
     ]
+    return best_scores, best_tax
 
+
+def _device_scores(subs: np.ndarray, sentinel: np.uint32, db: tax.Database, n_pairs: int):
+    """Phase 2, mesh path (SAVONT_SINTAX_BACKEND=jax): the database is
+    sharded across ALL visible devices (BASELINE.json config 5).  Each
+    device scores its reference shard against the replicated query matrix;
+    per-pair (score, earliest-ref) winners are pmax-reduced over ICI via a
+    packed uint32 key, so outputs are bit-identical to the host stream.
+    References stream through fixed-shape (chunk, L) buckets to bound
+    memory and recompiles."""
+    from ..parallel.mesh import make_mesh, sharded_sintax_scores
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    step = sharded_sintax_scores(mesh, subs)
+    REF_PAD = np.uint32(0xFFFFFFFF)
+    rd = 128  # refs per device per chunk
+    chunk_rows = n_dev * rd
+
+    entries: list[tax.TaxonomyEntry] = []
+    pend_k: list[np.ndarray] = []
+    best_key = np.zeros(n_pairs, dtype=np.uint32)
+    n_refs = 0
+
+    def flush():
+        nonlocal best_key
+        if not pend_k:
+            return
+        lmax = max(len(a) for a in pend_k)
+        L = max(8, 1 << (lmax - 1).bit_length())  # pow2 buckets bound recompiles
+        refk = np.full((chunk_rows, L), REF_PAD, dtype=np.uint32)
+        ridx = np.zeros(chunk_rows, dtype=np.uint32)
+        base = len(entries) - len(pend_k)
+        for i, a in enumerate(pend_k):
+            refk[i, : len(a)] = a
+            ridx[i] = base + i
+        best_key = np.maximum(best_key, np.asarray(step(refk, ridx)))
+        pend_k.clear()
+
+    for rec in read_fastx(str(db.fasta_path)):
+        n_refs += 1
+        key = db.extract_key(rec.id)
+        if key is None:
+            continue
+        entry = db.taxonomy.get(key)
+        if entry is None:
+            continue
+        ref_kmers = np.unique(extract_kmers(rec.seq.upper()))
+        if len(ref_kmers) == 0:
+            continue
+        entries.append(entry)
+        pend_k.append(ref_kmers)
+        if len(pend_k) == chunk_rows:
+            flush()
+        if n_refs % 10000 == 0:
+            log.info("Processed %d reference sequences...", n_refs)
+    flush()
+
+    best_scores = (best_key >> np.uint32(26)).astype(np.int32)
+    ordinal = np.uint32(0x3FFFFFF) - (best_key & np.uint32(0x3FFFFFF))
+    best_tax = [
+        entries[int(o)] if k > 0 else None for k, o in zip(best_key, ordinal)
+    ]
+    log.info(
+        "SINTAX device scoring: %d kept refs sharded over %d devices",
+        len(entries), n_dev,
+    )
+    return best_scores, best_tax
+
+
+def sintax(args: SintaxArgs, db: tax.Database) -> None:
+    input_fasta = Path(args.input_dir) / ASV_FILE
+    if not input_fasta.exists():
+        raise SystemExit(f"Input FASTA not found: {input_fasta}")
+    sequences = [(f">{r.id}", r.seq.upper()) for r in read_fastx(str(input_fasta))]
+    if not sequences:
+        log.warning("No sequences in %s", input_fasta)
+        return
+    n_asvs = len(sequences)
+    n_iter = args.n_iter
+    n_pairs = n_asvs * n_iter
+    asv_depths = tax.extract_depths_from_headers([h for h, _ in sequences])
+    total_reads = sum(asv_depths)
+
+    # Phase 1: subsample 32 k-mers per (asv, iter) with the seeded xorshift
+    # into a dense (n_pairs, 32) matrix.  Rows of k-mer-less ASVs hold the
+    # 0xFFFFFFFE sentinel (k=12 k-mers are < 2^24, so it never matches).
+    log.info("Building SINTAX query map (%d ASVs x %d iterations)", n_asvs, n_iter)
+    QUERY_SENTINEL = np.uint32(0xFFFFFFFE)
+    subs = np.full((n_pairs, SINTAX_SUBSAMPLE), QUERY_SENTINEL, dtype=np.uint32)
+    for asv_i, (_, seq) in enumerate(sequences):
+        kmers = extract_kmers(seq)
+        if len(kmers) == 0:
+            continue
+        for iter_j in range(n_iter):
+            rng = Xorshift(asv_i * n_iter + iter_j + 1)
+            row = subs[asv_i * n_iter + iter_j]
+            for s in range(SINTAX_SUBSAMPLE):
+                row[s] = kmers[rng.next_usize(len(kmers))]
+
+    if os.environ.get("SAVONT_SINTAX_BACKEND") == "jax":
+        best_scores, best_tax = _device_scores(subs, QUERY_SENTINEL, db, n_pairs)
+    else:
+        best_scores, best_tax = _host_scores(subs, QUERY_SENTINEL, db, n_pairs)
     # Phase 3: per-rank votes -> bootstrap fractions
     all_hits: list[dict | None] = []
     for asv_i in range(n_asvs):

@@ -110,3 +110,48 @@ def test_run_jobs_nm_sharded_matches_native(monkeypatch):
             # (score, q0, q1, t0, t1, cigar, nm) — device path has no cigar
             assert h[0] == d[0] and h[6] == d[6], (h, d)
             assert h[1:5] == d[1:5], (h, d)
+
+
+def test_sintax_device_matches_host(tmp_path, monkeypatch):
+    """SINTAX with the DB sharded over the virtual 8-device mesh must produce
+    byte-identical outputs to the host streaming path, including the
+    earliest-ref tie-break (two refs sharing a genus score equally)."""
+    from savont_tpu.config import SintaxArgs
+    from savont_tpu.db.registry import load_database
+    from savont_tpu.pipeline.sintax import sintax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = {str(100 + i): rng.choice(bases, 600).tobytes().decode() for i in range(9)}
+    seqs["200"] = seqs["100"]  # exact duplicate -> score tie, earliest ref wins
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    with open(db_dir / "species_taxid.fasta", "w") as f:
+        for tid, s in seqs.items():
+            f.write(f">{tid}:x\n{s}\n")
+    with open(db_dir / "taxonomy.tsv", "w") as f:
+        f.write("tax_id\tspecies\tgenus\tfamily\torder\tclass\tphylum\tclade\tsuperkingdom\tsubspecies\tspecies subgroup\tspecies group\n")
+        for i, tid in enumerate(seqs):
+            f.write(f"{tid}\tSp{i}\tGen{i % 4}\tFam\tOrd\tCls\tPhy\t\tBacteria\t\t\t\n")
+    (db_dir / ".savont_db").write_text("emu-1")
+
+    outs = {}
+    for backend in ("host", "jax"):
+        run = tmp_path / f"run_{backend}"
+        run.mkdir()
+        with open(run / "final_asvs.fasta", "w") as f:
+            f.write(f">final_consensus_0_depth_50\n{seqs['100']}\n")
+            f.write(f">final_consensus_1_depth_10\n{seqs['103']}\n")
+        if backend == "jax":
+            monkeypatch.setenv("SAVONT_SINTAX_BACKEND", "jax")
+        else:
+            monkeypatch.delenv("SAVONT_SINTAX_BACKEND", raising=False)
+        sintax(SintaxArgs(input_dir=str(run), db=str(db_dir)), load_database(db_dir))
+        outs[backend] = (
+            (run / "asv_mappings.tsv").read_text(),
+            (run / "genus_abundance.tsv").read_text(),
+        )
+    assert outs["host"] == outs["jax"]
