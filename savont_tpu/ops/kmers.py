@@ -284,6 +284,37 @@ def kmer_at_position(codes: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
     return np.where(use_rev, r, f)
 
 
+def kmer_at_position_batch(
+    codes_list: list[np.ndarray], pos_lists: list[np.ndarray], k: int,
+    chunk: int = 4096,
+) -> list[np.ndarray]:
+    """kmer_at_position over many reads with ONE rolling pass per chunk of
+    concatenated codes (valid because rolling_kmers windows are local: a
+    position p <= len-k never reads past its own read).  Per-read calls
+    cost ~80us each in rolling overhead; this amortizes them away."""
+    split_mask = U64(np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1)))
+    out: list[np.ndarray] = []
+    for s in range(0, len(codes_list), chunk):
+        cl = codes_list[s : s + chunk]
+        pl = pos_lists[s : s + chunk]
+        lens = np.fromiter((len(c) for c in cl), np.int64, len(cl))
+        off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        cat = np.concatenate(cl) if cl else np.zeros(0, np.uint8)
+        fwd, rev = rolling_kmers(cat, k)
+        counts = [len(p) for p in pl]
+        flat = (
+            np.concatenate([np.asarray(p, np.int64) + o for p, o in zip(pl, off)])
+            if pl
+            else np.zeros(0, np.int64)
+        )
+        f, r = fwd[flat], rev[flat]
+        use_rev = (r & split_mask) < (f & split_mask)
+        km = np.where(use_rev, r, f)
+        ends = np.cumsum(np.asarray(counts, dtype=np.int64))
+        out.extend(km[e - c : e] for c, e in zip(counts, ends))
+    return out
+
+
 def minimizer_sketch(codes: np.ndarray, w: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Window-minimizer sketch replicating seeding.rs:99-187 exactly.
 

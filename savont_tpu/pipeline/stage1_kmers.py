@@ -31,6 +31,7 @@ from ..ops.kmers import (
     count_flagged_kmers,
     count_flagged_kmers_streaming,
     filter_counted_kmers,
+    kmer_at_position_batch,
     masked_kmer,
     mid_base,
     split_kmer_mid,
@@ -464,7 +465,20 @@ def twin_reads_from_files(
     # driver sorts by est accuracy desc, stable (main.rs:533)
     twin_reads.sort(key=lambda t: -(t.est_id if t.est_id is not None else 100.0))
     compute_lsh_signatures_batch(twin_reads, args.threads)
+    _prime_vec_caches(twin_reads, args.kmer_size)
     return twin_reads
+
+
+def _prime_vec_caches(twin_reads: list[TwinRead], k: int) -> None:
+    """Pre-fill every read's minimizers_vec/snpmers_vec caches with one
+    batched rolling pass (positions are final once the solid filters ran;
+    the caches self-invalidate if positions are ever replaced)."""
+    codes = [t.codes for t in twin_reads]
+    minis = kmer_at_position_batch(codes, [t.mini_pos for t in twin_reads], k)
+    snps = kmer_at_position_batch(codes, [t.snp_pos for t in twin_reads], k)
+    for t, mk, sk in zip(twin_reads, minis, snps):
+        t._mini_vec_cache = (t.mini_pos, mk)
+        t._snp_vec_cache = (t.snp_pos, sk)
 
 
 def twin_reads_from_fasta(path, kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:

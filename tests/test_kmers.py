@@ -204,3 +204,23 @@ def test_streaming_count_identical():
     k2, c2 = count_flagged_kmers_streaming(per_read, chunk_reads=64)
     assert np.array_equal(k1, k2)
     assert np.array_equal(c1, c2)
+
+
+def test_kmer_at_position_batch_matches_scalar():
+    from savont_tpu.ops.kmers import kmer_at_position, kmer_at_position_batch
+
+    rng = np.random.default_rng(3)
+    k = 17
+    codes_list, pos_lists = [], []
+    for i in range(40):
+        n = int(rng.integers(5, 300))  # includes reads shorter than k
+        codes_list.append(rng.integers(0, 4, n).astype(np.uint8))
+        npos = 0 if n < k else int(rng.integers(0, n - k + 1))
+        pos_lists.append(
+            np.sort(rng.choice(n - k + 1, npos, replace=False)).astype(np.uint32)
+            if npos
+            else np.zeros(0, np.uint32)
+        )
+    got = kmer_at_position_batch(codes_list, pos_lists, k, chunk=7)
+    for c, p, g in zip(codes_list, pos_lists, got):
+        assert np.array_equal(g, kmer_at_position(c, p, k))
