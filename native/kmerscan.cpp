@@ -9,6 +9,8 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
+#include <utility>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -374,6 +376,95 @@ void chain_band_batch(
                 if (x == 0) run_lo = l;
                 lo[x] = run_lo;
             }
+        }
+    }
+}
+
+// Sequential greedy LSH clustering (asv_cluster.rs:72-249; exact twin of
+// stage23_cluster.cluster_reads_by_kmers).  Inherently order-dependent, so
+// single-threaded — the win over the Python loop is constant-factor (no
+// numpy dispatch per candidate).  Similarity comparisons use exact integer
+// cross-multiplication: count/denom ordering is preserved under the
+// monotonic ^(1/k), so results match the Python float path except at
+// exact-boundary pow roundings that integer ratios cannot hit.
+// sigs (n_reads, n_tables) with sig_valid 0 marking None; minis raw
+// (UNFILTERED) per-read minimizer k-mers, concatenated with offsets.
+// thresh_pow_k = KMER_CLUSTER_THRESHOLD ** k (computed host-side).
+// assignment[r] = representative read id (r itself for new reps).
+void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
+                        int n_tables, const uint64_t* minis,
+                        const int64_t* mini_off, int64_t n_reads,
+                        double thresh_pow_k, int top_n, int64_t* assignment) {
+    std::vector<std::unordered_map<uint64_t, std::vector<int64_t>>> buckets(n_tables);
+    // representative storage: sorted unique k-mer sets + raw vector lengths
+    std::unordered_map<int64_t, std::vector<uint64_t>> rep_sets;
+    std::unordered_map<int64_t, int64_t> rep_vec_len;
+    std::unordered_map<int64_t, int64_t> hits;
+    std::vector<std::pair<int64_t, int64_t>> cand;  // (hits, read_id)
+    std::vector<uint64_t> read_set;
+
+    for (int64_t r = 0; r < n_reads; r++) {
+        hits.clear();
+        for (int t = 0; t < n_tables; t++) {
+            if (!sig_valid[r * n_tables + t]) continue;
+            auto it = buckets[t].find(sigs[r * n_tables + t]);
+            if (it == buckets[t].end()) continue;
+            for (int64_t c : it->second) hits[c]++;
+        }
+        int64_t best_rep = -1;
+        if (!hits.empty()) {
+            cand.clear();
+            for (auto& kv : hits) cand.push_back({kv.second, kv.first});
+            // (hits desc, cand_id desc) — asv_cluster.rs:111
+            std::sort(cand.begin(), cand.end(),
+                      [](const std::pair<int64_t, int64_t>& a,
+                         const std::pair<int64_t, int64_t>& b) {
+                          if (a.first != b.first) return a.first > b.first;
+                          return a.second > b.second;
+                      });
+            const int64_t max_hits = cand[0].first;
+
+            read_set.assign(minis + mini_off[r], minis + mini_off[r + 1]);
+            std::sort(read_set.begin(), read_set.end());
+            read_set.erase(std::unique(read_set.begin(), read_set.end()),
+                           read_set.end());
+
+            int64_t best_c = 0, best_d = 1;  // best ratio as exact rational
+            int64_t checked = 0;
+            for (auto& hc : cand) {
+                if (!(hc.first == max_hits || checked < top_n)) break;
+                checked++;
+                const int64_t c = hc.second;
+                const std::vector<uint64_t>& rep = rep_sets[c];
+                int64_t count = 0;
+                if (!rep.empty() && !read_set.empty()) {
+                    for (uint64_t v : read_set)
+                        if (std::binary_search(rep.begin(), rep.end(), v)) count++;
+                }
+                const int64_t denom =
+                    std::max((int64_t)read_set.size(), rep_vec_len[c]);
+                if (denom == 0) continue;
+                if (count * best_d > best_c * denom) {  // sim > best_sim
+                    best_c = count;
+                    best_d = denom;
+                    best_rep = c;
+                }
+            }
+            // best_sim <= threshold -> new representative
+            if ((double)best_c / (double)best_d <= thresh_pow_k) best_rep = -1;
+        }
+        if (best_rep >= 0) {
+            assignment[r] = best_rep;
+        } else {
+            for (int t = 0; t < n_tables; t++)
+                if (sig_valid[r * n_tables + t])
+                    buckets[t][sigs[r * n_tables + t]].push_back(r);
+            assignment[r] = r;
+            std::vector<uint64_t> s(minis + mini_off[r], minis + mini_off[r + 1]);
+            rep_vec_len[r] = (int64_t)s.size();
+            std::sort(s.begin(), s.end());
+            s.erase(std::unique(s.begin(), s.end()), s.end());
+            rep_sets[r] = std::move(s);
         }
     }
 }

@@ -51,6 +51,11 @@ def get_scan_lib():
         u64p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         u64p, u8p, ctypes.c_int,
     ]
+    lib.lsh_greedy_cluster.restype = None
+    lib.lsh_greedy_cluster.argtypes = [
+        u64p, u8p, ctypes.c_int, u64p, i64p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int, i64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -270,3 +275,34 @@ def lsh_batch_native(
         _ptr(sigs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), threads,
     )
     return sigs, valid
+
+
+def lsh_greedy_cluster_native(
+    sigs: np.ndarray, valid: np.ndarray, mini_lists: list[np.ndarray],
+    thresh_pow_k: float, top_n: int,
+) -> np.ndarray | None:
+    """Sequential greedy LSH clustering (native twin of
+    stage23_cluster.cluster_reads_by_kmers's read loop).  sigs (R, T) u64
+    with valid (R, T) u8; mini_lists = per-read UNFILTERED minimizer
+    k-mers.  Returns assignment (R,) i64 or None without the library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n, t = sigs.shape
+    off = np.zeros(n + 1, dtype=np.int64)
+    for i, m in enumerate(mini_lists):
+        off[i + 1] = off[i] + len(m)
+    minis = (
+        np.ascontiguousarray(np.concatenate(mini_lists), dtype=np.uint64)
+        if n
+        else np.zeros(0, np.uint64)
+    )
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.int64)
+    lib.lsh_greedy_cluster(
+        _ptr(sigs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), t,
+        _ptr(minis, ctypes.c_uint64), _ptr(off, ctypes.c_int64), n,
+        thresh_pow_k, top_n, _ptr(out, ctypes.c_int64),
+    )
+    return out

@@ -31,6 +31,20 @@ def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> lis
     candidates from 20 LSH tables; verification by exact minimizer
     containment ratio^(1/k) > 0.950."""
     k = args.kmer_size
+    assignment_arr = _cluster_native(twin_reads, k)
+    if assignment_arr is not None:
+        clusters_map: dict[int, list[int]] = {}
+        for read_id, rep in enumerate(assignment_arr):
+            clusters_map.setdefault(int(rep), []).append(read_id)
+        clusters = [sorted(c) for c in clusters_map.values()]
+        clusters.sort(key=lambda c: (-len(c), c[0]))
+        clusters = [c for c in clusters if len(c) >= args.min_cluster_size]
+        log.info(
+            "Stage 2: %d reps, %d clusters >= min size",
+            len(set(int(a) for a in assignment_arr)), len(clusters),
+        )
+        return clusters
+
     bucket_index: list[dict[int, list[int]]] = [dict() for _ in range(LSH_NUM_TABLES)]
     assignment: dict[int, int] = {}
     representatives: list[int] = []
@@ -101,6 +115,25 @@ def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> lis
     clusters = [c for c in clusters if len(c) >= args.min_cluster_size]
     log.info("Stage 2: %d reps, %d clusters >= min size", len(representatives), len(clusters))
     return clusters
+
+
+def _cluster_native(twin_reads: list[TwinRead], k: int) -> np.ndarray | None:
+    """Native greedy LSH clustering (same semantics; see kmerscan.cpp
+    lsh_greedy_cluster).  None -> use the Python loop."""
+    from ..ops.kmers_native import lsh_greedy_cluster_native
+
+    n = len(twin_reads)
+    sigs = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint64)
+    valid = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint8)
+    for i, tr in enumerate(twin_reads):
+        for t, s in enumerate(tr.lsh_signatures[:LSH_NUM_TABLES]):
+            if s is not None:
+                sigs[i, t] = s
+                valid[i, t] = 1
+    return lsh_greedy_cluster_native(
+        sigs, valid, [tr.minimizer_kmers() for tr in twin_reads],
+        KMER_CLUSTER_THRESHOLD**k, TOP_N_LSH_CANDIDATES,
+    )
 
 
 # ── Stage 3: greedy SNPmer sub-clustering ───────────────────────────────────

@@ -225,3 +225,37 @@ def test_lsh_batch_native_matches_python():
     if get_scan_lib() is None:
         return  # fallback path exercised; equality is trivial
     assert got == want
+
+
+def test_lsh_greedy_cluster_native_matches_python(monkeypatch):
+    """Native greedy LSH clustering vs the Python loop on synthetic reads
+    engineered to hit multi-candidate buckets and borderline containments."""
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.core import TwinRead, compute_lsh_signatures_batch
+    from savont_tpu.ops.kmers_native import get_scan_lib
+    from savont_tpu.pipeline import stage23_cluster as s23
+
+    if get_scan_lib() is None:
+        return
+    rng = np.random.default_rng(23)
+    pool = rng.integers(0, 1 << 40, size=400, dtype=np.uint64)
+    trs = []
+    for fam in range(6):
+        base = rng.choice(pool, 120, replace=False)
+        for j in range(25):
+            m = base.copy()
+            # mutate a varying handful of minimizers to scatter similarities
+            nmut = int(rng.integers(0, 30))
+            if nmut:
+                m[rng.choice(len(m), nmut, replace=False)] = rng.choice(pool, nmut)
+            tr = TwinRead(id=f"f{fam}r{j}", base_id=f"f{fam}r{j}",
+                          codes=np.zeros(8, np.uint8), k=17, l=3)
+            tr.mini_kmers_all = m
+            trs.append(tr)
+    compute_lsh_signatures_batch(trs)
+    args = ClusterArgs(input_files=[], output_dir="", min_cluster_size=2)
+
+    native = s23.cluster_reads_by_kmers(trs, args)
+    monkeypatch.setattr(s23, "_cluster_native", lambda *a: None)
+    python = s23.cluster_reads_by_kmers(trs, args)
+    assert native == python
