@@ -469,6 +469,59 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
     }
 }
 
+// Greedy zero-mismatch SNPmer sub-clustering within one k-mer cluster
+// (asv_cluster.rs:593-693; exact twin of the non-blockmer path of
+// stage23_cluster._snpmer_subcluster).  Reads arrive in cluster order;
+// each is assigned to the representative with (most matches, smallest
+// current cluster, smallest id) among reps with >= 1 splitmer match and
+// 0 mismatches, else becomes a new representative.  snps = per-read
+// UNFILTERED snpmer k-mers concatenated with offsets; mask zeroes the
+// mid-base bits.  assignment[i] = local index of the representative.
+void snpmer_greedy_subcluster(const uint64_t* snps, const int64_t* off,
+                              int64_t n_reads, uint64_t mask,
+                              int64_t* assignment) {
+    // splitmer -> (full kmer, rep local id) entries, in insertion order
+    std::unordered_map<uint64_t, std::vector<std::pair<uint64_t, int64_t>>> index;
+    std::vector<int64_t> rep_size(n_reads, 0);
+    std::unordered_map<int64_t, std::pair<int64_t, int64_t>> scores;  // rep -> (m, mm)
+
+    for (int64_t i = 0; i < n_reads; i++) {
+        const int64_t s = off[i], e = off[i + 1];
+        scores.clear();
+        for (int64_t j = s; j < e; j++) {
+            auto it = index.find(snps[j] & mask);
+            if (it == index.end()) continue;
+            for (auto& ent : it->second) {
+                auto& sc = scores[ent.second];
+                if (ent.first == snps[j])
+                    sc.first++;
+                else
+                    sc.second++;
+            }
+        }
+        int64_t best = -1, best_m = 0, best_sz = 0;
+        for (auto& kv : scores) {
+            if (kv.second.first <= 0 || kv.second.second != 0) continue;
+            const int64_t m = kv.second.first, sz = rep_size[kv.first];
+            if (best < 0 || m > best_m || (m == best_m && sz < best_sz) ||
+                (m == best_m && sz == best_sz && kv.first < best)) {
+                best = kv.first;
+                best_m = m;
+                best_sz = sz;
+            }
+        }
+        if (best >= 0) {
+            assignment[i] = best;
+            rep_size[best]++;
+        } else {
+            assignment[i] = i;
+            rep_size[i] = 1;
+            for (int64_t j = s; j < e; j++)
+                index[snps[j] & mask].push_back({snps[j], i});
+        }
+    }
+}
+
 // Batched LSH signatures (types.rs:719-747 semantics, matches
 // core.py compute_lsh_signatures bit-for-bit).  For each read and table
 // seed t in [0, n_tables): rank the read's UNFILTERED minimizer k-mers by

@@ -56,6 +56,10 @@ def get_scan_lib():
         u64p, u8p, ctypes.c_int, u64p, i64p, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int, i64p,
     ]
+    lib.snpmer_greedy_subcluster.restype = None
+    lib.snpmer_greedy_subcluster.argtypes = [
+        u64p, i64p, ctypes.c_int64, ctypes.c_uint64, i64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -304,5 +308,31 @@ def lsh_greedy_cluster_native(
         _ptr(sigs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), t,
         _ptr(minis, ctypes.c_uint64), _ptr(off, ctypes.c_int64), n,
         thresh_pow_k, top_n, _ptr(out, ctypes.c_int64),
+    )
+    return out
+
+
+def snpmer_subcluster_native(
+    snp_lists: list[np.ndarray], mask: int
+) -> np.ndarray | None:
+    """Greedy zero-mismatch SNPmer sub-clustering (native twin of the
+    non-blockmer _snpmer_subcluster loop).  Returns local assignment (n,)
+    i64 or None without the library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(snp_lists)
+    off = np.zeros(n + 1, dtype=np.int64)
+    for i, m in enumerate(snp_lists):
+        off[i + 1] = off[i] + len(m)
+    snps = (
+        np.ascontiguousarray(np.concatenate(snp_lists), dtype=np.uint64)
+        if n
+        else np.zeros(0, np.uint64)
+    )
+    out = np.zeros(n, dtype=np.int64)
+    lib.snpmer_greedy_subcluster(
+        _ptr(snps, ctypes.c_uint64), _ptr(off, ctypes.c_int64), n,
+        ctypes.c_uint64(int(mask)), _ptr(out, ctypes.c_int64),
     )
     return out

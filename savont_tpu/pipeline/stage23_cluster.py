@@ -170,6 +170,20 @@ def _snpmer_subcluster(
     use_blockmers = args is not None and args.use_blockmers
     blockmer_l = args.blockmer_length if args is not None else 3
     mask = _split_mask(k)
+    if not use_blockmers:
+        from ..ops.kmers_native import snpmer_subcluster_native
+
+        local_asn = snpmer_subcluster_native(
+            [np.asarray(twin_reads[r].snpmer_kmers(), dtype=np.uint64) for r in cluster],
+            int(mask),
+        )
+        if local_asn is not None:
+            cmap: dict[int, list[int]] = {}
+            for i, rep in enumerate(local_asn):
+                cmap.setdefault(cluster[int(rep)], []).append(cluster[i])
+            local = [sorted(c) for c in cmap.values()]
+            local.sort(key=lambda c: (-len(c), c[0]))
+            return [c for c in local if len(c) >= min_cluster_size]
     assignment: dict[int, int] = {}
     rep_size: dict[int, int] = {}
     representatives: list[int] = []

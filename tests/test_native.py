@@ -259,3 +259,34 @@ def test_lsh_greedy_cluster_native_matches_python(monkeypatch):
     monkeypatch.setattr(s23, "_cluster_native", lambda *a: None)
     python = s23.cluster_reads_by_kmers(trs, args)
     assert native == python
+
+
+def test_snpmer_subcluster_native_matches_python(monkeypatch):
+    """Native greedy SNPmer sub-clustering vs the Python loop, with shared
+    splitmers across synthetic reads to exercise match/mismatch scoring and
+    the (most-matches, smallest-cluster, smallest-id) tie-break."""
+    from savont_tpu.core import TwinRead
+    from savont_tpu.ops import kmers_native
+    from savont_tpu.ops.kmers_native import get_scan_lib
+    from savont_tpu.pipeline import stage23_cluster as s23
+
+    if get_scan_lib() is None:
+        return
+    k = 17
+    rng = np.random.default_rng(31)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1))
+    sp_pool = (rng.integers(0, 1 << 40, 60, dtype=np.uint64) & mask).astype(np.uint64)
+    trs = []
+    for i in range(80):
+        n = int(rng.integers(0, 25))
+        sp = rng.choice(sp_pool, n)
+        mid = rng.integers(0, 4, n).astype(np.uint64)
+        tr = TwinRead(id=f"r{i}", base_id=f"r{i}", codes=np.zeros(8, np.uint8), k=k, l=3)
+        tr.snp_kmers_all = (sp | (mid << np.uint64(k - 1))).astype(np.uint64)
+        trs.append(tr)
+    cluster = list(range(len(trs)))
+
+    native = s23._snpmer_subcluster(cluster, trs, k, 1)
+    monkeypatch.setattr(kmers_native, "snpmer_subcluster_native", lambda *a: None)
+    python = s23._snpmer_subcluster(cluster, trs, k, 1)
+    assert native == python
