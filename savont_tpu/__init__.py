@@ -18,3 +18,30 @@ Pipeline (mirrors reference main.rs:49-196):
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_malloc() -> None:
+    """Stop glibc from mmap/munmap-ing every large numpy temporary.
+
+    The pipeline allocates and frees many >128 KB arrays (k-mer streams,
+    DP planes, pileup matrices); with glibc defaults each one is a fresh
+    mmap, so the kernel spends significant time zeroing pages (measured:
+    16.3s sys -> 3.7s sys, -24% wall on a 20k-read run).  Raising the
+    mmap/trim thresholds keeps freed blocks on the heap for reuse, at the
+    cost of a higher steady-state RSS.  SAVONT_NO_MALLOC_TUNE=1 opts out."""
+    import ctypes
+    import os
+    import sys
+
+    if os.environ.get("SAVONT_NO_MALLOC_TUNE") or not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except OSError:  # non-glibc libc
+        pass
+
+
+_tune_malloc()
