@@ -380,6 +380,38 @@ void chain_band_batch(
     }
 }
 
+// Canonical k-mers at sorted positions (types.rs:622-663 semantics; exact
+// twin of ops/kmers.kmer_at_position): canonical by MASKED comparison,
+// forward k-mer on ties.  One rolling pass per read, emitting when the
+// window start matches the next requested position.
+void kmer_at_positions_batch(const uint8_t* codes, const int64_t* off,
+                             int64_t n_reads, const uint32_t* pos,
+                             const int64_t* pos_off, int k, uint64_t* out,
+                             int threads) {
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    const uint64_t split_mask = ~(3ULL << (k - 1));
+    const int rev_shift = 2 * (k - 1);
+#pragma omp parallel for schedule(dynamic, 64) num_threads(threads)
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* c = codes + off[r];
+        const int64_t len = off[r + 1] - off[r];
+        int64_t pi = pos_off[r];
+        const int64_t pe = pos_off[r + 1];
+        if (pi == pe) continue;
+        uint64_t f = 0, rv = 0;
+        for (int64_t i = 0; i < len && pi < pe; i++) {
+            const uint64_t b = c[i];
+            f = ((f << 2) | b) & mask;
+            rv = (rv >> 2) | ((3 - b) << rev_shift);
+            if (i < k - 1) continue;
+            const int64_t p = i - k + 1;
+            while (pi < pe && (int64_t)pos[pi] == p) {
+                out[pi++] = ((rv & split_mask) < (f & split_mask)) ? rv : f;
+            }
+        }
+    }
+}
+
 // Sequential greedy LSH clustering (asv_cluster.rs:72-249; exact twin of
 // stage23_cluster.cluster_reads_by_kmers).  Inherently order-dependent, so
 // single-threaded — the win over the Python loop is constant-factor (no

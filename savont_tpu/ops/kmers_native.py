@@ -60,6 +60,10 @@ def get_scan_lib():
     lib.snpmer_greedy_subcluster.argtypes = [
         u64p, i64p, ctypes.c_int64, ctypes.c_uint64, i64p,
     ]
+    lib.kmer_at_positions_batch.restype = None
+    lib.kmer_at_positions_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, u32p, i64p, ctypes.c_int, u64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -336,3 +340,33 @@ def snpmer_subcluster_native(
         ctypes.c_uint64(int(mask)), _ptr(out, ctypes.c_int64),
     )
     return out
+
+
+def kmer_at_positions_native(
+    codes_list: list[np.ndarray], pos_lists: list[np.ndarray], k: int,
+    threads: int = 0,
+) -> list[np.ndarray] | None:
+    """Batched kmer_at_position (canonical, forward-preferred ties) via one
+    native rolling pass per read.  Positions must be sorted ascending (they
+    are: mini_pos/snp_pos are emitted in scan order).  None without the
+    library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    codes, _, off = _concat(codes_list, None)
+    n = len(codes_list)
+    pos_off = np.zeros(n + 1, dtype=np.int64)
+    for i, p in enumerate(pos_lists):
+        pos_off[i + 1] = pos_off[i] + len(p)
+    pos = (
+        np.ascontiguousarray(np.concatenate(pos_lists), dtype=np.uint32)
+        if n
+        else np.zeros(0, np.uint32)
+    )
+    out = np.zeros(int(pos_off[-1]), dtype=np.uint64)
+    lib.kmer_at_positions_batch(
+        _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), n,
+        _ptr(pos, ctypes.c_uint32), _ptr(pos_off, ctypes.c_int64), k,
+        _ptr(out, ctypes.c_uint64), threads,
+    )
+    return [out[pos_off[i] : pos_off[i + 1]].copy() for i in range(n)]

@@ -465,17 +465,24 @@ def twin_reads_from_files(
     # driver sorts by est accuracy desc, stable (main.rs:533)
     twin_reads.sort(key=lambda t: -(t.est_id if t.est_id is not None else 100.0))
     compute_lsh_signatures_batch(twin_reads, args.threads)
-    _prime_vec_caches(twin_reads, args.kmer_size)
+    _prime_vec_caches(twin_reads, args.kmer_size, args.threads)
     return twin_reads
 
 
-def _prime_vec_caches(twin_reads: list[TwinRead], k: int) -> None:
+def _prime_vec_caches(twin_reads: list[TwinRead], k: int, threads: int = 0) -> None:
     """Pre-fill every read's minimizers_vec/snpmers_vec caches with one
     batched rolling pass (positions are final once the solid filters ran;
     the caches self-invalidate if positions are ever replaced)."""
+    from ..ops.kmers_native import kmer_at_positions_native
+
     codes = [t.codes for t in twin_reads]
-    minis = kmer_at_position_batch(codes, [t.mini_pos for t in twin_reads], k)
-    snps = kmer_at_position_batch(codes, [t.snp_pos for t in twin_reads], k)
+    mini_pos = [t.mini_pos for t in twin_reads]
+    snp_pos = [t.snp_pos for t in twin_reads]
+    minis = kmer_at_positions_native(codes, mini_pos, k, threads)
+    snps = kmer_at_positions_native(codes, snp_pos, k, threads)
+    if minis is None or snps is None:
+        minis = kmer_at_position_batch(codes, mini_pos, k)
+        snps = kmer_at_position_batch(codes, snp_pos, k)
     for t, mk, sk in zip(twin_reads, minis, snps):
         t._mini_vec_cache = (t.mini_pos, mk)
         t._snp_vec_cache = (t.snp_pos, sk)

@@ -290,3 +290,26 @@ def test_snpmer_subcluster_native_matches_python(monkeypatch):
     monkeypatch.setattr(kmers_native, "snpmer_subcluster_native", lambda *a: None)
     python = s23._snpmer_subcluster(cluster, trs, k, 1)
     assert native == python
+
+
+def test_kmer_at_positions_native_matches_python():
+    from savont_tpu.ops.kmers import kmer_at_position
+    from savont_tpu.ops.kmers_native import kmer_at_positions_native
+
+    rng = np.random.default_rng(41)
+    k = 17
+    codes_list, pos_lists = [], []
+    for _ in range(30):
+        n = int(rng.integers(5, 400))
+        codes_list.append(rng.integers(0, 4, n).astype(np.uint8))
+        npos = 0 if n < k else int(rng.integers(0, n - k + 1))
+        pos_lists.append(
+            np.sort(rng.choice(n - k + 1, npos, replace=False)).astype(np.uint32)
+            if npos
+            else np.zeros(0, np.uint32)
+        )
+    got = kmer_at_positions_native(codes_list, pos_lists, k, threads=3)
+    if got is None:
+        return
+    for c, p, g in zip(codes_list, pos_lists, got):
+        assert np.array_equal(g, kmer_at_position(c, p, k))
