@@ -134,3 +134,88 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
   }
   return ubase[threads];
 }
+
+// In-place parallel LSD radix sort of a u64 key array (bytes above the
+// maximum value are skipped).  Shares the histogram/scatter scheme of
+// count_flagged_u64; used by the anchor-grouping path in align_batch.
+extern "C" void radix_sort_u64(uint64_t *keys, int64_t n, int threads) {
+  if (n <= 1)
+    return;
+  if (threads < 1)
+    threads = 1;
+  std::vector<uint64_t> buf(n);
+  uint64_t *src = keys, *dst = buf.data();
+
+  uint64_t maxv = 0;
+#pragma omp parallel for reduction(max : maxv) num_threads(threads)
+  for (int64_t i = 0; i < n; i++)
+    if (src[i] > maxv)
+      maxv = src[i];
+  int passes = 1;
+  while (passes < 8 && (maxv >> (8 * passes)))
+    passes++;
+
+  std::vector<int64_t> lo(threads + 1);
+  for (int t = 0; t <= threads; t++)
+    lo[t] = n * t / threads;
+  std::vector<int64_t> hist((size_t)threads * 256);
+  for (int p = 0; p < passes; p++) {
+    int shift = 8 * p;
+    std::memset(hist.data(), 0, hist.size() * sizeof(int64_t));
+#pragma omp parallel num_threads(threads)
+    {
+      int t = omp_get_thread_num();
+      int64_t *h = &hist[(size_t)t * 256];
+      for (int64_t i = lo[t]; i < lo[t + 1]; i++)
+        h[(src[i] >> shift) & 255]++;
+    }
+    int64_t run = 0;
+    for (int bkt = 0; bkt < 256; bkt++)
+      for (int t = 0; t < threads; t++) {
+        int64_t c = hist[(size_t)t * 256 + bkt];
+        hist[(size_t)t * 256 + bkt] = run;
+        run += c;
+      }
+#pragma omp parallel num_threads(threads)
+    {
+      int t = omp_get_thread_num();
+      int64_t *off = &hist[(size_t)t * 256];
+      for (int64_t i = lo[t]; i < lo[t + 1]; i++)
+        dst[off[(src[i] >> shift) & 255]++] = src[i];
+    }
+    uint64_t *tmp = src;
+    src = dst;
+    dst = tmp;
+  }
+  if (src != keys)
+    std::memcpy(keys, src, (size_t)n * sizeof(uint64_t));
+}
+
+// Expand minimizer-hit ranges into packed anchor sort keys
+// (qid<<43 | tid<<29 | strand<<28 | oriented_qpos<<14 | tpos), applying
+// the no_diag filter.  Returns the number of keys written.  The caller
+// radix-sorts and decodes the fields back out of the key — this replaces
+// the np.repeat/arange expansion + argsort in plan_jobs_batch.
+extern "C" int64_t anchor_pack_keys(
+    const int64_t *lo, const int64_t *cnt, int64_t n_minis,
+    const int32_t *all_p, const uint8_t *all_f, const int32_t *qid,
+    const int64_t *qlens, const int32_t *h_tid, const int32_t *h_tpos,
+    const uint8_t *h_isf, int k, int no_diag, uint64_t *keys) {
+  int64_t w = 0;
+  for (int64_t m = 0; m < n_minis; m++) {
+    const int64_t q = qid[m];
+    const int64_t qp_f = all_p[m];
+    const int64_t qp_r = qlens[q] - k - qp_f;
+    const uint64_t base = (uint64_t)q << 43;
+    for (int64_t j = lo[m]; j < lo[m] + cnt[m]; j++) {
+      const int64_t tid = h_tid[j];
+      if (no_diag && tid == q)
+        continue;
+      const int same = h_isf[j] == all_f[m];
+      const int64_t qp = same ? qp_f : qp_r;
+      keys[w++] = base | ((uint64_t)tid << 29) | ((uint64_t)same << 28) |
+                  ((uint64_t)qp << 14) | (uint64_t)h_tpos[j];
+    }
+  }
+  return w;
+}

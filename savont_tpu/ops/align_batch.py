@@ -113,45 +113,68 @@ def plan_jobs_batch(
     total = int(counts.sum())
     if total == 0:
         return [], []
-    mi = np.repeat(np.arange(len(all_h)), counts)
-    starts = np.repeat(left, counts)
-    within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-    hidx = starts + within
 
-    h_qid = qid[mi]
-    h_tid = index.h_tid[hidx]
-    if no_diag:
-        keep = h_tid != h_qid
-        mi, hidx, h_qid, h_tid = mi[keep], hidx[keep], h_qid[keep], h_tid[keep]
-        if len(mi) == 0:
-            return [], []
-    same = index.h_isf[hidx] == all_f[mi]
-    strand = np.where(same, 1, -1).astype(np.int8)
-    qp_o = np.where(same, all_p[mi], (qlens[h_qid] - index.k - all_p[mi])).astype(np.int64)
-    tpos = index.h_tpos[hidx].astype(np.int64)
-
-    # sort by (qid, tid, strand, qp, tpos): pack into one u64 key when the
-    # dims fit (20+14+1+14+14 bits) — one argsort beats a 5-key lexsort
-    if (
+    # dims for the packed u64 sort key (20+14+1+14+14 bits)
+    dims_fit = (
         len(queries) < (1 << 20)
         and len(index.targets) < (1 << 14)
-        and int(qp_o.max(initial=0)) < (1 << 14)
-        and int(tpos.max(initial=0)) < (1 << 14)
-        and int(qp_o.min(initial=0)) >= 0
-    ):
-        key = (
-            (h_qid.astype(np.uint64) << np.uint64(43))
-            | (h_tid.astype(np.uint64) << np.uint64(29))
-            | ((strand == 1).astype(np.uint64) << np.uint64(28))
-            | (qp_o.astype(np.uint64) << np.uint64(14))
-            | tpos.astype(np.uint64)
-        )
-        order = np.argsort(key, kind="stable")
-    else:
-        order = np.lexsort((tpos, qp_o, strand, h_tid, h_qid))
-    h_qid, h_tid, strand, qp_o, tpos = (
-        h_qid[order], h_tid[order], strand[order], qp_o[order], tpos[order],
+        and int(qlens.max(initial=0)) - index.k < (1 << 14)
+        and (int(index.h_tpos.max()) if len(index.h_tpos) else 0) < (1 << 14)
     )
+    keys = None
+    if dims_fit:
+        from .kmers_native import anchor_sorted_keys_native
+
+        keys = anchor_sorted_keys_native(
+            left, counts, all_p, all_f, qid, qlens,
+            index.h_tid, index.h_tpos, index.h_isf,
+            index.k, no_diag, threads=4,
+        )
+    if keys is not None:
+        # native path: expansion + no_diag filter + radix sort done in C;
+        # all five sort fields decode back out of the key bits
+        if len(keys) == 0:
+            return [], []
+        h_qid = (keys >> np.uint64(43)).astype(np.int64)
+        h_tid = ((keys >> np.uint64(29)) & np.uint64(0x3FFF)).astype(np.int64)
+        strand = np.where((keys >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
+        qp_o = ((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64)
+        tpos = (keys & np.uint64(0x3FFF)).astype(np.int64)
+    else:
+        mi = np.repeat(np.arange(len(all_h)), counts)
+        starts = np.repeat(left, counts)
+        within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        hidx = starts + within
+
+        h_qid = qid[mi]
+        h_tid = index.h_tid[hidx]
+        if no_diag:
+            keep = h_tid != h_qid
+            mi, hidx, h_qid, h_tid = mi[keep], hidx[keep], h_qid[keep], h_tid[keep]
+            if len(mi) == 0:
+                return [], []
+        same = index.h_isf[hidx] == all_f[mi]
+        strand = np.where(same, 1, -1).astype(np.int8)
+        qp_o = np.where(same, all_p[mi], (qlens[h_qid] - index.k - all_p[mi])).astype(np.int64)
+        tpos = index.h_tpos[hidx].astype(np.int64)
+        if (
+            dims_fit
+            and int(qp_o.max(initial=0)) < (1 << 14)
+            and int(qp_o.min(initial=0)) >= 0
+        ):
+            key = (
+                (h_qid.astype(np.uint64) << np.uint64(43))
+                | (h_tid.astype(np.uint64) << np.uint64(29))
+                | ((strand == 1).astype(np.uint64) << np.uint64(28))
+                | (qp_o.astype(np.uint64) << np.uint64(14))
+                | tpos.astype(np.uint64)
+            )
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((tpos, qp_o, strand, h_tid, h_qid))
+        h_qid, h_tid, strand, qp_o, tpos = (
+            h_qid[order], h_tid[order], strand[order], qp_o[order], tpos[order],
+        )
     bounds = np.flatnonzero(
         np.concatenate(
             ([True],

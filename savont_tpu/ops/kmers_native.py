@@ -370,3 +370,58 @@ def kmer_at_positions_native(
         _ptr(out, ctypes.c_uint64), threads,
     )
     return [out[pos_off[i] : pos_off[i + 1]].copy() for i in range(n)]
+
+
+def get_sort_lib():
+    """sortcount.so with the radix sort + anchor packing entry points."""
+    lib = get_sortcount_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_anchor_ready"):
+        lib.radix_sort_u64.restype = None
+        lib.radix_sort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.anchor_pack_keys.restype = ctypes.c_int64
+        lib.anchor_pack_keys.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib._anchor_ready = True
+    return lib
+
+
+def anchor_sorted_keys_native(
+    lo: np.ndarray, cnt: np.ndarray, all_p: np.ndarray, all_f: np.ndarray,
+    qid: np.ndarray, qlens: np.ndarray, h_tid: np.ndarray, h_tpos: np.ndarray,
+    h_isf: np.ndarray, k: int, no_diag: bool, threads: int,
+) -> np.ndarray | None:
+    """Expand minimizer-hit ranges into packed anchor keys and radix-sort
+    them (native twin of plan_jobs_batch's expand + argsort).  Caller
+    decodes (qid, tid, strand, qpos, tpos) from the sorted key bits."""
+    lib = get_sort_lib()
+    if lib is None:
+        return None
+    total = int(cnt.sum())
+    keys = np.empty(total, dtype=np.uint64)
+    n = lib.anchor_pack_keys(
+        _ptr(np.ascontiguousarray(lo, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(cnt, np.int64), ctypes.c_int64),
+        len(lo),
+        _ptr(np.ascontiguousarray(all_p, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(all_f, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(qid, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(qlens, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(h_tid, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(h_tpos, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(h_isf, np.uint8), ctypes.c_uint8),
+        k, int(no_diag), _ptr(keys, ctypes.c_uint64),
+    )
+    keys = keys[:n]
+    lib.radix_sort_u64(_ptr(keys, ctypes.c_uint64), n, threads)
+    return keys

@@ -313,3 +313,41 @@ def test_kmer_at_positions_native_matches_python():
         return
     for c, p, g in zip(codes_list, pos_lists, got):
         assert np.array_equal(g, kmer_at_position(c, p, k))
+
+
+def test_anchor_keys_native_matches_numpy(monkeypatch):
+    """plan_jobs_batch native anchor path vs the numpy expansion path:
+    identical job lists (targets, strands, band offsets, owners)."""
+    from savont_tpu.ops import kmers_native
+    from savont_tpu.ops.align import TargetIndex
+    from savont_tpu.ops.align_batch import plan_jobs_batch
+    from savont_tpu.ops.kmers_native import get_sort_lib
+
+    if get_sort_lib() is None:
+        return
+    rng = np.random.default_rng(53)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    targets = [rng.choice(bases, int(rng.integers(300, 700))).tobytes() for _ in range(7)]
+    queries = []
+    for i in range(12):
+        t = bytearray(targets[i % len(targets)])
+        for p in rng.choice(len(t), 12, replace=False):
+            t[p] = b"ACGT"[rng.integers(4)]
+        q = bytes(t)
+        if i % 3 == 0:
+            from savont_tpu.ops.encode import revcomp_bytes
+            q = revcomp_bytes(q)
+        queries.append(q)
+    index = TargetIndex(targets)
+
+    def run():
+        jobs, owners = plan_jobs_batch(index, queries, band=64, min_anchors=2, no_diag=False)
+        return [
+            (o, j.target_id, j.strand, j.fwd_qlen, j.qcodes.tobytes(), j.lo.tobytes())
+            for o, j in zip(owners, jobs)
+        ]
+
+    native = run()
+    monkeypatch.setattr(kmers_native, "anchor_sorted_keys_native", lambda *a, **k: None)
+    python = run()
+    assert native == python and len(native) > 0
