@@ -22,9 +22,23 @@ _LIB = None
 _TRIED = False
 
 
+def _vector_width_flags() -> list[str]:
+    """-mprefer-vector-width=512 where the CPU has AVX-512BW: the int16
+    lane-block kernels (PBLK=32) measure ~7% faster with full-width
+    vectors there, while gcc's default prefers 256-bit."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            if "avx512bw" in f.read():
+                return ["-mprefer-vector-width=512"]
+    except OSError:
+        pass
+    return []
+
+
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", *_vector_width_flags(),
+        "-fopenmp", "-shared", "-fPIC",
         str(_SRC), "-o", str(_SO),
     ]
     try:
@@ -53,7 +67,10 @@ def build_extra(name: str, extra_link: list[str] | None = None) -> Path | None:
         _EXTRA_CACHE[name] = None
         return None
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(src), "-o", str(so)]
+        cmd = [
+            "g++", "-O3", "-march=native", *_vector_width_flags(),
+            "-shared", "-fPIC", str(src), "-o", str(so),
+        ]
         cmd += extra_link or []
         try:
             r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
