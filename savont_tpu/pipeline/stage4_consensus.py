@@ -64,6 +64,15 @@ def _vote_consensus(
     for b, c in code.items():
         code_tab[b] = c
 
+    # accumulate scatter indices/weights across ALL reads, then one
+    # weighted bincount per matrix (ufunc.at per read was the stage-4
+    # consensus hotspot)
+    acc_bi: list[np.ndarray] = []
+    acc_bw: list[np.ndarray] = []
+    acc_ci: list[np.ndarray] = []
+    acc_cw: list[np.ndarray] = []
+    acc_di: list[np.ndarray] = []
+    acc_dw: list[np.ndarray] = []
     for (oseq, oqual), m in zip(oriented, mappings):
         t0 = m.target_start
         q0 = m.query_start if m.strand == 1 else len(oseq) - m.query_end
@@ -80,15 +89,19 @@ def _vote_consensus(
         w = oqual[qm].astype(np.float64)
         c = code_tab[sarr[qm]]
         good = c >= 0
-        np.add.at(base_w, (tm[good], c[good].astype(np.int64)), w[good])
-        np.add.at(cov_w, tm, w)
+        acc_bi.append(tm[good] * 4 + c[good].astype(np.int64))
+        acc_bw.append(w[good])
+        acc_ci.append(tm)
+        acc_cw.append(w)
 
         is_d = ops == 2
         td = tpos[is_d]
         qd = np.minimum(qpos[is_d], len(oqual) - 1)
         wd = oqual[qd].astype(np.float64) if len(oqual) else np.full(len(td), 63.0)
-        np.add.at(del_w, td, wd)
-        np.add.at(cov_w, td, wd)
+        acc_di.append(td)
+        acc_dw.append(wd)
+        acc_ci.append(td)
+        acc_cw.append(wd)
 
         # insertion runs (python loop over rare events)
         run_start = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
@@ -99,6 +112,17 @@ def _vote_consensus(
             tp, qp = int(tpos[rs]), int(qpos[rs])
             if tp - 1 >= 0:
                 ins_votes.setdefault(tp - 1, Counter())[sarr[qp:qp + (re - rs)].tobytes()] += float(oqual[qp])
+
+    if acc_ci:
+        base_w.reshape(-1)[:] = np.bincount(
+            np.concatenate(acc_bi), weights=np.concatenate(acc_bw), minlength=n * 4
+        )
+        del_w[:] = np.bincount(
+            np.concatenate(acc_di), weights=np.concatenate(acc_dw), minlength=n
+        )
+        cov_w[:] = np.bincount(
+            np.concatenate(acc_ci), weights=np.concatenate(acc_cw), minlength=n
+        )
 
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     best_c = np.argmax(base_w, axis=1)
