@@ -14,8 +14,6 @@ matrices -> equivalence weights -> one EM iteration, all under one jit.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,7 +2,6 @@
 main.rs:376-395)."""
 from __future__ import annotations
 
-import os
 
 from ..core import ConsensusSequence, TwinRead
 

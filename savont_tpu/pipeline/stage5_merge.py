@@ -7,7 +7,7 @@ import numpy as np
 
 from ..config import ClusterArgs
 from ..core import ConsensusSequence
-from ..ops.align import Mapping, TargetIndex, ascii_to_align_codes, map_query
+from ..ops.align import TargetIndex, ascii_to_align_codes, map_query
 from ..ops.align_batch import map_batch
 from ..ops.encode import revcomp_bytes
 from ..ops.kmers import minimizer_sketch

@@ -15,7 +15,7 @@ import logging
 
 from ..config import ClusterArgs
 from ..core import ConsensusSequence
-from ..ops.align import Mapping, TargetIndex, map_query
+from ..ops.align import TargetIndex, map_query
 from ..ops.encode import revcomp_bytes
 
 log = logging.getLogger("savont")
