@@ -125,6 +125,23 @@ def _count_flagged_stream(allk: np.ndarray, threads: int) -> tuple[np.ndarray, n
     return kmers, counts
 
 
+def merge_counted(
+    k1: np.ndarray, c1: np.ndarray, k2: np.ndarray, c2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two (sorted-unique kmers, counts[n,2]) tables, summing counts
+    of shared keys."""
+    if len(k1) == 0:
+        return k2, c2
+    if len(k2) == 0:
+        return k1, c1
+    cat = np.concatenate([k1, k2])
+    catc = np.concatenate([c1, c2])
+    order = np.argsort(cat, kind="stable")
+    cat, catc = cat[order], catc[order]
+    starts = np.flatnonzero(np.concatenate(([True], cat[1:] != cat[:-1])))
+    return cat[starts], np.add.reduceat(catc, starts, axis=0)
+
+
 def count_flagged_kmers_streaming(
     per_read_flagged: list[np.ndarray], chunk_reads: int = 256
 ) -> tuple[np.ndarray, np.ndarray]:

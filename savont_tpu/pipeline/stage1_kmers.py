@@ -95,6 +95,17 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
         from ..ops.kmers_jax import device_split_kmers
 
         per_read = device_split_kmers(codes_list, phred_list, k, args.minimum_base_quality)
+    elif (
+        get_scan_lib() is not None
+        and args.bloom_filter_size <= 0
+        and _sortcount_available()
+    ):
+        # chunked scan+count+merge: distinct k-mers are a tiny fraction of
+        # the stream, so per-chunk counting with a sorted-table merge keeps
+        # every transient at ~chunk size (the single flat pass allocated
+        # multi-GB streams at 100k reads and went memory-bound)
+        kmers, counts = _count_chunked_native(codes_list, phred_list, args)
+        per_read = None
     elif get_scan_lib() is not None:
         per_read = split_kmers_native(codes_list, phred_list, k, args.minimum_base_quality)
     else:
@@ -102,12 +113,13 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             split_kmer_mid(c, p, k, args.minimum_base_quality)
             for c, p in zip(codes_list, phred_list)
         ]
-    if args.bloom_filter_size > 0:
-        # -b: the reference's Bloom-prefiltered low-memory counting mode
-        # (seq_parse.rs:80-314).  Exact chunked merge, identical output.
-        kmers, counts = count_flagged_kmers_streaming(per_read)
-    else:
-        kmers, counts = count_flagged_kmers(per_read, threads=args.threads)
+    if per_read is not None:
+        if args.bloom_filter_size > 0:
+            # -b: the reference's Bloom-prefiltered low-memory counting mode
+            # (seq_parse.rs:80-314).  Exact chunked merge, identical output.
+            kmers, counts = count_flagged_kmers_streaming(per_read)
+        else:
+            kmers, counts = count_flagged_kmers(per_read, threads=args.threads)
     raw_n = len(kmers)
     kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
     log.info("counted %d reads; %d split-kmers, %d retained after strand filter", n_reads, raw_n, len(kmers))
@@ -116,6 +128,34 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "Less than 0.1% of SNPmers have counts > 1 in both strands and > 2 "
             "multiplicity (seq_parse.rs:69-72). Consider --single-strand."
         )
+    return kmers, counts
+
+
+def _sortcount_available() -> bool:
+    from ..ops.kmers_native import get_sortcount_lib
+
+    return get_sortcount_lib() is not None
+
+
+def _count_chunked_native(
+    codes_list, phred_list, args: ClusterArgs, chunk: int = 16384
+) -> tuple[np.ndarray, np.ndarray]:
+    from ..ops.kmers import merge_counted
+    from ..ops.kmers_native import count_flagged_native, split_kmers_native
+
+    k = args.kmer_size
+    kmers = np.zeros(0, dtype=np.uint64)
+    counts = np.zeros((0, 2), dtype=np.uint32)
+    for s in range(0, len(codes_list), chunk):
+        per_read = split_kmers_native(
+            codes_list[s : s + chunk], phred_list[s : s + chunk],
+            k, args.minimum_base_quality, args.threads,
+        )
+        allk = np.concatenate(per_read) if per_read else np.zeros(0, np.uint64)
+        if len(allk) == 0:
+            continue
+        ck, cc = count_flagged_native(allk, args.threads)
+        kmers, counts = merge_counted(kmers, counts, ck, cc)
     return kmers, counts
 
 

@@ -224,3 +224,25 @@ def test_kmer_at_position_batch_matches_scalar():
     got = kmer_at_position_batch(codes_list, pos_lists, k, chunk=7)
     for c, p, g in zip(codes_list, pos_lists, got):
         assert np.array_equal(g, kmer_at_position(c, p, k))
+
+
+def test_chunked_native_counting_matches_flat():
+    """_count_chunked_native (chunk=3) must equal the one-shot count on the
+    same reads, including strand-split columns."""
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.ops.kmers import count_flagged_kmers, split_kmer_mid
+    from savont_tpu.pipeline.stage1_kmers import (
+        _count_chunked_native,
+        _sortcount_available,
+    )
+
+    if not _sortcount_available():
+        return
+    rng = np.random.default_rng(9)
+    codes = [rng.integers(0, 4, int(rng.integers(20, 200))).astype(np.uint8) for _ in range(25)]
+    phreds = [np.full(len(c), 40, np.int32) for c in codes]
+    args = ClusterArgs(input_files=[], output_dir="", threads=2)
+    gk, gc = _count_chunked_native(codes, phreds, args, chunk=3)
+    per_read = [split_kmer_mid(c, p, args.kmer_size, args.minimum_base_quality) for c, p in zip(codes, phreds)]
+    wk, wc = count_flagged_kmers(per_read)
+    assert np.array_equal(gk, wk) and np.array_equal(gc, wc)
