@@ -340,6 +340,30 @@ def use_jax_backend(enable: bool = True) -> None:
         _JAX_BACKEND = None
 
 
+def _pack_seqs(arrs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate code arrays with object-identity dedup: jobs share qcodes
+    (per-(query, strand) cache) and tcodes (index.targets), so e.g. stage-7
+    packs 8 unique ASV targets once instead of one 1.5kb copy per job.
+    Returns (cat, off (B,) i64, lens (B,) i32)."""
+    B = len(arrs)
+    off = np.empty(B, dtype=np.int64)
+    lens = np.empty(B, dtype=np.int32)
+    seen: dict[int, tuple[int, int]] = {}
+    parts: list[np.ndarray] = []
+    total = 0
+    for i, arr in enumerate(arrs):
+        got = seen.get(id(arr))
+        if got is None:
+            a = np.asarray(arr, dtype=np.uint8)
+            parts.append(a)
+            got = (total, len(a))
+            seen[id(arr)] = got
+            total += len(a)
+        off[i], lens[i] = got
+    cat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return cat, off, lens
+
+
 def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
                 simd: bool = True) -> list[tuple | None]:
     """Route jobs through the C++ kernel (native/swalign.cpp): the
@@ -358,12 +382,8 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
     else:
         order = list(range(B))
         sjobs = jobs
-    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in sjobs])
-    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in sjobs])
-    q_lens = np.array([len(j.qcodes) for j in sjobs], dtype=np.int32)
-    t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
-    q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
-    t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
+    q_cat, q_off, q_lens = _pack_seqs([j.qcodes for j in sjobs])
+    t_cat, t_off, t_lens = _pack_seqs([j.tcodes for j in sjobs])
 
     max_cigar = 512
     out_meta = np.zeros((B, 8), dtype=np.int32)
@@ -373,12 +393,14 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
         return a.ctypes.data_as(ctypes.POINTER(typ))
 
     if use_simd:
-        # raw planner lo, len q_len per pair
+        # raw planner lo, len q_len per pair; per-JOB offsets (q_off may
+        # point shared/deduped queries, but every job has its own lo)
         lo_cat = np.ascontiguousarray(np.concatenate([j.lo for j in sjobs]), dtype=np.int64)
+        lo_off = np.concatenate(([0], np.cumsum(q_lens[:-1], dtype=np.int64)))
         lib.sw_tb_batch(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
-            ptr(lo_cat, ctypes.c_int64), ptr(q_off, ctypes.c_int64),
+            ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
             ctypes.c_int32(B), ctypes.c_int32(band),
             ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
             ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
@@ -427,17 +449,14 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     # sort by query length so PBLK blocks have similar padded heights
     order = sorted(range(B), key=lambda i: len(jobs[i].qcodes))
     sjobs = [jobs[i] for i in order]
-    q_cat = np.concatenate([j.qcodes.astype(np.uint8) for j in sjobs])
-    t_cat = np.concatenate([j.tcodes.astype(np.uint8) for j in sjobs])
-    q_lens = np.array([len(j.qcodes) for j in sjobs], dtype=np.int32)
-    t_lens = np.array([len(j.tcodes) for j in sjobs], dtype=np.int32)
-    q_off = np.concatenate(([0], np.cumsum(q_lens[:-1]))).astype(np.int64)
-    t_off = np.concatenate(([0], np.cumsum(t_lens[:-1]))).astype(np.int64)
-    # raw planner lo (len q_len per pair); exact semantics in-kernel
+    q_cat, q_off, q_lens = _pack_seqs([j.qcodes for j in sjobs])
+    t_cat, t_off, t_lens = _pack_seqs([j.tcodes for j in sjobs])
+    # raw planner lo (len q_len per pair); per-JOB offsets (q_off may point
+    # shared/deduped queries, but every job has its own lo)
     lo_cat = np.ascontiguousarray(
         np.concatenate([j.lo for j in sjobs]), dtype=np.int64
     )
-    lo_off = q_off  # lo has q_len entries per pair
+    lo_off = np.concatenate(([0], np.cumsum(q_lens[:-1], dtype=np.int64)))
     out_meta = np.zeros((B, 6), dtype=np.int32)
 
     def ptr(a, typ):
