@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -46,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument("--log-level", default="info", choices=["error", "warn", "info", "debug", "trace"])
+    p.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="Write profiling traces to DIR: host cProfile stats "
+        "(profile.pstats, inspect with pstats/snakeviz) and, when a device "
+        "backend is active, a JAX profiler trace viewable in XProf/TensorBoard",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     a = sub.add_parser("asv", help="Turn >~98%% accuracy long reads into ASVs")
@@ -135,6 +142,42 @@ def main(argv: list[str] | None = None) -> int:
     ns = parser.parse_args(argv)
     level = {"warn": "warning"}.get(ns.log_level, ns.log_level)
 
+    if ns.profile:
+        return _run_profiled(ns, level)
+    return _dispatch(ns, level)
+
+
+def _run_profiled(ns, level: str) -> int:
+    """--profile DIR (SURVEY.md §5.1 tracing parity): host cProfile stats
+    always; a JAX profiler trace (XProf/TensorBoard) when a device backend
+    is active for this run."""
+    import cProfile
+
+    out = Path(ns.profile)
+    out.mkdir(parents=True, exist_ok=True)
+    device_active = any(
+        os.environ.get(v)
+        for v in ("SAVONT_ALIGN_BACKEND", "SAVONT_DEVICE_KMERS", "SAVONT_SINTAX_BACKEND")
+    )
+    jax_mod = None
+    if device_active:
+        import jax
+
+        jax_mod = jax
+        jax.profiler.start_trace(str(out))
+    pr = cProfile.Profile()
+    pr.enable()
+    try:
+        return _dispatch(ns, level)
+    finally:
+        pr.disable()
+        pr.dump_stats(str(out / "profile.pstats"))
+        if jax_mod is not None:
+            jax_mod.profiler.stop_trace()
+        print(f"[savont-tpu] profile written to {out}", file=sys.stderr)
+
+
+def _dispatch(ns, level: str) -> int:
     if ns.command == "asv":
         from .config import ClusterArgs
         from .pipeline.asv import run_cluster
