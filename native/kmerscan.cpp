@@ -14,6 +14,8 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#else
+static int omp_get_thread_num() { return 0; }
 #endif
 
 namespace {
@@ -375,6 +377,40 @@ void chain_band_batch(
                 if (l > run_lo) run_lo = l;
                 if (x == 0) run_lo = l;
                 lo[x] = run_lo;
+            }
+        }
+    }
+}
+
+// Join read SNPmers against the flat sorted consensus-SNPmer table and
+// count per-(read, cluster) matches/mismatches (the inner join of
+// asv_cluster.rs:1007-1130 read reassignment; exact twin of the numpy
+// expansion in stage23_cluster._reassign_reads).  ridx must be
+// non-decreasing (reads flattened in order): thread chunks are aligned to
+// read boundaries so no two threads touch the same output row.
+void snpmer_join_count(const uint64_t* sms, const uint64_t* kms,
+                       const int64_t* ridx, int64_t n, const uint64_t* c_sm,
+                       const uint64_t* c_km, const int64_t* c_cid, int64_t m,
+                       int64_t C, int64_t* m_mat, int64_t* mm_mat,
+                       int threads) {
+    if (n <= 0 || m <= 0) return;
+    std::vector<int64_t> start(threads + 1);
+    for (int t = 0; t <= threads; t++) {
+        int64_t s = n * t / threads;
+        while (s > 0 && s < n && ridx[s] == ridx[s - 1]) s++;
+        start[t] = s;
+    }
+    start[threads] = n;
+#pragma omp parallel num_threads(threads)
+    {
+        int t = omp_get_thread_num();
+        for (int64_t i = start[t]; i < start[t + 1]; i++) {
+            const uint64_t q = sms[i];
+            const uint64_t* lo = std::lower_bound(c_sm, c_sm + m, q);
+            for (const uint64_t* p = lo; p < c_sm + m && *p == q; p++) {
+                const int64_t j = p - c_sm;
+                int64_t* mat = (c_km[j] == kms[i]) ? m_mat : mm_mat;
+                mat[ridx[i] * C + c_cid[j]]++;
             }
         }
     }

@@ -64,6 +64,11 @@ def get_scan_lib():
     lib.kmer_at_positions_batch.argtypes = [
         u8p, i64p, ctypes.c_int64, u32p, i64p, ctypes.c_int, u64p, ctypes.c_int,
     ]
+    lib.snpmer_join_count.restype = None
+    lib.snpmer_join_count.argtypes = [
+        u64p, u64p, i64p, ctypes.c_int64, u64p, u64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -425,3 +430,31 @@ def anchor_sorted_keys_native(
     keys = keys[:n]
     lib.radix_sort_u64(_ptr(keys, ctypes.c_uint64), n, threads)
     return keys
+
+
+def snpmer_join_count_native(
+    sms: np.ndarray, kms: np.ndarray, ridx: np.ndarray,
+    c_sm: np.ndarray, c_km: np.ndarray, c_cid: np.ndarray,
+    n_reads: int, n_clusters: int, threads: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-(read, cluster) SNPmer match/mismatch counts against the sorted
+    consensus table (native twin of the _reassign_reads expansion join).
+    ridx must be non-decreasing."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    m_mat = np.zeros((n_reads, n_clusters), dtype=np.int64)
+    mm_mat = np.zeros((n_reads, n_clusters), dtype=np.int64)
+    lib.snpmer_join_count(
+        _ptr(np.ascontiguousarray(sms, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(kms, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(ridx, np.int64), ctypes.c_int64),
+        len(sms),
+        _ptr(np.ascontiguousarray(c_sm, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(c_km, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(c_cid, np.int64), ctypes.c_int64),
+        len(c_sm), n_clusters,
+        _ptr(m_mat, ctypes.c_int64), _ptr(mm_mat, ctypes.c_int64),
+        max(threads, 1),
+    )
+    return m_mat, mm_mat

@@ -413,23 +413,31 @@ def _reassign_reads(
     mm_mat = np.zeros((R, C), dtype=np.int64)
     m_mat = np.zeros((R, C), dtype=np.int64)
     if R and len(cons_sm):
+        from ..ops.kmers_native import snpmer_join_count_native
+
         allk = np.concatenate(km_arrs) if km_arrs else np.zeros(0, np.uint64)
         ridx = np.repeat(np.arange(R, dtype=np.int64), [len(a) for a in km_arrs])
         sms = (allk >> np.uint64(2 * l)) if marker == "blockmer" else (allk & mask)
-        lo = np.searchsorted(cons_sm, sms, side="left")
-        hi = np.searchsorted(cons_sm, sms, side="right")
-        runs = hi - lo
-        nz = runs > 0
-        if nz.any():
-            runs_nz = runs[nz]
-            total = int(runs_nz.sum())
-            flat = np.repeat(lo[nz], runs_nz) + (
-                np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
-            )
-            hit_rc = ridx[nz].repeat(runs_nz) * C + cons_cid[flat]
-            hit_match = cons_km[flat] == np.repeat(allk[nz], runs_nz)
-            m_mat = np.bincount(hit_rc[hit_match], minlength=R * C).reshape(R, C)
-            mm_mat = np.bincount(hit_rc[~hit_match], minlength=R * C).reshape(R, C)
+        native = snpmer_join_count_native(
+            sms, allk, ridx, cons_sm, cons_km, cons_cid, R, C, threads=4
+        )
+        if native is not None:
+            m_mat, mm_mat = native
+        else:
+            lo = np.searchsorted(cons_sm, sms, side="left")
+            hi = np.searchsorted(cons_sm, sms, side="right")
+            runs = hi - lo
+            nz = runs > 0
+            if nz.any():
+                runs_nz = runs[nz]
+                total = int(runs_nz.sum())
+                flat = np.repeat(lo[nz], runs_nz) + (
+                    np.arange(total) - np.repeat(np.cumsum(runs_nz) - runs_nz, runs_nz)
+                )
+                hit_rc = ridx[nz].repeat(runs_nz) * C + cons_cid[flat]
+                hit_match = cons_km[flat] == np.repeat(allk[nz], runs_nz)
+                m_mat = np.bincount(hit_rc[hit_match], minlength=R * C).reshape(R, C)
+                mm_mat = np.bincount(hit_rc[~hit_match], minlength=R * C).reshape(R, C)
     # per read: argmin of (mm, -m), first index on ties — matches the scalar
     # loop's strict-improvement rule (initial best beats inf)
     best = np.argmin((mm_mat << np.int64(32)) - m_mat, axis=1) if R else np.zeros(0, np.int64)

@@ -351,3 +351,28 @@ def test_anchor_keys_native_matches_numpy(monkeypatch):
     monkeypatch.setattr(kmers_native, "anchor_sorted_keys_native", lambda *a, **k: None)
     python = run()
     assert native == python and len(native) > 0
+
+
+def test_snpmer_join_count_native_matches_numpy():
+    from savont_tpu.ops.kmers_native import snpmer_join_count_native
+
+    rng = np.random.default_rng(61)
+    R, C = 60, 7
+    c_sm = np.sort(rng.integers(0, 40, 50).astype(np.uint64))
+    c_km = (c_sm | (rng.integers(0, 4, 50).astype(np.uint64) << np.uint64(16))).astype(np.uint64)
+    c_cid = rng.integers(0, C, 50).astype(np.int64)
+    lens = rng.integers(0, 20, R)
+    ridx = np.repeat(np.arange(R, dtype=np.int64), lens)
+    n = int(lens.sum())
+    sms = rng.integers(0, 40, n).astype(np.uint64)
+    kms = (sms | (rng.integers(0, 4, n).astype(np.uint64) << np.uint64(16))).astype(np.uint64)
+    got = snpmer_join_count_native(sms, kms, ridx, c_sm, c_km, c_cid, R, C, threads=3)
+    if got is None:
+        return
+    m_mat = np.zeros((R, C), np.int64)
+    mm_mat = np.zeros((R, C), np.int64)
+    for i in range(n):
+        for j in range(len(c_sm)):
+            if c_sm[j] == sms[i]:
+                (m_mat if c_km[j] == kms[i] else mm_mat)[ridx[i], c_cid[j]] += 1
+    assert np.array_equal(got[0], m_mat) and np.array_equal(got[1], mm_mat)
