@@ -138,3 +138,24 @@ def test_mask_low_quality_flag(tmp_path):
     run_cluster(ClusterArgs(input_files=[str(fq)], output_dir=str(out), threads=4,
                             mask_low_quality=True, min_cluster_size=5))
     assert (out / "final_asvs.fasta").exists()
+
+
+def test_profile_flag_writes_pstats(tmp_path):
+    """--profile DIR runs the pipeline normally and writes loadable cProfile
+    stats (SURVEY.md §5.1 tracing parity)."""
+    import pstats
+    import subprocess
+    import sys
+
+    out = tmp_path / "run"
+    prof = tmp_path / "prof"
+    r = subprocess.run(
+        [sys.executable, "-m", "savont_tpu", "--profile", str(prof), "asv",
+         "/root/reference/tests/data/ont_zymo_1000.trimmed.fq.gz",
+         "-o", str(out), "-t", "2"],
+        capture_output=True, text=True, timeout=280, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert (out / "final_asvs.fasta").exists()
+    stats = pstats.Stats(str(prof / "profile.pstats"))
+    assert len(stats.stats) > 100
