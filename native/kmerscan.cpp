@@ -382,6 +382,38 @@ void chain_band_batch(
     }
 }
 
+// Solid-filter masks (kmer_comp.rs:163-208; exact twin of the numpy body
+// of stage1_kmers._apply_solid_filters): per read, a minimizer is solid
+// iff its within-read multiplicity is <= max_count and it is not in the
+// sorted high-frequency set; a SNPmer survives iff not high-frequency.
+// The repetitive-read drop decision stays in Python (needs base_length).
+void solid_filter_batch(const uint64_t* minis, const int64_t* m_off,
+                        const uint64_t* snps, const int64_t* s_off,
+                        int64_t n_reads, const uint64_t* hf, int64_t n_hf,
+                        int64_t max_count, uint8_t* mini_solid,
+                        uint8_t* snp_solid, int threads) {
+#pragma omp parallel num_threads(threads)
+    {
+        std::vector<uint64_t> sorted;
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t r = 0; r < n_reads; r++) {
+            const int64_t ms = m_off[r], me = m_off[r + 1];
+            sorted.assign(minis + ms, minis + me);
+            std::sort(sorted.begin(), sorted.end());
+            for (int64_t i = ms; i < me; i++) {
+                auto range = std::equal_range(sorted.begin(), sorted.end(), minis[i]);
+                bool ok = (range.second - range.first) <= max_count;
+                if (ok && n_hf)
+                    ok = !std::binary_search(hf, hf + n_hf, minis[i]);
+                mini_solid[i] = ok;
+            }
+            for (int64_t i = s_off[r]; i < s_off[r + 1]; i++)
+                snp_solid[i] =
+                    !(n_hf && std::binary_search(hf, hf + n_hf, snps[i]));
+        }
+    }
+}
+
 // Join read SNPmers against the flat sorted consensus-SNPmer table and
 // count per-(read, cluster) matches/mismatches (the inner join of
 // asv_cluster.rs:1007-1130 read reassignment; exact twin of the numpy

@@ -69,6 +69,11 @@ def get_scan_lib():
         u64p, u64p, i64p, ctypes.c_int64, u64p, u64p, i64p,
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int,
     ]
+    lib.solid_filter_batch.restype = None
+    lib.solid_filter_batch.argtypes = [
+        u64p, i64p, u64p, i64p, ctypes.c_int64, u64p, ctypes.c_int64,
+        ctypes.c_int64, u8p, u8p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -458,3 +463,44 @@ def snpmer_join_count_native(
         max(threads, 1),
     )
     return m_mat, mm_mat
+
+
+def solid_filter_batch_native(
+    mini_lists: list[np.ndarray], snp_lists: list[np.ndarray],
+    high_freq_sorted: np.ndarray, max_count: int, threads: int,
+) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
+    """Per-read solid masks for minimizers (multiplicity + high-freq) and
+    SNPmers (high-freq) — native twin of _apply_solid_filters' mask math."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(mini_lists)
+    m_off = np.zeros(n + 1, dtype=np.int64)
+    s_off = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        m_off[i + 1] = m_off[i] + len(mini_lists[i])
+        s_off[i + 1] = s_off[i] + len(snp_lists[i])
+    minis = (
+        np.ascontiguousarray(np.concatenate(mini_lists), dtype=np.uint64)
+        if n else np.zeros(0, np.uint64)
+    )
+    snps = (
+        np.ascontiguousarray(np.concatenate(snp_lists), dtype=np.uint64)
+        if n else np.zeros(0, np.uint64)
+    )
+    hf = np.ascontiguousarray(high_freq_sorted, dtype=np.uint64)
+    m_solid = np.zeros(len(minis), dtype=np.uint8)
+    s_solid = np.zeros(len(snps), dtype=np.uint8)
+    lib.solid_filter_batch(
+        _ptr(minis, ctypes.c_uint64), _ptr(m_off, ctypes.c_int64),
+        _ptr(snps, ctypes.c_uint64), _ptr(s_off, ctypes.c_int64), n,
+        _ptr(hf, ctypes.c_uint64), len(hf), max_count,
+        _ptr(m_solid, ctypes.c_uint8), _ptr(s_solid, ctypes.c_uint8),
+        max(threads, 1),
+    )
+    mb = m_solid.astype(bool)
+    sb = s_solid.astype(bool)
+    return (
+        [mb[m_off[i] : m_off[i + 1]] for i in range(n)],
+        [sb[s_off[i] : s_off[i + 1]] for i in range(n)],
+    )

@@ -464,10 +464,26 @@ def twin_reads_from_files(
                 build_twin_read(rec.seq, rec.qual, rec.id, args, snpmer_sorted, blockmer_sorted)
                 for rec in recs
             ]
-        for tr in trs:
-            if tr is None:
-                continue
-            if not _apply_solid_filters(tr, args, high_freq):
+        live = [tr for tr in trs if tr is not None]
+        masks = None
+        if live:
+            from ..ops.kmers_native import solid_filter_batch_native
+
+            masks = solid_filter_batch_native(
+                [t.mini_kmers_all for t in live],
+                [t.snp_kmers_all for t in live],
+                high_freq, MAX_KMER_COUNT_IN_READ, args.threads,
+            )
+        for li, tr in enumerate(live):
+            if masks is not None:
+                solid, solid_snp = masks[0][li], masks[1][li]
+                if int(solid.sum()) < tr.base_length // args.c // 20:
+                    n_repetitive += 1
+                    continue
+                tr.mini_pos = tr.mini_pos[solid]
+                if len(tr.snp_kmers_all) and len(high_freq):
+                    tr.snp_pos = tr.snp_pos[solid_snp]
+            elif not _apply_solid_filters(tr, args, high_freq):
                 n_repetitive += 1
                 continue
             tr.file_idx = file_idx

@@ -376,3 +376,34 @@ def test_snpmer_join_count_native_matches_numpy():
             if c_sm[j] == sms[i]:
                 (m_mat if c_km[j] == kms[i] else mm_mat)[ridx[i], c_cid[j]] += 1
     assert np.array_equal(got[0], m_mat) and np.array_equal(got[1], mm_mat)
+
+
+def test_solid_filter_batch_native_matches_python():
+    from savont_tpu.ops.kmers_native import solid_filter_batch_native
+    from savont_tpu.constants import MAX_KMER_COUNT_IN_READ
+
+    rng = np.random.default_rng(71)
+    hf = np.sort(rng.integers(0, 200, 30).astype(np.uint64))
+    minis, snps = [], []
+    for i in range(40):
+        nm = int(rng.integers(0, 60))
+        base = rng.integers(0, 200, nm).astype(np.uint64)
+        if nm and i % 3 == 0:  # force a high-multiplicity k-mer
+            base[: nm // 2] = base[0]
+        minis.append(base)
+        snps.append(rng.integers(0, 200, int(rng.integers(0, 20))).astype(np.uint64))
+    got = solid_filter_batch_native(minis, snps, hf, 5, threads=3)
+    if got is None:
+        return
+    for m, s, gm, gs in zip(minis, snps, got[0], got[1]):
+        solid = np.ones(len(m), bool)
+        if len(m):
+            uniq, cnt = np.unique(m, return_counts=True)
+            j = np.searchsorted(uniq, m)
+            solid &= cnt[j] <= 5
+            hj = np.clip(np.searchsorted(hf, m), 0, len(hf) - 1)
+            solid &= hf[hj] != m
+        assert np.array_equal(gm, solid)
+        if len(s):
+            hj = np.clip(np.searchsorted(hf, s), 0, len(hf) - 1)
+            assert np.array_equal(gs, hf[hj] != s)
