@@ -671,4 +671,19 @@ void lsh_batch(const uint64_t* minis, const int64_t* off, int64_t n_reads,
     }
 }
 
+// Compact per-read prefix regions of an oversized scratch buffer into an
+// exact-size buffer: region i lives at src + src_off[i]*elt and holds
+// cnt[i] elements; it lands at dst + dst_off[i]*elt (dst_off = cumsum cnt).
+// Element type erased to bytes so one entry point serves u32/u64/u8.
+void gather_ranges(const uint8_t* src, const int64_t* src_off,
+                   const int64_t* cnt, const int64_t* dst_off, int64_t n,
+                   int64_t elt, uint8_t* dst, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+    for (int64_t i = 0; i < n; i++) {
+        if (cnt[i] > 0)
+            memcpy(dst + dst_off[i] * elt, src + src_off[i] * elt,
+                   (size_t)(cnt[i] * elt));
+    }
+}
+
 }  // extern "C"

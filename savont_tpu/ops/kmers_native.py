@@ -74,6 +74,11 @@ def get_scan_lib():
         u64p, i64p, u64p, i64p, ctypes.c_int64, u64p, ctypes.c_int64,
         ctypes.c_int64, u8p, u8p, ctypes.c_int,
     ]
+    lib.gather_ranges.restype = None
+    lib.gather_ranges.argtypes = [
+        u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -83,13 +88,17 @@ def _ptr(a, typ):
 
 
 def _concat(reads: list[np.ndarray], phreds) -> tuple:
-    off = np.zeros(len(reads) + 1, dtype=np.int64)
-    for i, r in enumerate(reads):
-        off[i + 1] = off[i] + len(r)
-    codes = np.concatenate(reads).astype(np.uint8) if reads else np.zeros(0, np.uint8)
+    off = np.empty(len(reads) + 1, dtype=np.int64)
+    off[0] = 0
+    np.cumsum(np.fromiter((len(r) for r in reads), np.int64, len(reads)), out=off[1:])
+    if reads:
+        codes = np.empty(int(off[-1]), dtype=np.uint8)
+        np.concatenate(reads, out=codes, casting="unsafe")
+    else:
+        codes = np.zeros(0, np.uint8)
     ph = None
     if phreds is not None and any(p is not None for p in phreds):
-        ph = np.zeros(int(off[-1]), dtype=np.uint8)
+        ph = np.empty(int(off[-1]), dtype=np.uint8)
         for i, p in enumerate(phreds):
             if p is not None:
                 ph[off[i] : off[i] + len(p)] = np.clip(p, 0, 255)
@@ -99,15 +108,39 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
     return codes, ph, off
 
 
+def _compact(buf: np.ndarray, src_off: np.ndarray, cnt: np.ndarray,
+             threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Pack the per-read prefix regions of an oversized scratch buffer into
+    one exact-size array (native memcpy sweep).  Returns (dense, dst_off)."""
+    lib = get_scan_lib()
+    dst_off = np.empty(len(cnt) + 1, dtype=np.int64)
+    dst_off[0] = 0
+    np.cumsum(cnt, out=dst_off[1:])
+    dense = np.empty(int(dst_off[-1]), dtype=buf.dtype)
+    lib.gather_ranges(
+        buf.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(np.ascontiguousarray(src_off[:-1], np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(cnt, np.int64), ctypes.c_int64),
+        _ptr(dst_off, ctypes.c_int64), len(cnt), buf.dtype.itemsize,
+        dense.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+    )
+    return dense, dst_off
+
+
+def _split(dense: np.ndarray, dst_off: np.ndarray) -> list[np.ndarray]:
+    """Per-read views into a compact buffer (keeps one base alive; the
+    buffer is exact-size so there is no oversized-scratch retention)."""
+    return [dense[dst_off[i] : dst_off[i + 1]] for i in range(len(dst_off) - 1)]
+
+
 def split_kmers_native(reads: list[np.ndarray], phreds, k: int, min_bq: int, threads: int = 0):
     """Batched split_kmer_mid over all reads; returns list of u64 arrays."""
     lib = get_scan_lib()
     assert lib is not None
     codes, ph, off = _concat(reads, phreds)
-    out_off = np.zeros(len(reads) + 1, dtype=np.int64)
-    for i in range(len(reads)):
-        out_off[i + 1] = out_off[i] + max(len(reads[i]) - k + 1, 0)
-    out = np.zeros(int(out_off[-1]), dtype=np.uint64)
+    out_off = _capacity_offsets(reads, k)
+    out = np.empty(int(out_off[-1]), dtype=np.uint64)
     cnt = np.zeros(len(reads), dtype=np.int64)
     lib.split_kmers_batch(
         _ptr(codes, ctypes.c_uint8),
@@ -116,10 +149,8 @@ def split_kmers_native(reads: list[np.ndarray], phreds, k: int, min_bq: int, thr
         _ptr(out, ctypes.c_uint64), _ptr(out_off, ctypes.c_int64),
         _ptr(cnt, ctypes.c_int64), threads,
     )
-    # per-read copies free the oversized scratch buffer; a vectorized
-    # gather-compaction measured 16x SLOWER than this loop at 20k reads
-    # (np.repeat/arange over the full capacity dominate)
-    return [out[out_off[i] : out_off[i] + cnt[i]].copy() for i in range(len(reads))]
+    dense, doff = _compact(out, out_off, cnt, threads)
+    return _split(dense, doff)
 
 
 def syncmer_scan_native(
@@ -131,14 +162,12 @@ def syncmer_scan_native(
     lib = get_scan_lib()
     assert lib is not None
     codes, ph, off = _concat(reads, phreds)
-    out_off = np.zeros(len(reads) + 1, dtype=np.int64)
-    for i in range(len(reads)):
-        out_off[i + 1] = out_off[i] + max(len(reads[i]) - k + 1, 0)
+    out_off = _capacity_offsets(reads, k)
     total = int(out_off[-1])
-    mini_pos = np.zeros(total, dtype=np.uint32)
-    mini_kmer = np.zeros(total, dtype=np.uint64)
-    snp_pos = np.zeros(total, dtype=np.uint32)
-    snp_kmer = np.zeros(total, dtype=np.uint64)
+    mini_pos = np.empty(total, dtype=np.uint32)
+    mini_kmer = np.empty(total, dtype=np.uint64)
+    snp_pos = np.empty(total, dtype=np.uint32)
+    snp_kmer = np.empty(total, dtype=np.uint64)
     mini_cnt = np.zeros(len(reads), dtype=np.int64)
     snp_cnt = np.zeros(len(reads), dtype=np.int64)
     snp_sorted = np.ascontiguousarray(snpmer_sorted, dtype=np.uint64)
@@ -152,18 +181,29 @@ def syncmer_scan_native(
         _ptr(out_off, ctypes.c_int64), _ptr(mini_cnt, ctypes.c_int64),
         _ptr(snp_cnt, ctypes.c_int64), threads,
     )
-    out = []
-    for i in range(len(reads)):
-        o = out_off[i]
-        out.append(
-            (
-                mini_pos[o : o + mini_cnt[i]].copy(),
-                mini_kmer[o : o + mini_cnt[i]].copy(),
-                snp_pos[o : o + snp_cnt[i]].copy(),
-                snp_kmer[o : o + snp_cnt[i]].copy(),
-            )
+    mp, mp_off = _compact(mini_pos, out_off, mini_cnt, threads)
+    mk, _ = _compact(mini_kmer, out_off, mini_cnt, threads)
+    sp, sp_off = _compact(snp_pos, out_off, snp_cnt, threads)
+    sk, _ = _compact(snp_kmer, out_off, snp_cnt, threads)
+    return [
+        (
+            mp[mp_off[i] : mp_off[i + 1]],
+            mk[mp_off[i] : mp_off[i + 1]],
+            sp[sp_off[i] : sp_off[i + 1]],
+            sk[sp_off[i] : sp_off[i + 1]],
         )
-    return out
+        for i in range(len(reads))
+    ]
+
+
+def _capacity_offsets(reads: list[np.ndarray], k: int) -> np.ndarray:
+    """Per-read scratch capacities (len-k+1 each) as exclusive-scan offsets."""
+    caps = np.fromiter((len(r) for r in reads), np.int64, len(reads)) - (k - 1)
+    np.maximum(caps, 0, out=caps)
+    out_off = np.empty(len(reads) + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(caps, out=out_off[1:])
+    return out_off
 
 
 def chain_band_native(
@@ -184,7 +224,9 @@ def chain_band_native(
     tlen = np.ascontiguousarray(tlen, dtype=np.int64)
     lo_off = np.zeros(n_groups + 1, dtype=np.int64)
     np.cumsum(qlen, out=lo_off[1:])
-    lo_flat = np.zeros(int(lo_off[-1]), dtype=np.int64)
+    # lo regions are only read for groups with nchain >= min_anchors, which
+    # the kernel fully writes, so no zero-fill is needed
+    lo_flat = np.empty(int(lo_off[-1]), dtype=np.int64)
     nchain = np.zeros(n_groups, dtype=np.int64)
     lib.chain_band_batch(
         _ptr(qa, ctypes.c_int64), _ptr(ta, ctypes.c_int64),
@@ -205,24 +247,25 @@ def window_minimizers_native(
     lib = get_scan_lib()
     assert lib is not None
     codes, _, off = _concat(seqs, None)
-    out_off = np.zeros(len(seqs) + 1, dtype=np.int64)
-    for i in range(len(seqs)):
-        out_off[i + 1] = out_off[i] + max(len(seqs[i]) - k + 1, 0)
+    out_off = _capacity_offsets(seqs, k)
     total = int(out_off[-1])
-    oh = np.zeros(total, dtype=np.uint64)
-    op = np.zeros(total, dtype=np.int64)
-    of = np.zeros(total, dtype=np.uint8)
+    oh = np.empty(total, dtype=np.uint64)
+    op = np.empty(total, dtype=np.int64)
+    of = np.empty(total, dtype=np.uint8)
     cnt = np.zeros(len(seqs), dtype=np.int64)
     lib.window_minimizers_batch(
         _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(seqs), k, w,
         _ptr(oh, ctypes.c_uint64), _ptr(op, ctypes.c_int64), _ptr(of, ctypes.c_uint8),
         _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
     )
-    res = []
-    for i in range(len(seqs)):
-        o, c = out_off[i], cnt[i]
-        res.append((oh[o : o + c].copy(), op[o : o + c].copy(), of[o : o + c].astype(bool)))
-    return res
+    dh, doff = _compact(oh, out_off, cnt, threads)
+    dp, _ = _compact(op, out_off, cnt, threads)
+    df, _ = _compact(of, out_off, cnt, threads)
+    df = df.view(bool)
+    return [
+        (dh[doff[i] : doff[i + 1]], dp[doff[i] : doff[i + 1]], df[doff[i] : doff[i + 1]])
+        for i in range(len(seqs))
+    ]
 
 
 _SC_LIB = None
@@ -373,13 +416,15 @@ def kmer_at_positions_native(
         if n
         else np.zeros(0, np.uint32)
     )
-    out = np.zeros(int(pos_off[-1]), dtype=np.uint64)
+    # out is exact-size (one k-mer per requested position, fully written),
+    # so per-read views are free — nothing oversized to release
+    out = np.empty(int(pos_off[-1]), dtype=np.uint64)
     lib.kmer_at_positions_batch(
         _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), n,
         _ptr(pos, ctypes.c_uint32), _ptr(pos_off, ctypes.c_int64), k,
         _ptr(out, ctypes.c_uint64), threads,
     )
-    return [out[pos_off[i] : pos_off[i + 1]].copy() for i in range(n)]
+    return [out[pos_off[i] : pos_off[i + 1]] for i in range(n)]
 
 
 def get_sort_lib():
