@@ -12,6 +12,7 @@
 // populated (k<=31 split k-mers occupy 2k <= 62 low bits; 16S k=17 needs
 // just 5 passes).  Histograms are per-thread; scatter offsets come from a
 // bucket-major exclusive scan so each thread writes disjoint slices.
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -196,6 +197,24 @@ extern "C" void radix_sort_u64(uint64_t *keys, int64_t n, int threads) {
 // the no_diag filter.  Returns the number of keys written.  The caller
 // radix-sorts and decodes the fields back out of the key — this replaces
 // the np.repeat/arange expansion + argsort in plan_jobs_batch.
+// Range lookup of query minimizer hashes in the sorted target-hash table
+// (replaces two np.searchsorted passes): writes per-query range start and
+// length, returns the total hit count so the caller can size the key buffer.
+extern "C" int64_t anchor_search(const uint64_t *h_sorted, int64_t n_h,
+                                 const uint64_t *q, int64_t n, int64_t *lo,
+                                 int64_t *cnt, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t *l = std::lower_bound(h_sorted, h_sorted + n_h, q[i]);
+    const uint64_t *r = std::upper_bound(l, h_sorted + n_h, q[i]);
+    lo[i] = l - h_sorted;
+    cnt[i] = r - l;
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; i++) total += cnt[i];
+  return total;
+}
+
 extern "C" int64_t anchor_pack_keys(
     const int64_t *lo, const int64_t *cnt, int64_t n_minis,
     const int32_t *all_p, const uint8_t *all_f, const int32_t *qid,

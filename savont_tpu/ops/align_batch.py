@@ -30,6 +30,23 @@ from .encode import revcomp_bytes
 
 NEG = -20000  # int16-safe sentinel
 
+_QCODE_CACHE: dict[tuple[bytes, int], np.ndarray] = {}
+_QCODE_CACHE_MAX = 65536
+
+
+def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
+    """Oriented query codes, memoized across planning calls: the same read
+    is planned against several candidate targets (one group per target), so
+    a per-call cache re-encoded every read once per group."""
+    key = (qb, strand)
+    hit = _QCODE_CACHE.get(key)
+    if hit is None:
+        if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
+            _QCODE_CACHE.clear()
+        hit = ascii_to_align_codes(qb if strand == 1 else revcomp_bytes(qb))
+        _QCODE_CACHE[key] = hit
+    return hit
+
 
 @dataclass
 class AlignJob:
@@ -106,11 +123,17 @@ def plan_jobs_batch(
     qid = np.repeat(np.arange(len(queries)), [len(m[0]) for m in qmini]).astype(np.int32)
     qlens = np.array([len(q) for q in queries], dtype=np.int64)
 
-    # one flat lookup
-    left = np.searchsorted(index.h_sorted, all_h, side="left")
-    right = np.searchsorted(index.h_sorted, all_h, side="right")
-    counts = right - left
-    total = int(counts.sum())
+    # one flat lookup (native binary search when available)
+    from .kmers_native import anchor_search_native
+
+    searched = anchor_search_native(index.h_sorted, all_h)
+    if searched is not None:
+        left, counts, total = searched
+    else:
+        left = np.searchsorted(index.h_sorted, all_h, side="left")
+        right = np.searchsorted(index.h_sorted, all_h, side="right")
+        counts = right - left
+        total = int(counts.sum())
     if total == 0:
         return [], []
 
@@ -131,13 +154,19 @@ def plan_jobs_batch(
             index.k, no_diag, threads=4,
         )
     if keys is not None:
-        # native path: expansion + no_diag filter + radix sort done in C;
-        # all five sort fields decode back out of the key bits
+        # native path: expansion + no_diag filter + radix sort done in C.
+        # Group bounds come straight from the high key bits (qid|tid|strand),
+        # so only the anchor coordinates are decoded full-size; the per-group
+        # fields decode from the first key of each group.
         if len(keys) == 0:
             return [], []
-        h_qid = (keys >> np.uint64(43)).astype(np.int64)
-        h_tid = ((keys >> np.uint64(29)) & np.uint64(0x3FFF)).astype(np.int64)
-        strand = np.where((keys >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
+        hi_bits = keys >> np.uint64(28)
+        bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
+        grp_off = np.append(bounds, len(keys))
+        kb = keys[bounds]
+        g_qi = (kb >> np.uint64(43)).astype(np.int64)
+        g_tid = ((kb >> np.uint64(29)) & np.uint64(0x3FFF)).astype(np.int64)
+        g_st = np.where((kb >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
         qp_o = ((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64)
         tpos = (keys & np.uint64(0x3FFF)).astype(np.int64)
     else:
@@ -175,19 +204,18 @@ def plan_jobs_batch(
         h_qid, h_tid, strand, qp_o, tpos = (
             h_qid[order], h_tid[order], strand[order], qp_o[order], tpos[order],
         )
-    bounds = np.flatnonzero(
-        np.concatenate(
-            ([True],
-             (h_qid[1:] != h_qid[:-1]) | (h_tid[1:] != h_tid[:-1]) | (strand[1:] != strand[:-1]))
+        bounds = np.flatnonzero(
+            np.concatenate(
+                ([True],
+                 (h_qid[1:] != h_qid[:-1]) | (h_tid[1:] != h_tid[:-1]) | (strand[1:] != strand[:-1]))
+            )
         )
-    )
-    grp_off = np.append(bounds, len(h_qid))
-    g_qi, g_tid, g_st = h_qid[bounds], h_tid[bounds], strand[bounds]
+        grp_off = np.append(bounds, len(h_qid))
+        g_qi, g_tid, g_st = h_qid[bounds], h_tid[bounds], strand[bounds]
     t_lens = np.array([len(tc) for tc in index.targets], dtype=np.int64)
 
     from .kmers_native import chain_band_native, get_scan_lib
 
-    qcode_cache: dict[tuple[int, int], np.ndarray] = {}
     jobs: list[AlignJob] = []
     owners: list[int] = []
 
@@ -197,12 +225,7 @@ def plan_jobs_batch(
         )
         for g in np.flatnonzero(nchain >= min_anchors):
             qi, tid, st = int(g_qi[g]), int(g_tid[g]), int(g_st[g])
-            key = (qi, st)
-            qcodes = qcode_cache.get(key)
-            if qcodes is None:
-                qb = bytes(queries[qi])
-                qcodes = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
-                qcode_cache[key] = qcodes
+            qcodes = _qcodes_cached(bytes(queries[qi]), st)
             lo = lo_flat[lo_off[g] : lo_off[g] + len(qcodes)]
             jobs.append(AlignJob(qcodes, index.targets[tid], lo, tid, st, int(qlens[qi])))
             owners.append(qi)
@@ -217,12 +240,7 @@ def plan_jobs_batch(
         chain = _chain_anchors(qa, ta)
         if len(chain) < min_anchors:
             continue
-        key = (qi, st)
-        qcodes = qcode_cache.get(key)
-        if qcodes is None:
-            qb = bytes(queries[qi])
-            qcodes = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
-            qcode_cache[key] = qcodes
+        qcodes = _qcodes_cached(bytes(queries[qi]), st)
         centers = _band_centers(len(qcodes), qa[chain], ta[chain])
         tcodes = index.targets[tid]
         n = len(tcodes)

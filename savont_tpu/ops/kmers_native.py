@@ -108,6 +108,42 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
     return codes, ph, off
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+_CHUNK_CAP = 8 << 20  # max scratch entries per scan chunk (u64 -> 64 MB)
+
+
+def _scratch(tag: str, n: int, dtype) -> np.ndarray:
+    """Reusable scratch buffer: the scan kernels write prefix regions into
+    oversized capacity buffers that never escape (outputs are compacted),
+    so one warm buffer per tag avoids re-faulting hundreds of MB of fresh
+    pages on every call."""
+    dt = np.dtype(dtype)
+    need = int(n) * dt.itemsize
+    buf = _SCRATCH.get(tag)
+    if buf is None or buf.nbytes < need:
+        buf = np.empty(need, dtype=np.uint8)
+        _SCRATCH[tag] = buf
+    return buf[:need].view(dt)
+
+
+def _chunk_spans(reads: list, k: int) -> list[tuple[int, int]]:
+    """Split a read list into spans whose total scratch capacity stays under
+    _CHUNK_CAP entries (so scan scratch is bounded at any input scale)."""
+    spans = []
+    i, n = 0, len(reads)
+    while i < n:
+        j, cap = i, 0
+        while j < n:
+            c = max(len(reads[j]) - k + 1, 0)
+            if j > i and cap + c > _CHUNK_CAP:
+                break
+            cap += c
+            j += 1
+        spans.append((i, j))
+        i = j
+    return spans
+
+
 def _compact(buf: np.ndarray, src_off: np.ndarray, cnt: np.ndarray,
              threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Pack the per-read prefix regions of an oversized scratch buffer into
@@ -138,19 +174,52 @@ def split_kmers_native(reads: list[np.ndarray], phreds, k: int, min_bq: int, thr
     """Batched split_kmer_mid over all reads; returns list of u64 arrays."""
     lib = get_scan_lib()
     assert lib is not None
-    codes, ph, off = _concat(reads, phreds)
-    out_off = _capacity_offsets(reads, k)
-    out = np.empty(int(out_off[-1]), dtype=np.uint64)
-    cnt = np.zeros(len(reads), dtype=np.int64)
-    lib.split_kmers_batch(
-        _ptr(codes, ctypes.c_uint8),
-        _ptr(ph, ctypes.c_uint8) if ph is not None else None,
-        _ptr(off, ctypes.c_int64), len(reads), k, min_bq,
-        _ptr(out, ctypes.c_uint64), _ptr(out_off, ctypes.c_int64),
-        _ptr(cnt, ctypes.c_int64), threads,
-    )
-    dense, doff = _compact(out, out_off, cnt, threads)
-    return _split(dense, doff)
+    out_all: list[np.ndarray] = []
+    for s, e in _chunk_spans(reads, k):
+        sub = reads[s:e]
+        codes, ph, off = _concat(sub, phreds[s:e] if phreds is not None else None)
+        out_off = _capacity_offsets(sub, k)
+        out = _scratch("split_out", int(out_off[-1]), np.uint64)
+        cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.split_kmers_batch(
+            _ptr(codes, ctypes.c_uint8),
+            _ptr(ph, ctypes.c_uint8) if ph is not None else None,
+            _ptr(off, ctypes.c_int64), len(sub), k, min_bq,
+            _ptr(out, ctypes.c_uint64), _ptr(out_off, ctypes.c_int64),
+            _ptr(cnt, ctypes.c_int64), threads,
+        )
+        dense, doff = _compact(out, out_off, cnt, threads)
+        out_all.extend(_split(dense, doff))
+    return out_all
+
+
+def split_kmers_flat_native(
+    reads: list[np.ndarray], phreds, k: int, min_bq: int, threads: int = 0
+) -> np.ndarray:
+    """split_kmers_native variant for stream consumers (global counting):
+    returns ONE dense array of all emitted k-mers in read order, skipping
+    the per-read view materialization entirely."""
+    lib = get_scan_lib()
+    assert lib is not None
+    parts: list[np.ndarray] = []
+    for s, e in _chunk_spans(reads, k):
+        sub = reads[s:e]
+        codes, ph, off = _concat(sub, phreds[s:e] if phreds is not None else None)
+        out_off = _capacity_offsets(sub, k)
+        out = _scratch("split_out", int(out_off[-1]), np.uint64)
+        cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.split_kmers_batch(
+            _ptr(codes, ctypes.c_uint8),
+            _ptr(ph, ctypes.c_uint8) if ph is not None else None,
+            _ptr(off, ctypes.c_int64), len(sub), k, min_bq,
+            _ptr(out, ctypes.c_uint64), _ptr(out_off, ctypes.c_int64),
+            _ptr(cnt, ctypes.c_int64), threads,
+        )
+        dense, _ = _compact(out, out_off, cnt, threads)
+        parts.append(dense)
+    if len(parts) == 1:
+        return parts[0]
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
 
 
 def syncmer_scan_native(
@@ -161,39 +230,43 @@ def syncmer_scan_native(
     (mini_pos u32, mini_kmers u64, snp_pos u32, snp_kmers u64)."""
     lib = get_scan_lib()
     assert lib is not None
-    codes, ph, off = _concat(reads, phreds)
-    out_off = _capacity_offsets(reads, k)
-    total = int(out_off[-1])
-    mini_pos = np.empty(total, dtype=np.uint32)
-    mini_kmer = np.empty(total, dtype=np.uint64)
-    snp_pos = np.empty(total, dtype=np.uint32)
-    snp_kmer = np.empty(total, dtype=np.uint64)
-    mini_cnt = np.zeros(len(reads), dtype=np.int64)
-    snp_cnt = np.zeros(len(reads), dtype=np.int64)
     snp_sorted = np.ascontiguousarray(snpmer_sorted, dtype=np.uint64)
-    lib.syncmer_scan_batch(
-        _ptr(codes, ctypes.c_uint8),
-        _ptr(ph, ctypes.c_uint8) if ph is not None else None,
-        _ptr(off, ctypes.c_int64), len(reads), k, c, min_bq,
-        _ptr(snp_sorted, ctypes.c_uint64), len(snp_sorted),
-        _ptr(mini_pos, ctypes.c_uint32), _ptr(mini_kmer, ctypes.c_uint64),
-        _ptr(snp_pos, ctypes.c_uint32), _ptr(snp_kmer, ctypes.c_uint64),
-        _ptr(out_off, ctypes.c_int64), _ptr(mini_cnt, ctypes.c_int64),
-        _ptr(snp_cnt, ctypes.c_int64), threads,
-    )
-    mp, mp_off = _compact(mini_pos, out_off, mini_cnt, threads)
-    mk, _ = _compact(mini_kmer, out_off, mini_cnt, threads)
-    sp, sp_off = _compact(snp_pos, out_off, snp_cnt, threads)
-    sk, _ = _compact(snp_kmer, out_off, snp_cnt, threads)
-    return [
-        (
-            mp[mp_off[i] : mp_off[i + 1]],
-            mk[mp_off[i] : mp_off[i + 1]],
-            sp[sp_off[i] : sp_off[i + 1]],
-            sk[sp_off[i] : sp_off[i + 1]],
+    out_all: list[tuple] = []
+    for s, e in _chunk_spans(reads, k):
+        sub = reads[s:e]
+        codes, ph, off = _concat(sub, phreds[s:e] if phreds is not None else None)
+        out_off = _capacity_offsets(sub, k)
+        total = int(out_off[-1])
+        mini_pos = _scratch("sync_mp", total, np.uint32)
+        mini_kmer = _scratch("sync_mk", total, np.uint64)
+        snp_pos = _scratch("sync_sp", total, np.uint32)
+        snp_kmer = _scratch("sync_sk", total, np.uint64)
+        mini_cnt = np.zeros(len(sub), dtype=np.int64)
+        snp_cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.syncmer_scan_batch(
+            _ptr(codes, ctypes.c_uint8),
+            _ptr(ph, ctypes.c_uint8) if ph is not None else None,
+            _ptr(off, ctypes.c_int64), len(sub), k, c, min_bq,
+            _ptr(snp_sorted, ctypes.c_uint64), len(snp_sorted),
+            _ptr(mini_pos, ctypes.c_uint32), _ptr(mini_kmer, ctypes.c_uint64),
+            _ptr(snp_pos, ctypes.c_uint32), _ptr(snp_kmer, ctypes.c_uint64),
+            _ptr(out_off, ctypes.c_int64), _ptr(mini_cnt, ctypes.c_int64),
+            _ptr(snp_cnt, ctypes.c_int64), threads,
         )
-        for i in range(len(reads))
-    ]
+        mp, mp_off = _compact(mini_pos, out_off, mini_cnt, threads)
+        mk, _ = _compact(mini_kmer, out_off, mini_cnt, threads)
+        sp, sp_off = _compact(snp_pos, out_off, snp_cnt, threads)
+        sk, _ = _compact(snp_kmer, out_off, snp_cnt, threads)
+        out_all.extend(
+            (
+                mp[mp_off[i] : mp_off[i + 1]],
+                mk[mp_off[i] : mp_off[i + 1]],
+                sp[sp_off[i] : sp_off[i + 1]],
+                sk[sp_off[i] : sp_off[i + 1]],
+            )
+            for i in range(len(sub))
+        )
+    return out_all
 
 
 def _capacity_offsets(reads: list[np.ndarray], k: int) -> np.ndarray:
@@ -246,26 +319,30 @@ def window_minimizers_native(
     returns (hash u64, pos i64, is_fwd bool) — twin of _window_minimizers."""
     lib = get_scan_lib()
     assert lib is not None
-    codes, _, off = _concat(seqs, None)
-    out_off = _capacity_offsets(seqs, k)
-    total = int(out_off[-1])
-    oh = np.empty(total, dtype=np.uint64)
-    op = np.empty(total, dtype=np.int64)
-    of = np.empty(total, dtype=np.uint8)
-    cnt = np.zeros(len(seqs), dtype=np.int64)
-    lib.window_minimizers_batch(
-        _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(seqs), k, w,
-        _ptr(oh, ctypes.c_uint64), _ptr(op, ctypes.c_int64), _ptr(of, ctypes.c_uint8),
-        _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
-    )
-    dh, doff = _compact(oh, out_off, cnt, threads)
-    dp, _ = _compact(op, out_off, cnt, threads)
-    df, _ = _compact(of, out_off, cnt, threads)
-    df = df.view(bool)
-    return [
-        (dh[doff[i] : doff[i + 1]], dp[doff[i] : doff[i + 1]], df[doff[i] : doff[i + 1]])
-        for i in range(len(seqs))
-    ]
+    out_all: list[tuple] = []
+    for s, e in _chunk_spans(seqs, k):
+        sub = seqs[s:e]
+        codes, _, off = _concat(sub, None)
+        out_off = _capacity_offsets(sub, k)
+        total = int(out_off[-1])
+        oh = _scratch("wmin_h", total, np.uint64)
+        op = _scratch("wmin_p", total, np.int64)
+        of = _scratch("wmin_f", total, np.uint8)
+        cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.window_minimizers_batch(
+            _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(sub), k, w,
+            _ptr(oh, ctypes.c_uint64), _ptr(op, ctypes.c_int64), _ptr(of, ctypes.c_uint8),
+            _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+        )
+        dh, doff = _compact(oh, out_off, cnt, threads)
+        dp, _ = _compact(op, out_off, cnt, threads)
+        df, _ = _compact(of, out_off, cnt, threads)
+        df = df.view(bool)
+        out_all.extend(
+            (dh[doff[i] : doff[i + 1]], dp[doff[i] : doff[i + 1]], df[doff[i] : doff[i + 1]])
+            for i in range(len(sub))
+        )
+    return out_all
 
 
 _SC_LIB = None
@@ -301,8 +378,10 @@ def count_flagged_native(allk: np.ndarray, threads: int) -> tuple[np.ndarray, np
         return None
     allk = np.ascontiguousarray(allk, dtype=np.uint64)
     n = len(allk)
-    out_u = np.empty(n, dtype=np.uint64)
-    out_c = np.zeros(2 * n, dtype=np.uint32)
+    # outputs are prefix-written (nu entries); scratch capacity is reused
+    # across chunks and the small prefixes are copied out
+    out_u = _scratch("cf_uniq", n, np.uint64)
+    out_c = _scratch("cf_cnt", 2 * n, np.uint32)
     nu = lib.count_flagged_u64(
         _ptr(allk, ctypes.c_uint64), n,
         _ptr(out_u, ctypes.c_uint64), _ptr(out_c, ctypes.c_uint32), threads,
@@ -437,6 +516,13 @@ def get_sort_lib():
         lib.radix_sort_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int,
         ]
+        lib.anchor_search.restype = ctypes.c_int64
+        lib.anchor_search.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
         lib.anchor_pack_keys.restype = ctypes.c_int64
         lib.anchor_pack_keys.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -449,6 +535,27 @@ def get_sort_lib():
         ]
         lib._anchor_ready = True
     return lib
+
+
+def anchor_search_native(
+    h_sorted: np.ndarray, queries: np.ndarray, threads: int = 4
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Range lookup of query hashes in the sorted target table: the native
+    twin of the left/right np.searchsorted pair in plan_jobs_batch.
+    Returns (lo, cnt, total) or None without the library."""
+    lib = get_sort_lib()
+    if lib is None:
+        return None
+    n = len(queries)
+    lo = np.empty(n, dtype=np.int64)
+    cnt = np.empty(n, dtype=np.int64)
+    total = lib.anchor_search(
+        _ptr(np.ascontiguousarray(h_sorted, np.uint64), ctypes.c_uint64),
+        len(h_sorted),
+        _ptr(np.ascontiguousarray(queries, np.uint64), ctypes.c_uint64), n,
+        _ptr(lo, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+    )
+    return lo, cnt, int(total)
 
 
 def anchor_sorted_keys_native(

@@ -141,17 +141,16 @@ def _count_chunked_native(
     codes_list, phred_list, args: ClusterArgs, chunk: int = 16384
 ) -> tuple[np.ndarray, np.ndarray]:
     from ..ops.kmers import merge_counted
-    from ..ops.kmers_native import count_flagged_native, split_kmers_native
+    from ..ops.kmers_native import count_flagged_native, split_kmers_flat_native
 
     k = args.kmer_size
     kmers = np.zeros(0, dtype=np.uint64)
     counts = np.zeros((0, 2), dtype=np.uint32)
     for s in range(0, len(codes_list), chunk):
-        per_read = split_kmers_native(
+        allk = split_kmers_flat_native(
             codes_list[s : s + chunk], phred_list[s : s + chunk],
             k, args.minimum_base_quality, args.threads,
         )
-        allk = np.concatenate(per_read) if per_read else np.zeros(0, np.uint64)
         if len(allk) == 0:
             continue
         ck, cc = count_flagged_native(allk, args.threads)
