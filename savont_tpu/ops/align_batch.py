@@ -591,6 +591,12 @@ def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
 def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
     """Batched pair alignment for NM-only consumers (stage-7 tie-break,
     classification): uses the device kernel when enabled."""
+    import os
+
+    if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
+        out = _align_pairs_nm_soa(pairs, band)
+        if out is not None:
+            return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs_nm(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)
@@ -600,6 +606,199 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Ma
         (m,) = _jobs_to_mappings([job], [r])
         if best[o] is None or m.score > best[o].score:
             best[o] = m
+    return best
+
+
+def _align_pairs_nm_soa(pairs: list[tuple[bytes, bytes]], band: int) -> list[Mapping | None] | None:
+    """Struct-of-arrays NM pair alignment: planning, DP dispatch and winner
+    selection run on flat arrays with no per-job Python objects.  Returns
+    None when a prerequisite is missing (native libs, packed-key dims), so
+    the caller can fall back to the AlignJob path.  Results are identical
+    to the legacy path including tie-breaks (tests/test_native.py)."""
+    from .align import window_minimizers_cached_batch
+    from .kmers_native import (
+        anchor_search_native,
+        anchor_sorted_keys_native,
+        chain_band_native,
+        get_scan_lib,
+        get_sort_lib,
+    )
+    from .native_build import get_lib
+
+    lib = get_lib()
+    if lib is None or get_scan_lib() is None or get_sort_lib() is None or not pairs:
+        return None if pairs else []
+    min_anchors = 2
+
+    # unique targets (groups) and unique queries, both keyed by bytes
+    tgt_ids: dict[bytes, int] = {}
+    qry_ids: dict[bytes, int] = {}
+    grp_pairs: list[list[int]] = []  # per target: pair indices
+    grp_queries: list[list[int]] = []  # per target: unique-query ids
+    for i, (qa, ta) in enumerate(pairs):
+        tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
+        qb = bytes(qa) if isinstance(qa, (bytes, bytearray)) else np.asarray(qa, dtype=np.uint8).tobytes()
+        ti = tgt_ids.setdefault(tb, len(tgt_ids))
+        if ti == len(grp_pairs):
+            grp_pairs.append([])
+            grp_queries.append([])
+        qi = qry_ids.setdefault(qb, len(qry_ids))
+        grp_pairs[ti].append(i)
+        grp_queries[ti].append(qi)
+    tgt_bytes = list(tgt_ids.keys())
+    qry_bytes = list(qry_ids.keys())
+    if any(len(q) > 32000 for q in qry_bytes) or any(len(t) > 32000 for t in tgt_bytes):
+        return None  # int16 metadata planes in sw_nm_batch
+    max_qlen = max(len(q) for q in qry_bytes)
+    max_tlen = max(len(t) for t in tgt_bytes)
+    if max_qlen >= (1 << 14) + 15 or max_tlen >= (1 << 14):
+        return None  # packed anchor key field widths
+
+    # one minimizer pass over unique queries; one single-target index each
+    qmini = window_minimizers_cached_batch(qry_bytes, 10, 15)
+    indexes = [TargetIndex([tb]) for tb in tgt_bytes]
+
+    # per-group anchor lookup -> packed sorted keys -> group bounds
+    qa_parts: list[np.ndarray] = []
+    ta_parts: list[np.ndarray] = []
+    grp_sizes: list[np.ndarray] = []
+    meta_owner: list[np.ndarray] = []
+    meta_uq: list[np.ndarray] = []
+    meta_st: list[np.ndarray] = []
+    meta_tid: list[np.ndarray] = []
+    for ti, index in enumerate(indexes):
+        uqs = grp_queries[ti]
+        if len(index.h_sorted) == 0:
+            continue
+        if len(uqs) >= (1 << 20):
+            return None
+        minis = [qmini[u] for u in uqs]
+        all_h = np.concatenate([m[0] for m in minis])
+        if len(all_h) == 0:
+            continue
+        all_p = np.concatenate([m[1] for m in minis]).astype(np.int32)
+        all_f = np.concatenate([m[2] for m in minis])
+        lqid = np.repeat(np.arange(len(uqs)), [len(m[0]) for m in minis]).astype(np.int32)
+        qlens = np.fromiter((len(qry_bytes[u]) for u in uqs), np.int64, len(uqs))
+        left, counts, total = anchor_search_native(index.h_sorted, all_h)
+        if total == 0:
+            continue
+        keys = anchor_sorted_keys_native(
+            left, counts, all_p, all_f, lqid, qlens,
+            index.h_tid, index.h_tpos, index.h_isf, index.k, False, threads=4,
+        )
+        if keys is None or len(keys) == 0:
+            continue
+        hi_bits = keys >> np.uint64(28)
+        bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
+        sizes = np.diff(np.append(bounds, len(keys)))
+        kb = keys[bounds]
+        g_lq = (kb >> np.uint64(43)).astype(np.int64)
+        g_st = np.where((kb >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
+        qa_parts.append(((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64))
+        ta_parts.append((keys & np.uint64(0x3FFF)).astype(np.int64))
+        grp_sizes.append(sizes)
+        pair_ids = np.asarray(grp_pairs[ti], dtype=np.int64)
+        uq_arr = np.asarray(uqs, dtype=np.int64)
+        meta_owner.append(pair_ids[g_lq])
+        meta_uq.append(uq_arr[g_lq])
+        meta_st.append(g_st)
+        meta_tid.append(np.full(len(bounds), ti, dtype=np.int64))
+    if not qa_parts:
+        return [None] * len(pairs)
+
+    qa_all = np.concatenate(qa_parts)
+    ta_all = np.concatenate(ta_parts)
+    sizes_all = np.concatenate(grp_sizes)
+    grp_off = np.zeros(len(sizes_all) + 1, dtype=np.int64)
+    np.cumsum(sizes_all, out=grp_off[1:])
+    owner_g = np.concatenate(meta_owner)
+    uq_g = np.concatenate(meta_uq)
+    st_g = np.concatenate(meta_st)
+    tid_g = np.concatenate(meta_tid)
+    qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
+    tlens_all = np.fromiter((len(t) for t in tgt_bytes), np.int64, len(tgt_bytes))
+
+    # one chaining/band-planning pass over every (pair, strand) group
+    lo_flat, lo_off_g, nchain = chain_band_native(
+        qa_all, ta_all, grp_off, qlens_all[uq_g], tlens_all[tid_g], band, min_anchors
+    )
+    kept = np.flatnonzero(nchain >= min_anchors)
+    if len(kept) == 0:
+        return [None] * len(pairs)
+
+    owner_j = owner_g[kept]
+    uq_j = uq_g[kept]
+    st_j = st_g[kept]
+    tid_j = tid_g[kept]
+    q_lens_j = qlens_all[uq_j].astype(np.int32)
+    lo_off_j = lo_off_g[kept]
+
+    # code pools: encode each used (query, strand) / target exactly once
+    combo = uq_j * 2 + (st_j == 1)
+    ucombo, inv = np.unique(combo, return_inverse=True)
+    combo_codes = [
+        _qcodes_cached(qry_bytes[int(cb) // 2], 1 if int(cb) & 1 else -1)
+        for cb in ucombo
+    ]
+    combo_lens = np.fromiter((len(c) for c in combo_codes), np.int64, len(combo_codes))
+    combo_off = np.zeros(len(combo_codes) + 1, dtype=np.int64)
+    np.cumsum(combo_lens, out=combo_off[1:])
+    q_cat = np.concatenate(combo_codes) if combo_codes else np.zeros(0, np.uint8)
+    q_off_j = combo_off[inv]
+
+    t_codes = [idx.targets[0] for idx in indexes]
+    t_lens_all = np.fromiter((len(c) for c in t_codes), np.int64, len(t_codes))
+    t_off_all = np.zeros(len(t_codes) + 1, dtype=np.int64)
+    np.cumsum(t_lens_all, out=t_off_all[1:])
+    t_cat = np.concatenate(t_codes) if t_codes else np.zeros(0, np.uint8)
+    t_off_j = t_off_all[tid_j]
+    t_lens_j = t_lens_all[tid_j].astype(np.int32)
+
+    # DP dispatch, length-sorted for even SIMD lane blocks (stable order
+    # keeps the legacy tie-break: first job in plan order wins ties)
+    import ctypes
+
+    B = len(kept)
+    order = np.argsort(q_lens_j, kind="stable")
+    out_meta = np.zeros((B, 6), dtype=np.int32)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    q_off_s = np.ascontiguousarray(q_off_j[order])
+    q_lens_s = np.ascontiguousarray(q_lens_j[order])
+    t_off_s = np.ascontiguousarray(t_off_j[order])
+    t_lens_s = np.ascontiguousarray(t_lens_j[order])
+    lo_off_s = np.ascontiguousarray(lo_off_j[order])
+    lib.sw_nm_batch(
+        ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
+        ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
+        ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
+        ctypes.c_int32(B), ctypes.c_int32(band),
+        ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
+    )
+    meta = np.empty_like(out_meta)
+    meta[order] = out_meta
+
+    # vectorized winner selection: per pair, max score, first job on ties
+    score = meta[:, 0]
+    ok = np.flatnonzero(score > 0)
+    best: list[Mapping | None] = [None] * len(pairs)
+    if len(ok) == 0:
+        return best
+    sel = np.lexsort((ok, -score[ok], owner_j[ok]))
+    ow = owner_j[ok][sel]
+    first = sel[np.flatnonzero(np.concatenate(([True], ow[1:] != ow[:-1])))]
+    for j in ok[first]:
+        s, q0, q1, t0, t1, nm = (int(x) for x in meta[j])
+        fql = int(qlens_all[uq_j[j]])
+        st = int(st_j[j])
+        fq0, fq1 = (q0, q1) if st == 1 else (fql - q1, fql - q0)
+        best[int(owner_j[j])] = Mapping(
+            target_id=0, strand=st, query_start=fq0, query_end=fq1,
+            target_start=t0, target_end=t1, nm=nm, cigar=[], score=s,
+        )
     return best
 
 

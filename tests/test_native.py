@@ -407,3 +407,55 @@ def test_solid_filter_batch_native_matches_python():
         if len(s):
             hj = np.clip(np.searchsorted(hf, s), 0, len(hf) - 1)
             assert np.array_equal(gs, hf[hj] != s)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_align_pairs_nm_soa_matches_legacy():
+    """The struct-of-arrays NM path must reproduce the AlignJob path exactly:
+    same winners, same scores/NM/coordinates, same tie-breaks."""
+    from savont_tpu.ops.align_batch import (
+        _align_pairs_nm_soa,
+        _jobs_to_mappings,
+        _plan_pairs,
+        run_jobs_nm,
+    )
+
+    rng = np.random.default_rng(97)
+    targets = []
+    for _ in range(6):
+        targets.append(rand_seq(1200 + int(rng.integers(0, 600))))
+    pairs = []
+    for _ in range(120):
+        t = targets[int(rng.integers(len(targets)))]
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(rng.integers(0, 50)), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if rng.random() < 0.3:
+            del q[400 : 400 + int(rng.integers(1, 6))]
+        if rng.random() < 0.5:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        pairs.append((bytes(q), t))
+    # a duplicated pair and an unalignable query exercise edge paths
+    pairs.append(pairs[0])
+    pairs.append((rand_seq(1000), targets[0]))
+
+    got = _align_pairs_nm_soa(pairs, 128)
+    assert got is not None
+
+    jobs, owner = _plan_pairs(pairs, 128)
+    raw = run_jobs_nm(jobs, band=128)
+    best = [None] * len(pairs)
+    for o, job, r in zip(owner, jobs, raw):
+        if r is None:
+            continue
+        (m,) = _jobs_to_mappings([job], [r])
+        if best[o] is None or m.score > best[o].score:
+            best[o] = m
+
+    for g, b in zip(got, best):
+        assert (g is None) == (b is None)
+        if g is not None:
+            assert (g.score, g.nm, g.strand, g.query_start, g.query_end,
+                    g.target_start, g.target_end) == (
+                b.score, b.nm, b.strand, b.query_start, b.query_end,
+                b.target_start, b.target_end)
