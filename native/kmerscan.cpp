@@ -671,6 +671,182 @@ void lsh_batch(const uint64_t* minis, const int64_t* off, int64_t n_reads,
     }
 }
 
+}  // extern "C"
+
+// ── consensus-SNPmer reclustering (asv_cluster.rs:830-1270) ────────────────
+//
+// Consensus per cluster: group member SNPmers (full k-mers from the
+// FILTERED snpmers_vec view) by value, count; per splitmer keep the
+// variant with max (count, kmer); keep if count >= max(size/6, 1).
+// Positions/medians are not tracked: the merge decision uses only the
+// splitmer->kmer map and poly counts (exact twin of the Python
+// build_consensus_snpmers + compare_consensus semantics).
+
+namespace {
+
+struct ReConsensus {
+    std::vector<uint64_t> sm;  // sorted ascending, unique
+    std::vector<uint64_t> km;
+};
+
+inline uint64_t re_splitmer(uint64_t km, int is_blockmer, int l, uint64_t mask) {
+    return is_blockmer ? (km >> (2 * l)) : (km & mask);
+}
+
+// members[ms..me): read ids into r_km/r_koff; min_count from cluster size
+static void re_build_consensus(const int64_t* members, int64_t ms, int64_t me,
+                               const uint64_t* r_km, const int64_t* r_koff,
+                               int is_blockmer, int l, uint64_t mask,
+                               std::vector<uint64_t>& buf, ReConsensus& out) {
+    out.sm.clear();
+    out.km.clear();
+    buf.clear();
+    for (int64_t m = ms; m < me; m++) {
+        const int64_t r = members[m];
+        buf.insert(buf.end(), r_km + r_koff[r], r_km + r_koff[r + 1]);
+    }
+    if (buf.empty()) return;
+    std::sort(buf.begin(), buf.end());
+    // unique kmers + counts -> (sm, count, km) sorted by (sm, count, km)
+    struct Poly { uint64_t sm, km; int64_t cnt; };
+    std::vector<Poly> polys;
+    for (size_t i = 0; i < buf.size();) {
+        size_t j = i + 1;
+        while (j < buf.size() && buf[j] == buf[i]) j++;
+        polys.push_back({re_splitmer(buf[i], is_blockmer, l, mask), buf[i],
+                         (int64_t)(j - i)});
+        i = j;
+    }
+    std::sort(polys.begin(), polys.end(), [](const Poly& a, const Poly& b) {
+        if (a.sm != b.sm) return a.sm < b.sm;
+        if (a.cnt != b.cnt) return a.cnt < b.cnt;
+        return a.km < b.km;
+    });
+    const int64_t size = me - ms;
+    const int64_t min_count = std::max<int64_t>(size / 6, 1);
+    for (size_t i = 0; i < polys.size(); i++) {
+        if (i + 1 < polys.size() && polys[i + 1].sm == polys[i].sm) continue;
+        if (polys[i].cnt >= min_count) {
+            out.sm.push_back(polys[i].sm);
+            out.km.push_back(polys[i].km);
+        }
+    }
+}
+
+// matches/mismatches over shared splitmers (symmetric: sm unique per side)
+static void re_compare(const ReConsensus& a, const ReConsensus& b,
+                       int64_t& m, int64_t& mm) {
+    m = mm = 0;
+    size_t i = 0, j = 0;
+    while (i < a.sm.size() && j < b.sm.size()) {
+        if (a.sm[i] < b.sm[j]) i++;
+        else if (a.sm[i] > b.sm[j]) j++;
+        else {
+            if (a.km[i] == b.km[j]) m++; else mm++;
+            i++; j++;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One greedy merge round over clusters pre-sorted by (-size, first member).
+// Consensuses are built once at entry (stale during the pass, like the
+// reference); cluster SIZES grow as merges land.  merged_into[j] = index of
+// the surviving cluster j merged into, or -1.  Returns the merge count.
+int64_t recluster_round(const int64_t* members, const int64_t* m_off,
+                        int64_t n_clusters, const uint64_t* r_km,
+                        const int64_t* r_koff, int is_blockmer, int l,
+                        uint64_t sm_mask, int64_t* merged_into, int threads) {
+    std::vector<ReConsensus> cons(n_clusters);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(threads > 0 ? threads : 1)
+#endif
+    {
+        std::vector<uint64_t> buf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t c = 0; c < n_clusters; c++)
+            re_build_consensus(members, m_off[c], m_off[c + 1], r_km, r_koff,
+                               is_blockmer, l, sm_mask, buf, cons[c]);
+    }
+    std::vector<int64_t> size(n_clusters);
+    for (int64_t c = 0; c < n_clusters; c++) size[c] = m_off[c + 1] - m_off[c];
+    for (int64_t c = 0; c < n_clusters; c++) merged_into[c] = -1;
+    int64_t num_merges = 0;
+    std::vector<char> merged(n_clusters, 0);
+    for (int64_t i = 0; i < n_clusters; i++) {
+        if (merged[i]) continue;
+        const int64_t li = (int64_t)cons[i].sm.size();
+        for (int64_t j = i + 1; j < n_clusters; j++) {
+            if (merged[j]) continue;
+            int64_t m, mm;
+            re_compare(cons[i], cons[j], m, mm);
+            const int64_t lj = (int64_t)cons[j].sm.size();
+            // concordant both ways (m/mm symmetric for unique-sm maps)
+            bool conc = mm == 0 &&
+                        m >= std::min(li, std::max<int64_t>(lj, 2)) &&
+                        m >= std::min(lj, std::max<int64_t>(li, 2));
+            const int64_t max_len = std::max(size[i], size[j]);
+            const int64_t min_len = std::min(size[i], size[j]);
+            // size-disparity overrides (asv_cluster.rs:1208-1224); the
+            // 0.975 threshold is evaluated in double like the Python twin
+            if (mm == 0 && (double)m > (double)std::min(li, lj) * 0.975 &&
+                max_len / min_len > 50)
+                conc = true;
+            if (mm == 0 && max_len / min_len > 500 && min_len <= 2)
+                conc = true;
+            if (conc) {
+                merged_into[j] = i;
+                merged[j] = 1;
+                size[i] += size[j];
+                num_merges++;
+            }
+        }
+    }
+    return num_merges;
+}
+
+// Batched consensus build over final clusters (for read reassignment):
+// emits flat (sm, km, cid) with capacity = total member kmers; returns the
+// emitted count.  Output is ordered by cluster then sm ascending.
+int64_t consensus_batch(const int64_t* members, const int64_t* m_off,
+                        int64_t n_clusters, const uint64_t* r_km,
+                        const int64_t* r_koff, int is_blockmer, int l,
+                        uint64_t sm_mask, uint64_t* out_sm, uint64_t* out_km,
+                        int64_t* out_cid, int threads) {
+    std::vector<ReConsensus> cons(n_clusters);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(threads > 0 ? threads : 1)
+#endif
+    {
+        std::vector<uint64_t> buf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t c = 0; c < n_clusters; c++)
+            re_build_consensus(members, m_off[c], m_off[c + 1], r_km, r_koff,
+                               is_blockmer, l, sm_mask, buf, cons[c]);
+    }
+    int64_t w = 0;
+    for (int64_t c = 0; c < n_clusters; c++) {
+        for (size_t x = 0; x < cons[c].sm.size(); x++) {
+            out_sm[w] = cons[c].sm[x];
+            out_km[w] = cons[c].km[x];
+            out_cid[w] = c;
+            w++;
+        }
+    }
+    return w;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Compact per-read prefix regions of an oversized scratch buffer into an
 // exact-size buffer: region i lives at src + src_off[i]*elt and holds
 // cnt[i] elements; it lands at dst + dst_off[i]*elt (dst_off = cumsum cnt).

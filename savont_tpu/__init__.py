@@ -44,4 +44,28 @@ def _tune_malloc() -> None:
         pass
 
 
+def _disable_numpy_hugepage_madvise() -> None:
+    """Keep numpy from madvise(MADV_HUGEPAGE)-ing large buffers.
+
+    With THP in madvise mode, every >4 MB numpy allocation invites
+    synchronous hugepage compaction on first touch; the pipeline's large
+    transient buffers (k-mer streams, DP planes) then burn kernel time
+    assembling 2 MB pages that are freed moments later.  Measured on a
+    20k-read run: 9-20s sys -> 1.2s, wall 24s -> 18.5s.  numpy reads the
+    NUMPY_MADVISE_HUGEPAGE env var only at import (the axon sitecustomize
+    imports numpy before us), so use the runtime hook.
+    SAVONT_NO_MALLOC_TUNE=1 opts out."""
+    import os
+
+    if os.environ.get("SAVONT_NO_MALLOC_TUNE"):
+        return
+    try:
+        from numpy._core import multiarray
+
+        multiarray._set_madvise_hugepage(False)
+    except (ImportError, AttributeError):
+        pass
+
+
 _tune_malloc()
+_disable_numpy_hugepage_madvise()

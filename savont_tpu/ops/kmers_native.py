@@ -79,6 +79,17 @@ def get_scan_lib():
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ctypes.c_int,
     ]
+    lib.recluster_round.restype = ctypes.c_int64
+    lib.recluster_round.argtypes = [
+        i64p, i64p, ctypes.c_int64, u64p, i64p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, i64p, ctypes.c_int,
+    ]
+    lib.consensus_batch.restype = ctypes.c_int64
+    lib.consensus_batch.argtypes = [
+        i64p, i64p, ctypes.c_int64, u64p, i64p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u64p, u64p, i64p,
+        ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -155,7 +166,7 @@ def _compact(buf: np.ndarray, src_off: np.ndarray, cnt: np.ndarray,
     dense = np.empty(int(dst_off[-1]), dtype=buf.dtype)
     lib.gather_ranges(
         buf.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _ptr(np.ascontiguousarray(src_off[:-1], np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(src_off[: len(cnt)], np.int64), ctypes.c_int64),
         _ptr(np.ascontiguousarray(cnt, np.int64), ctypes.c_int64),
         _ptr(dst_off, ctypes.c_int64), len(cnt), buf.dtype.itemsize,
         dense.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -615,6 +626,58 @@ def snpmer_join_count_native(
         max(threads, 1),
     )
     return m_mat, mm_mat
+
+
+def recluster_round_native(
+    members: np.ndarray, m_off: np.ndarray, km_flat: np.ndarray,
+    koff: np.ndarray, is_blockmer: bool, l: int, sm_mask: int,
+    threads: int = 4,
+) -> tuple[np.ndarray, int] | None:
+    """One native greedy consensus-merge round over clusters pre-sorted by
+    (-size, first member).  Returns (merged_into, num_merges) or None."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(m_off) - 1
+    merged_into = np.empty(n, dtype=np.int64)
+    nm = lib.recluster_round(
+        _ptr(np.ascontiguousarray(members, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(m_off, np.int64), ctypes.c_int64), n,
+        _ptr(np.ascontiguousarray(km_flat, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(koff, np.int64), ctypes.c_int64),
+        int(is_blockmer), l, ctypes.c_uint64(int(sm_mask)),
+        _ptr(merged_into, ctypes.c_int64), threads,
+    )
+    return merged_into, int(nm)
+
+
+def consensus_batch_native(
+    members: np.ndarray, m_off: np.ndarray, km_flat: np.ndarray,
+    koff: np.ndarray, is_blockmer: bool, l: int, sm_mask: int,
+    threads: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Flat (sm, km, cid) consensus-SNPmer table for many clusters in one
+    call (ordered by cluster, then sm ascending), or None."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(m_off) - 1
+    members = np.ascontiguousarray(members, np.int64)
+    m_off = np.ascontiguousarray(m_off, np.int64)
+    koff = np.ascontiguousarray(koff, np.int64)
+    cap = int((koff[members + 1] - koff[members]).sum()) if len(members) else 0
+    out_sm = np.empty(cap, dtype=np.uint64)
+    out_km = np.empty(cap, dtype=np.uint64)
+    out_cid = np.empty(cap, dtype=np.int64)
+    w = lib.consensus_batch(
+        _ptr(members, ctypes.c_int64), _ptr(m_off, ctypes.c_int64), n,
+        _ptr(np.ascontiguousarray(km_flat, np.uint64), ctypes.c_uint64),
+        _ptr(koff, ctypes.c_int64),
+        int(is_blockmer), l, ctypes.c_uint64(int(sm_mask)),
+        _ptr(out_sm, ctypes.c_uint64), _ptr(out_km, ctypes.c_uint64),
+        _ptr(out_cid, ctypes.c_int64), threads,
+    )
+    return out_sm[:w], out_km[:w], out_cid[:w]
 
 
 def solid_filter_batch_native(

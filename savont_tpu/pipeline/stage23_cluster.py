@@ -336,11 +336,30 @@ def _concordant(c1: list[ConsensusPoly], c2: list[ConsensusPoly]) -> bool:
     return mm == 0 and m >= min(len(c1), max(len(c2), 2))
 
 
+def _flat_marker_table(
+    twin_reads: list[TwinRead], marker: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-read FILTERED marker k-mers flattened once for the native
+    recluster/reassign kernels: (km_flat, koff) indexed by global read id."""
+    kms = []
+    for tr in twin_reads:
+        _, km = tr.blockmers_vec() if marker == "blockmer" else tr.snpmers_vec()
+        kms.append(np.asarray(km, dtype=np.uint64))
+    koff = np.zeros(len(kms) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(a) for a in kms), np.int64, len(kms)), out=koff[1:])
+    flat = np.concatenate(kms) if kms else np.zeros(0, np.uint64)
+    return flat, koff
+
+
 def _recluster_one_round(
     clusters: list[list[int]], twin_reads: list[TwinRead], k: int,
-    marker: str = "snpmer", l: int = 3,
+    marker: str = "snpmer", l: int = 3, flat=None,
 ) -> tuple[list[list[int]], int]:
     """Merge concordant clusters, larger-first (asv_cluster.rs:1146-1270)."""
+    if flat is not None and not log.isEnabledFor(5):
+        out = _recluster_one_round_native(clusters, k, marker, l, flat)
+        if out is not None:
+            return out
     allc = [(c, build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l)) for c in clusters if c]
     allc.sort(key=lambda x: (-len(x[0]), x[0][0] if x[0] else 0))
     merged_flag = [False] * len(allc)
@@ -382,41 +401,106 @@ def _recluster_one_round(
     return merged_clusters, num_merges
 
 
+def _recluster_one_round_native(
+    clusters: list[list[int]], k: int, marker: str, l: int, flat
+) -> tuple[list[list[int]], int] | None:
+    """Native twin of _recluster_one_round: consensus build + greedy merge
+    pass in C++ (the wasted post-merge rebuilds are skipped — their result
+    is never observed)."""
+    from ..ops.kmers_native import recluster_round_native
+
+    live = [c for c in clusters if c]
+    if not live:
+        return [], 0
+    live.sort(key=lambda c: (-len(c), c[0]))
+    km_flat, koff = flat
+    sizes = np.fromiter((len(c) for c in live), np.int64, len(live))
+    members = np.fromiter(
+        (r for c in live for r in c), np.int64, int(sizes.sum())
+    )
+    m_off = np.zeros(len(live) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=m_off[1:])
+    res = recluster_round_native(
+        members, m_off, km_flat, koff, marker == "blockmer", l, _split_mask(k)
+    )
+    if res is None:
+        return None
+    merged_into, num_merges = res
+    kids: dict[int, list[int]] = {}
+    for j, tgt in enumerate(merged_into):
+        if tgt >= 0:
+            kids.setdefault(int(tgt), []).append(j)
+    merged_clusters: list[list[int]] = []
+    for i, c in enumerate(live):
+        if merged_into[i] >= 0:
+            continue
+        merged = list(c)
+        for j in kids.get(i, ()):
+            merged.extend(live[j])
+        merged_clusters.append(merged)
+    merged_clusters.sort(key=lambda c: (-len(c), c[0] if c else 0))
+    return merged_clusters, num_merges
+
+
 def _reassign_reads(
     clusters: list[list[int]], twin_reads: list[TwinRead], k: int, min_cluster_size: int,
-    marker: str = "snpmer", l: int = 3,
+    marker: str = "snpmer", l: int = 3, flat=None,
 ) -> tuple[list[list[int]], int]:
     """Reassign every read to the argmin-(mismatch, -match) cluster
     (asv_cluster.rs:1007-1130).  Initial best = first candidate evaluated
     (index 0) since any mismatch count beats usize::MAX."""
-    consensus = [build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l) for c in clusters]
     mask = _split_mask(k)
     C = len(clusters)
     # flat sorted (splitmer, kmer, cluster) table over all consensuses
-    cons_sm = np.array([cp.splitmer for cons in consensus for cp in cons], dtype=np.uint64)
-    cons_km = np.array([cp.kmer for cons in consensus for cp in cons], dtype=np.uint64)
-    cons_cid = np.repeat(np.arange(C, dtype=np.int64), [len(cons) for cons in consensus])
+    cb = None
+    sizes = np.fromiter((len(c) for c in clusters), np.int64, C)
+    read_ids_arr = np.fromiter(
+        (rid for cluster in clusters for rid in cluster), np.int64, int(sizes.sum())
+    )
+    if flat is not None:
+        from ..ops.kmers_native import consensus_batch_native
+
+        m_off = np.zeros(C + 1, dtype=np.int64)
+        np.cumsum(sizes, out=m_off[1:])
+        cb = consensus_batch_native(
+            read_ids_arr, m_off, flat[0], flat[1], marker == "blockmer", l, mask
+        )
+    if cb is not None:
+        cons_sm, cons_km, cons_cid = cb
+    else:
+        consensus = [build_consensus_snpmers(c, twin_reads, k, marker=marker, l=l) for c in clusters]
+        cons_sm = np.array([cp.splitmer for cons in consensus for cp in cons], dtype=np.uint64)
+        cons_km = np.array([cp.kmer for cons in consensus for cp in cons], dtype=np.uint64)
+        cons_cid = np.repeat(np.arange(C, dtype=np.int64), [len(cons) for cons in consensus])
     o = np.argsort(cons_sm, kind="stable")
     cons_sm, cons_km, cons_cid = cons_sm[o], cons_km[o], cons_cid[o]
 
     # flatten ALL reads of ALL clusters into one lookup batch
-    read_ids = [rid for cluster in clusters for rid in cluster]
-    orig_ci = np.repeat(np.arange(C, dtype=np.int64), [len(c) for c in clusters])
-    km_arrs = []
-    for rid in read_ids:
-        if marker == "blockmer":
-            _, kms = twin_reads[rid].blockmers_vec()
-        else:
-            _, kms = twin_reads[rid].snpmers_vec()
-        km_arrs.append(np.asarray(kms, dtype=np.uint64))
+    read_ids = read_ids_arr.tolist()
+    orig_ci = np.repeat(np.arange(C, dtype=np.int64), sizes)
     R = len(read_ids)
     mm_mat = np.zeros((R, C), dtype=np.int64)
     m_mat = np.zeros((R, C), dtype=np.int64)
     if R and len(cons_sm):
         from ..ops.kmers_native import snpmer_join_count_native
 
-        allk = np.concatenate(km_arrs) if km_arrs else np.zeros(0, np.uint64)
-        ridx = np.repeat(np.arange(R, dtype=np.int64), [len(a) for a in km_arrs])
+        if flat is not None and cb is not None:  # cb != None => native lib up
+            km_flat, koff = flat
+            cnts = koff[read_ids_arr + 1] - koff[read_ids_arr]
+            ridx = np.repeat(np.arange(R, dtype=np.int64), cnts)
+            from ..ops.kmers_native import _compact
+
+            allk, _ = _compact(km_flat, koff[read_ids_arr], cnts)
+        else:
+            km_arrs = []
+            for rid in read_ids:
+                if marker == "blockmer":
+                    _, kms = twin_reads[rid].blockmers_vec()
+                else:
+                    _, kms = twin_reads[rid].snpmers_vec()
+                km_arrs.append(np.asarray(kms, dtype=np.uint64))
+            allk = np.concatenate(km_arrs) if km_arrs else np.zeros(0, np.uint64)
+            ridx = np.repeat(np.arange(R, dtype=np.int64), [len(a) for a in km_arrs])
         sms = (allk >> np.uint64(2 * l)) if marker == "blockmer" else (allk & mask)
         native = snpmer_join_count_native(
             sms, allk, ridx, cons_sm, cons_km, cons_cid, R, C, threads=4
@@ -490,16 +574,22 @@ def cluster_reads_by_snpmers(
             prefix="cluster",
         )
 
-    # iterative reclustering: merge + reassign until no merges
+    # iterative reclustering: merge + reassign until no merges.  Per-read
+    # marker k-mers are static across rounds: flatten them once for the
+    # native consensus/merge/join kernels.
+    flat = _flat_marker_table(twin_reads, marker)
     for iteration in range(args.max_iterations_recluster):
         total_merges = 0
         total_reassign = 0
         new_groups: dict[int, list[list[int]]] = {}
         for gid, clusters in groups.items():
-            merged, nm = _recluster_one_round(clusters, twin_reads, k, marker, args.blockmer_length)
+            merged, nm = _recluster_one_round(
+                clusters, twin_reads, k, marker, args.blockmer_length, flat=flat
+            )
             total_merges += nm
             reassigned, nr = _reassign_reads(
-                merged, twin_reads, k, args.min_cluster_size, marker, args.blockmer_length
+                merged, twin_reads, k, args.min_cluster_size, marker,
+                args.blockmer_length, flat=flat,
             )
             total_reassign += nr
             if reassigned:

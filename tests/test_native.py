@@ -459,3 +459,52 @@ def test_align_pairs_nm_soa_matches_legacy():
                     g.target_start, g.target_end) == (
                 b.score, b.nm, b.strand, b.query_start, b.query_end,
                 b.target_start, b.target_end)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_recluster_round_native_matches_python():
+    """Native greedy consensus-merge round == the Python ConsensusPoly loop
+    (merge decisions, membership order, merge counts) on random clusters."""
+    from savont_tpu.pipeline.stage23_cluster import (
+        _flat_marker_table,
+        _reassign_reads,
+        _recluster_one_round,
+    )
+
+    class FakeTR:
+        def __init__(self, pos, kms):
+            self._pos = np.asarray(pos, dtype=np.int64)
+            self._kms = np.asarray(kms, dtype=np.uint64)
+
+        def snpmers_vec(self):
+            return self._pos, self._kms
+
+    rng = np.random.default_rng(5)
+    k = 17
+    mask = ~np.uint64(3 << (k - 1))
+    # 10 base haplotype profiles over a shared splitmer pool
+    sm_pool = (rng.integers(1, 1 << 40, 60).astype(np.uint64) << np.uint64(k - 1)) & mask
+    variants = [(sm | np.uint64(v << (k - 1))) & np.uint64((1 << 62) - 1) for sm in sm_pool for v in (0, 1)]
+    trs = []
+    for _ in range(400):
+        hap = int(rng.integers(4))
+        n = int(rng.integers(3, 25))
+        idx = rng.choice(60, n, replace=False)
+        kms = [(sm_pool[i] | np.uint64(((hap >> (i % 2)) & 1) << (k - 1))) for i in idx]
+        trs.append(FakeTR(rng.integers(0, 1400, n), kms))
+    clusters = []
+    s = 0
+    while s < len(trs):
+        e = s + int(rng.integers(2, 40))
+        clusters.append(list(range(s, min(e, len(trs)))))
+        s = e
+    flat = _flat_marker_table(trs, "snpmer")
+
+    got_m, got_nm = _recluster_one_round(clusters, trs, k, flat=flat)
+    want_m, want_nm = _recluster_one_round(clusters, trs, k)  # python path
+    assert got_nm == want_nm
+    assert got_m == want_m
+
+    got_r = _reassign_reads(got_m, trs, k, 2, flat=flat)
+    want_r = _reassign_reads(want_m, trs, k, 2)
+    assert got_r == want_r
