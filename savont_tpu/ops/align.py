@@ -56,6 +56,12 @@ def ascii_to_align_codes(seq: bytes | np.ndarray) -> np.ndarray:
     return _ASCII_CODE[arr]
 
 
+def cigar_lens_ops(cigar) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack a packed-u32 CIGAR into (lengths i64, ops i8)."""
+    c = np.asarray(cigar, dtype=np.uint32)
+    return (c >> np.uint32(4)).astype(np.int64), (c & np.uint32(0xF)).astype(np.int8)
+
+
 @dataclass
 class Mapping:
     """One alignment hit (the fields the reference consumes from minimap2)."""
@@ -67,7 +73,7 @@ class Mapping:
     target_start: int
     target_end: int
     nm: int
-    cigar: list[tuple[int, int]]  # (length, op) on the ORIENTED query
+    cigar: np.ndarray  # packed u32 (length << 4 | op) on the ORIENTED query
     score: int
     is_primary: bool = True
     mapq: int = 60
@@ -404,16 +410,20 @@ def _traceback(H, E, F, G, lo_full, q, t, ri, bj, score):
     t_start = t_end - t_len
 
     ops.reverse()
-    cigar: list[tuple[int, int]] = []
-    for o in ops:
-        if cigar and cigar[-1][1] == o:
-            cigar[-1] = (cigar[-1][0] + 1, o)
-        else:
-            cigar.append((1, o))
+    # run-length encode into the packed u32 representation shared with the
+    # native kernel: (length << 4) | op
+    oarr = np.asarray(ops, dtype=np.uint32)
+    if len(oarr):
+        starts = np.flatnonzero(np.concatenate(([True], oarr[1:] != oarr[:-1])))
+        lens = np.diff(np.append(starts, len(oarr))).astype(np.uint32)
+        cigar = (lens << np.uint32(4)) | oarr[starts]
+    else:
+        cigar = np.zeros(0, dtype=np.uint32)
 
     nm = 0
     qp, tp = q_start, t_start
-    for length, op in cigar:
+    for v in cigar:
+        length, op = int(v) >> 4, int(v) & 0xF
         if op == 0:
             qs = q[qp : qp + length]
             ts = t[tp : tp + length]

@@ -449,8 +449,7 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
             # extremely fragmented alignment: redo on the NumPy path
             results[i] = _run_bucket([jobs[i]], band)[0]
             continue
-        cigar = [(int(v) >> 4, int(v) & 0xF) for v in out_cigar[si, :clen]]
-        results[i] = (score, q0, q1, t0, t1, cigar, nm)
+        results[i] = (score, q0, q1, t0, t1, out_cigar[si, :clen].copy(), nm)
     return results
 
 

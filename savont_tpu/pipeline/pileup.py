@@ -54,11 +54,11 @@ class PileupMatrix:
         return self.bq.sum(axis=(1, 2)) + self.dels + self.ins_q.sum(axis=1)
 
 
-def _expand_cigar(cigar: list[tuple[int, int]]):
-    lens = np.array([l for l, _ in cigar], dtype=np.int64)
-    ops = np.array([op for _, op in cigar], dtype=np.int8)
-    per_base = np.repeat(ops, lens)
-    return per_base
+def _expand_cigar(cigar) -> np.ndarray:
+    from ..ops.align import cigar_lens_ops
+
+    lens, ops = cigar_lens_ops(cigar)
+    return np.repeat(ops, lens)
 
 
 def read_pileup_indices(

@@ -21,7 +21,7 @@ import numpy as np
 from ..config import ClusterArgs
 from ..constants import MAX_SEQS_POA
 from ..core import ConsensusSequence, TwinRead
-from ..ops.align import Mapping
+from ..ops.align import Mapping, cigar_lens_ops
 from ..ops.align_batch import align_pairs
 from ..ops.encode import homopolymer_compress, revcomp_bytes
 
@@ -76,8 +76,8 @@ def _vote_consensus(
     for (oseq, oqual), m in zip(oriented, mappings):
         t0 = m.target_start
         q0 = m.query_start if m.strand == 1 else len(oseq) - m.query_end
-        lens = np.array([l for l, _ in m.cigar], dtype=np.int64)
-        ops = np.repeat(np.array([op for _, op in m.cigar], dtype=np.int8), lens)
+        lens, opvals = cigar_lens_ops(m.cigar)
+        ops = np.repeat(opvals, lens)
         t_adv = (ops != 1).astype(np.int64)
         q_adv = (ops != 2).astype(np.int64)
         tpos = t0 + np.cumsum(t_adv) - t_adv

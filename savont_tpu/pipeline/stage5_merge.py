@@ -31,37 +31,55 @@ def _has_homopolymer_context(seq: np.ndarray, pos: int, window: int) -> bool:
 
 
 def calculate_adjusted_errors(
-    cigar: list[tuple[int, int]],
+    cigar,
     query_seq: np.ndarray,
     target_seq: np.ndarray,
     query_start: int,
     target_start: int,
 ) -> int:
     """Gap-collapsed, end-buffered, homopolymer-aware error count
-    (alignment.rs:101-188)."""
+    (alignment.rs:101-188).  Mismatch counting is vectorized per M run;
+    indel runs (rare) keep the scalar homopolymer-context checks."""
+    from ..ops.align import cigar_lens_ops
+
+    lens, ops = cigar_lens_ops(cigar)
+    if len(lens) == 0:
+        return 0
     errors = 0
     buffer = 35
-    qp, tp = query_start, target_start
-    for length, op in cigar:
-        if op == 0:
-            for j in range(length):
-                if qp + j < len(query_seq) and tp + j < len(target_seq):
-                    qb, tb = query_seq[qp + j], target_seq[tp + j]
-                    if qb != tb and qb != ord("N") and tb != ord("N"):
-                        if qp + j > buffer and qp + j + buffer < len(query_seq):
-                            errors += 1
-            qp += length
-            tp += length
-        elif op == 1:
-            in_hp = _has_homopolymer_context(query_seq, qp, 2) or _has_homopolymer_context(target_seq, tp, 2)
+    q_adv = np.where(ops != 2, lens, 0)
+    t_adv = np.where(ops != 1, lens, 0)
+    qp_run = query_start + np.cumsum(q_adv) - q_adv
+    tp_run = target_start + np.cumsum(t_adv) - t_adv
+
+    is_m = ops == 0
+    if is_m.any():
+        ml = lens[is_m]
+        within = np.arange(int(ml.sum())) - np.repeat(np.cumsum(ml) - ml, ml)
+        qpos = np.repeat(qp_run[is_m], ml) + within
+        tpos = np.repeat(tp_run[is_m], ml) + within
+        ok = (qpos < len(query_seq)) & (tpos < len(target_seq))
+        qb = query_seq[qpos[ok]]
+        tb = target_seq[tpos[ok]]
+        qo = qpos[ok]
+        n_char = ord("N")
+        errors += int(
+            (
+                (qb != tb) & (qb != n_char) & (tb != n_char)
+                & (qo > buffer) & (qo + buffer < len(query_seq))
+            ).sum()
+        )
+
+    for r in np.flatnonzero(~is_m):
+        op, length = int(ops[r]), int(lens[r])
+        qp, tp = int(qp_run[r]), int(tp_run[r])
+        in_hp = _has_homopolymer_context(query_seq, qp, 2) or _has_homopolymer_context(target_seq, tp, 2)
+        if op == 1:
             if not in_hp and qp > buffer and qp + length + buffer < len(query_seq):
                 errors += 1 if length < 10 else length
-            qp += length
-        elif op == 2:
-            in_hp = _has_homopolymer_context(query_seq, qp, 2) or _has_homopolymer_context(target_seq, tp, 2)
+        else:
             if not in_hp and tp > buffer and tp + length + buffer < len(target_seq):
                 errors += 1 if length < 10 else length
-            tp += length
     return errors
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
+
 from ..config import ClusterArgs
 from ..core import ConsensusSequence
 from ..ops.align import TargetIndex, map_query
@@ -37,6 +39,7 @@ def calculate_match_lengths(
     ops until the error budget is exhausted; indels are free."""
     allow = args.chimera_allowable_errors
     pcr_slack = 15
+    cigar = [(int(v) >> 4, int(v) & 0xF) for v in np.asarray(cigar, dtype=np.uint32)]
 
     left = 0
     num_errs = 0

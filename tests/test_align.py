@@ -12,9 +12,16 @@ def rand_seq(n):
     return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
 
 
+def unpack_cigar(cigar):
+    import numpy as _np
+
+    return [(int(v) >> 4, int(v) & 0xF) for v in _np.asarray(cigar, dtype=_np.uint32)]
+
+
 def check_cigar_consistency(m, qlen, tlen):
-    q_span = sum(l for l, op in m.cigar if op != 2)
-    t_span = sum(l for l, op in m.cigar if op != 1)
+    runs = unpack_cigar(m.cigar)
+    q_span = sum(l for l, op in runs if op != 2)
+    t_span = sum(l for l, op in runs if op != 1)
     assert m.query_end - m.query_start == q_span
     assert m.target_end - m.target_start == t_span
     assert 0 <= m.query_start <= m.query_end <= qlen
@@ -53,7 +60,7 @@ def test_indels():
     q[900:900] = b"GGG"
     m = align_pair(bytes(q), t)
     assert m.nm == 5
-    gaps = sorted((l, op) for l, op in m.cigar if op != 0)
+    gaps = sorted((l, op) for l, op in unpack_cigar(m.cigar) if op != 0)
     assert gaps == [(2, 2), (3, 1)]
 
 

@@ -37,7 +37,8 @@ def test_native_matches_numpy():
     for a, b in zip(numpy_res, native_res):
         assert (a is None) == (b is None)
         if a is not None:
-            assert a == b, f"native != numpy: {a[:6]} vs {b[:6]}"
+            assert a[:5] == b[:5] and a[6] == b[6], f"native != numpy: {a[:5]} vs {b[:5]}"
+            assert np.array_equal(a[5], b[5])
 
 
 def test_window_minimizers_native_parity():
@@ -172,7 +173,13 @@ def test_tb_kernel_bitidentical_to_per_pair():
             queries.append(bytes(q))
     jobs, _ = plan_jobs_batch(TargetIndex(targets), queries, band=128)
     assert jobs
-    assert _run_native(jobs, 128, lib, simd=False) == _run_native(jobs, 128, lib, simd=True)
+    a_res = _run_native(jobs, 128, lib, simd=False)
+    b_res = _run_native(jobs, 128, lib, simd=True)
+    for a, b in zip(a_res, b_res):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a[:5] == b[:5] and a[6] == b[6]
+            assert np.array_equal(a[5], b[5])
 
 
 def test_sortcount_native_matches_numpy():
