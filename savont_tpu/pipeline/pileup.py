@@ -61,6 +61,39 @@ def _expand_cigar(cigar) -> np.ndarray:
     return np.repeat(ops, lens)
 
 
+def batched_cigar_walk(cigars: list[np.ndarray], t_starts, q_starts):
+    """Expand MANY packed CIGARs into per-base op/position streams in one
+    numpy pass (segmented cumsums over the concatenated runs).
+
+    Returns (ops, tpos, qpos, base_read, run_read, run_lens, run_ops,
+    run_start): per-base arrays indexed by global base position, plus
+    per-run metadata for run-level consumers (insertion events)."""
+    from ..ops.align import cigar_lens_ops
+
+    n = len(cigars)
+    n_runs = np.fromiter((len(c) for c in cigars), np.int64, n)
+    cg = np.concatenate(cigars) if n else np.zeros(0, np.uint32)
+    run_read = np.repeat(np.arange(n), n_runs)
+    run_lens, run_ops = cigar_lens_ops(cg)
+    ops = np.repeat(run_ops, run_lens)
+    base_read = np.repeat(run_read, run_lens)
+    t_adv = (ops != 1).astype(np.int64)
+    q_adv = (ops != 2).astype(np.int64)
+    Et = np.cumsum(t_adv) - t_adv  # exclusive scans
+    Eq = np.cumsum(q_adv) - q_adv
+    base_cnt = np.bincount(base_read, minlength=n) if len(base_read) else np.zeros(n, np.int64)
+    start_idx = np.cumsum(base_cnt) - base_cnt
+    safe = np.minimum(start_idx, max(len(ops) - 1, 0)).astype(np.int64)
+    Et_base = Et[safe] if len(ops) else np.zeros(n, np.int64)
+    Eq_base = Eq[safe] if len(ops) else np.zeros(n, np.int64)
+    ts = np.asarray(t_starts, dtype=np.int64)
+    qs = np.asarray(q_starts, dtype=np.int64)
+    tpos = ts[base_read] + Et - Et_base[base_read]
+    qpos = qs[base_read] + Eq - Eq_base[base_read]
+    run_start = np.cumsum(run_lens) - run_lens
+    return ops, tpos, qpos, base_read, run_read, run_lens, run_ops, run_start
+
+
 def read_pileup_indices(
     ref: np.ndarray,
     oseq: bytes,
@@ -195,43 +228,100 @@ def generate_consensus_pileups(
                 hp_hist=np.zeros((L, 64), dtype=np.int64) if args.use_hpc else None,
             )
         )
-    acc: list[list[list[np.ndarray]]] = [[[], [], [], []] for _ in consensuses]
+    # one batched CIGAR walk over every (read, consensus) mapping, then one
+    # global bincount per matrix type, sliced back per consensus
+    j_own: list[int] = []
+    j_seq: list[bytes] = []
+    j_qual: list[np.ndarray] = []
+    j_hp: list[np.ndarray] = []
+    j_cigar: list[np.ndarray] = []
+    j_t0: list[int] = []
+    j_q0: list[int] = []
     for ci, (seq, qual, hp), m in zip(owners, payload, results):
         if m is None:
             continue
         if m.strand == -1:
-            oseq = revcomp_bytes(seq)
-            oqual = qual[::-1]
-            ohp = hp[::-1] if hp is not None else None
-            q0 = len(seq) - m.query_end
+            j_seq.append(revcomp_bytes(seq))
+            j_qual.append(qual[::-1])
+            if hp is not None:
+                j_hp.append(hp[::-1])
+            j_q0.append(len(seq) - m.query_end)
         else:
-            oseq, oqual, ohp = seq, qual, hp
-            q0 = m.query_start
-        bq_flat, td, ins_flat, hp_flat = read_pileup_indices(
-            pms[ci].ref, oseq, oqual,
-            ohp if pms[ci].hp_hist is not None else None,
-            m.cigar, m.target_start, q0,
+            j_seq.append(seq)
+            j_qual.append(qual)
+            if hp is not None:
+                j_hp.append(hp)
+            j_q0.append(m.query_start)
+        j_own.append(ci)
+        j_cigar.append(m.cigar)
+        j_t0.append(m.target_start)
+
+    use_hp = args.use_hpc
+    L_arr = np.fromiter((len(pm.ref) for pm in pms), np.int64, len(pms))
+    ref_off = np.zeros(len(pms) + 1, dtype=np.int64)
+    np.cumsum(L_arr, out=ref_off[1:])
+    tot_l = int(ref_off[-1])
+    if j_own:
+        own = np.asarray(j_own, dtype=np.int64)
+        slen = np.fromiter((len(s) for s in j_seq), np.int64, len(j_seq))
+        s_off = np.zeros(len(j_seq) + 1, dtype=np.int64)
+        np.cumsum(slen, out=s_off[1:])
+        seq_cat = np.frombuffer(b"".join(j_seq), dtype=np.uint8)
+        qual_cat = np.concatenate(j_qual)
+        hp_cat = np.concatenate(j_hp) if use_hp and j_hp else None
+        ref_cat = (
+            np.concatenate([pm.ref for pm in pms]) if pms else np.zeros(0, np.uint8)
         )
-        a = acc[ci]
-        a[0].append(bq_flat)
-        a[1].append(td)
-        a[2].append(ins_flat)
-        if hp_flat is not None:
-            a[3].append(hp_flat)
-    for pm, a in zip(pms, acc):
-        L = len(pm.ref)
-        if a[0]:
-            pm.bq.reshape(-1)[:] += np.bincount(
-                np.concatenate(a[0]), minlength=L * NQ * 2
-            )
-            pm.dels += np.bincount(np.concatenate(a[1]), minlength=L)
-            pm.ins_q.reshape(-1)[:] += np.bincount(
-                np.concatenate(a[2]), minlength=L * NQ
-            )
-        if pm.hp_hist is not None and a[3]:
-            pm.hp_hist.reshape(-1)[:] += np.bincount(
-                np.concatenate(a[3]), minlength=L * 64
-            )
+        ops, tpos, qpos, base_read, run_read, run_lens, run_ops, run_start = (
+            batched_cigar_walk(j_cigar, j_t0, j_q0)
+        )
+
+        is_m = ops == 0
+        tm, qm, rd = tpos[is_m], qpos[is_m], base_read[is_m]
+        ok = (tm < L_arr[own[rd]]) & (qm < slen[rd])
+        tm, qm, rd = tm[ok], qm[ok], rd[ok]
+        gpos = ref_off[own[rd]] + tm
+        qcat_i = s_off[rd] + qm
+        bases = seq_cat[qcat_i]
+        levels = qlevel(qual_cat[qcat_i])
+        is_ref = (bases == ref_cat[gpos]).astype(np.int64)
+        bq_glob = np.bincount(
+            (gpos * NQ + levels) * 2 + is_ref, minlength=tot_l * NQ * 2
+        )
+
+        is_d = ops == 2
+        td, rdd = tpos[is_d], base_read[is_d]
+        okd = td < L_arr[own[rdd]]
+        del_glob = np.bincount(
+            ref_off[own[rdd[okd]]] + td[okd], minlength=tot_l
+        )
+
+        ins_r = run_ops == 1
+        rs = run_start[ins_r]
+        rr = run_read[ins_r]
+        rl = run_lens[ins_r]
+        tp, qp = tpos[rs], qpos[rs]
+        keepi = (tp > 0) & (tp - 1 < L_arr[own[rr]]) & (qp + rl <= slen[rr])
+        rrk = rr[keepi]
+        ins_glob = np.bincount(
+            (ref_off[own[rrk]] + tp[keepi] - 1) * NQ
+            + qlevel(qual_cat[s_off[rrk] + qp[keepi]]),
+            minlength=tot_l * NQ,
+        )
+
+        hp_glob = None
+        if use_hp and hp_cat is not None:
+            hpv = np.minimum(hp_cat[qcat_i], 63).astype(np.int64)
+            hp_glob = np.bincount(gpos * 64 + hpv, minlength=tot_l * 64)
+
+        for ci, pm in enumerate(pms):
+            L = len(pm.ref)
+            o = int(ref_off[ci])
+            pm.bq.reshape(-1)[:] += bq_glob[o * NQ * 2 : (o + L) * NQ * 2]
+            pm.dels += del_glob[o : o + L]
+            pm.ins_q.reshape(-1)[:] += ins_glob[o * NQ : (o + L) * NQ]
+            if pm.hp_hist is not None and hp_glob is not None:
+                pm.hp_hist.reshape(-1)[:] += hp_glob[o * 64 : (o + L) * 64]
 
     # modal (median) HP length per position -> consensus hp_lengths
     for cons, pm in zip(consensuses, pms):

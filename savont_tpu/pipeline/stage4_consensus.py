@@ -64,65 +64,55 @@ def _vote_consensus(
     for b, c in code.items():
         code_tab[b] = c
 
-    # accumulate scatter indices/weights across ALL reads, then one
-    # weighted bincount per matrix (ufunc.at per read was the stage-4
-    # consensus hotspot)
-    acc_bi: list[np.ndarray] = []
-    acc_bw: list[np.ndarray] = []
-    acc_ci: list[np.ndarray] = []
-    acc_cw: list[np.ndarray] = []
-    acc_di: list[np.ndarray] = []
-    acc_dw: list[np.ndarray] = []
-    for (oseq, oqual), m in zip(oriented, mappings):
-        t0 = m.target_start
-        q0 = m.query_start if m.strand == 1 else len(oseq) - m.query_end
-        lens, opvals = cigar_lens_ops(m.cigar)
-        ops = np.repeat(opvals, lens)
-        t_adv = (ops != 1).astype(np.int64)
-        q_adv = (ops != 2).astype(np.int64)
-        tpos = t0 + np.cumsum(t_adv) - t_adv
-        qpos = q0 + np.cumsum(q_adv) - q_adv
-        sarr = np.frombuffer(oseq, dtype=np.uint8)
+    # one batched CIGAR walk across ALL reads, then one weighted bincount
+    # per matrix (per-read walks were the stage-4 consensus hotspot)
+    if mappings:
+        from .pileup import batched_cigar_walk
+
+        slen = np.fromiter((len(s) for s, _ in oriented), np.int64, len(oriented))
+        s_off = np.zeros(len(oriented) + 1, dtype=np.int64)
+        np.cumsum(slen, out=s_off[1:])
+        seq_cat = np.frombuffer(b"".join(s for s, _ in oriented), dtype=np.uint8)
+        qual_cat = np.concatenate([q for _, q in oriented])
+        q0s = [
+            m.query_start if m.strand == 1 else len(oriented[i][0]) - m.query_end
+            for i, m in enumerate(mappings)
+        ]
+        ops, tpos, qpos, base_read, run_read, run_lens, run_ops, run_start = (
+            batched_cigar_walk([m.cigar for m in mappings],
+                               [m.target_start for m in mappings], q0s)
+        )
 
         is_m = ops == 0
-        tm, qm = tpos[is_m], qpos[is_m]
-        w = oqual[qm].astype(np.float64)
-        c = code_tab[sarr[qm]]
+        tm, qm, rd = tpos[is_m], qpos[is_m], base_read[is_m]
+        qi = s_off[rd] + qm
+        w = qual_cat[qi].astype(np.float64)
+        c = code_tab[seq_cat[qi]]
         good = c >= 0
-        acc_bi.append(tm[good] * 4 + c[good].astype(np.int64))
-        acc_bw.append(w[good])
-        acc_ci.append(tm)
-        acc_cw.append(w)
-
         is_d = ops == 2
-        td = tpos[is_d]
-        qd = np.minimum(qpos[is_d], len(oqual) - 1)
-        wd = oqual[qd].astype(np.float64) if len(oqual) else np.full(len(td), 63.0)
-        acc_di.append(td)
-        acc_dw.append(wd)
-        acc_ci.append(td)
-        acc_cw.append(wd)
+        td, rdd = tpos[is_d], base_read[is_d]
+        qd = s_off[rdd] + np.minimum(qpos[is_d], slen[rdd] - 1)
+        wd = qual_cat[qd].astype(np.float64)
+
+        base_w.reshape(-1)[:] = np.bincount(
+            tm[good] * 4 + c[good].astype(np.int64), weights=w[good], minlength=n * 4
+        )
+        del_w[:] = np.bincount(td, weights=wd, minlength=n)
+        cov_w[:] = np.bincount(
+            np.concatenate((tm, td)), weights=np.concatenate((w, wd)), minlength=n
+        )
 
         # insertion runs (python loop over rare events)
-        run_start = np.flatnonzero(np.concatenate(([True], ops[1:] != ops[:-1])))
-        run_end = np.append(run_start[1:], len(ops))
-        for rs, re in zip(run_start, run_end):
-            if ops[rs] != 1:
-                continue
+        ins_r = np.flatnonzero(run_ops == 1)
+        for x in ins_r:
+            rs = int(run_start[x])
             tp, qp = int(tpos[rs]), int(qpos[rs])
             if tp - 1 >= 0:
-                ins_votes.setdefault(tp - 1, Counter())[sarr[qp:qp + (re - rs)].tobytes()] += float(oqual[qp])
-
-    if acc_ci:
-        base_w.reshape(-1)[:] = np.bincount(
-            np.concatenate(acc_bi), weights=np.concatenate(acc_bw), minlength=n * 4
-        )
-        del_w[:] = np.bincount(
-            np.concatenate(acc_di), weights=np.concatenate(acc_dw), minlength=n
-        )
-        cov_w[:] = np.bincount(
-            np.concatenate(acc_ci), weights=np.concatenate(acc_cw), minlength=n
-        )
+                r = int(run_read[x])
+                seg = seq_cat[s_off[r] + qp : s_off[r] + qp + int(run_lens[x])]
+                ins_votes.setdefault(tp - 1, Counter())[seg.tobytes()] += float(
+                    qual_cat[s_off[r] + qp]
+                )
 
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     best_c = np.argmax(base_w, axis=1)
