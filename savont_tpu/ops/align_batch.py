@@ -509,7 +509,17 @@ def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tu
 
     lib = get_lib()
     if lib is not None:
-        return _run_native(jobs, band, lib)
+        if len(jobs) <= 8192:
+            return _run_native(jobs, band, lib)
+        # slab after a global length sort: packed transients (lo tables,
+        # code pools) stay bounded and SIMD lane blocks stay homogeneous
+        order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
+        results = [None] * len(jobs)
+        for start in range(0, len(order), 8192):
+            chunk = order[start : start + 8192]
+            for i, r in zip(chunk, _run_native([jobs[i] for i in chunk], band, lib)):
+                results[i] = r
+        return results
 
     order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
     results = [None] * len(jobs)
@@ -593,9 +603,24 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Ma
     import os
 
     if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
-        out = _align_pairs_nm_soa(pairs, band)
-        if out is not None:
-            return out
+        # slabs bound the planning/DP transients (band tables, code pools)
+        # to ~100 MB at any input scale; owners never span slabs, so winner
+        # selection stays slab-local
+        slab = 8192
+        if len(pairs) > slab:
+            out_all: list[Mapping | None] = []
+            for s in range(0, len(pairs), slab):
+                part = _align_pairs_nm_soa(pairs[s : s + slab], band)
+                if part is None:
+                    out_all = None  # type: ignore[assignment]
+                    break
+                out_all.extend(part)
+            if out_all is not None:
+                return out_all
+        else:
+            out = _align_pairs_nm_soa(pairs, band)
+            if out is not None:
+                return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs_nm(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)

@@ -169,6 +169,39 @@ def count_flagged_kmers_streaming(
     return kmers, counts
 
 
+def aggressive_bloom_admitted(per_read_flagged: list[np.ndarray]) -> np.ndarray:
+    """K-mers admitted by the reference's --aggressive-bloom pass
+    (seq_parse.rs:225-258), with EXACT (false-positive-free) Bloom
+    semantics: a k-mer is admitted iff SOME occurrence, in stream order,
+    has >= 1 prior same-strand occurrence AND >= 1 prior opposite-strand
+    occurrence (insert() returns already-present; contains() checks the
+    other filter).  This is stricter than the normal pass and
+    order-dependent: strand counts (2,1) seen fwd,fwd,rc are NOT admitted
+    while fwd,rc,fwd are.  Returns sorted bare (low-63-bit) k-mer values."""
+    if not per_read_flagged:
+        return np.zeros(0, dtype=U64)
+    allk = np.concatenate(per_read_flagged)
+    if len(allk) == 0:
+        return np.zeros(0, dtype=U64)
+    bare = allk & np.uint64(0x7FFFFFFFFFFFFFFF)
+    strand = (allk >> np.uint64(63)).astype(np.int64)
+    order = np.argsort(bare, kind="stable")  # stable: stream order per k-mer
+    b = bare[order]
+    s = strand[order]
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    seg_len = np.diff(np.append(starts, len(b)))
+    pos = np.arange(len(b)) - np.repeat(starts, seg_len)  # index within segment
+    cf = np.cumsum(s) - s  # exclusive fwd-strand count (global)
+    cf_seg = cf - np.repeat(cf[starts], seg_len)  # ... within segment
+    fwd_before = cf_seg
+    rc_before = pos - cf_seg
+    same_before = np.where(s == 1, fwd_before, rc_before)
+    other_before = pos - same_before
+    admitted_occ = (same_before >= 1) & (other_before >= 1)
+    admitted_seg = np.logical_or.reduceat(admitted_occ, starts) if len(starts) else np.zeros(0, bool)
+    return b[starts][admitted_seg]
+
+
 def filter_counted_kmers(
     kmers: np.ndarray, counts: np.ndarray, single_strand: bool
 ) -> tuple[np.ndarray, np.ndarray]:

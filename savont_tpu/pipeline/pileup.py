@@ -191,6 +191,67 @@ def _median_from_hist(hist: np.ndarray) -> np.ndarray:
     return out
 
 
+def _accumulate_pileup_chunk(
+    pms, c_lo, c_hi, ref_off, L_arr, own, seqs, quals, hps, cigars, t0s, q0s
+):
+    """Batched CIGAR walk + local bincounts for consensuses [c_lo, c_hi)."""
+    base = int(ref_off[c_lo])
+    loc_l = int(ref_off[c_hi]) - base
+    own = np.asarray(own, dtype=np.int64)
+    slen = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    s_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(slen, out=s_off[1:])
+    seq_cat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    qual_cat = np.concatenate(quals)
+    hp_cat = np.concatenate(hps) if hps else None
+    ref_cat = np.concatenate([pms[c].ref for c in range(c_lo, c_hi)])
+    ops, tpos, qpos, base_read, run_read, run_lens, run_ops, run_start = (
+        batched_cigar_walk(cigars, t0s, q0s)
+    )
+
+    is_m = ops == 0
+    tm, qm, rd = tpos[is_m], qpos[is_m], base_read[is_m]
+    ok = (tm < L_arr[own[rd]]) & (qm < slen[rd])
+    tm, qm, rd = tm[ok], qm[ok], rd[ok]
+    gpos = (ref_off[own[rd]] - base) + tm
+    qcat_i = s_off[rd] + qm
+    bases = seq_cat[qcat_i]
+    levels = qlevel(qual_cat[qcat_i])
+    is_ref = (bases == ref_cat[gpos]).astype(np.int64)
+    bq_loc = np.bincount((gpos * NQ + levels) * 2 + is_ref, minlength=loc_l * NQ * 2)
+
+    is_d = ops == 2
+    td, rdd = tpos[is_d], base_read[is_d]
+    okd = td < L_arr[own[rdd]]
+    del_loc = np.bincount((ref_off[own[rdd[okd]]] - base) + td[okd], minlength=loc_l)
+
+    ins_r = run_ops == 1
+    rs, rr, rl = run_start[ins_r], run_read[ins_r], run_lens[ins_r]
+    tp, qp = tpos[rs], qpos[rs]
+    keepi = (tp > 0) & (tp - 1 < L_arr[own[rr]]) & (qp + rl <= slen[rr])
+    rrk = rr[keepi]
+    ins_loc = np.bincount(
+        ((ref_off[own[rrk]] - base) + tp[keepi] - 1) * NQ
+        + qlevel(qual_cat[s_off[rrk] + qp[keepi]]),
+        minlength=loc_l * NQ,
+    )
+
+    hp_loc = None
+    if hp_cat is not None:
+        hpv = np.minimum(hp_cat[qcat_i], 63).astype(np.int64)
+        hp_loc = np.bincount(gpos * 64 + hpv, minlength=loc_l * 64)
+
+    for ci in range(c_lo, c_hi):
+        pm = pms[ci]
+        L = len(pm.ref)
+        o = int(ref_off[ci]) - base
+        pm.bq.reshape(-1)[:] += bq_loc[o * NQ * 2 : (o + L) * NQ * 2]
+        pm.dels += del_loc[o : o + L]
+        pm.ins_q.reshape(-1)[:] += ins_loc[o * NQ : (o + L) * NQ]
+        if pm.hp_hist is not None and hp_loc is not None:
+            pm.hp_hist.reshape(-1)[:] += hp_loc[o * 64 : (o + L) * 64]
+
+
 def generate_consensus_pileups(
     twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
 ) -> list[PileupMatrix]:
@@ -260,68 +321,32 @@ def generate_consensus_pileups(
     L_arr = np.fromiter((len(pm.ref) for pm in pms), np.int64, len(pms))
     ref_off = np.zeros(len(pms) + 1, dtype=np.int64)
     np.cumsum(L_arr, out=ref_off[1:])
-    tot_l = int(ref_off[-1])
     if j_own:
-        own = np.asarray(j_own, dtype=np.int64)
-        slen = np.fromiter((len(s) for s in j_seq), np.int64, len(j_seq))
-        s_off = np.zeros(len(j_seq) + 1, dtype=np.int64)
-        np.cumsum(slen, out=s_off[1:])
-        seq_cat = np.frombuffer(b"".join(j_seq), dtype=np.uint8)
-        qual_cat = np.concatenate(j_qual)
-        hp_cat = np.concatenate(j_hp) if use_hp and j_hp else None
-        ref_cat = (
-            np.concatenate([pm.ref for pm in pms]) if pms else np.zeros(0, np.uint8)
-        )
-        ops, tpos, qpos, base_read, run_read, run_lens, run_ops, run_start = (
-            batched_cigar_walk(j_cigar, j_t0, j_q0)
-        )
-
-        is_m = ops == 0
-        tm, qm, rd = tpos[is_m], qpos[is_m], base_read[is_m]
-        ok = (tm < L_arr[own[rd]]) & (qm < slen[rd])
-        tm, qm, rd = tm[ok], qm[ok], rd[ok]
-        gpos = ref_off[own[rd]] + tm
-        qcat_i = s_off[rd] + qm
-        bases = seq_cat[qcat_i]
-        levels = qlevel(qual_cat[qcat_i])
-        is_ref = (bases == ref_cat[gpos]).astype(np.int64)
-        bq_glob = np.bincount(
-            (gpos * NQ + levels) * 2 + is_ref, minlength=tot_l * NQ * 2
-        )
-
-        is_d = ops == 2
-        td, rdd = tpos[is_d], base_read[is_d]
-        okd = td < L_arr[own[rdd]]
-        del_glob = np.bincount(
-            ref_off[own[rdd[okd]]] + td[okd], minlength=tot_l
-        )
-
-        ins_r = run_ops == 1
-        rs = run_start[ins_r]
-        rr = run_read[ins_r]
-        rl = run_lens[ins_r]
-        tp, qp = tpos[rs], qpos[rs]
-        keepi = (tp > 0) & (tp - 1 < L_arr[own[rr]]) & (qp + rl <= slen[rr])
-        rrk = rr[keepi]
-        ins_glob = np.bincount(
-            (ref_off[own[rrk]] + tp[keepi] - 1) * NQ
-            + qlevel(qual_cat[s_off[rrk] + qp[keepi]]),
-            minlength=tot_l * NQ,
-        )
-
-        hp_glob = None
-        if use_hp and hp_cat is not None:
-            hpv = np.minimum(hp_cat[qcat_i], 63).astype(np.int64)
-            hp_glob = np.bincount(gpos * 64 + hpv, minlength=tot_l * 64)
-
-        for ci, pm in enumerate(pms):
-            L = len(pm.ref)
-            o = int(ref_off[ci])
-            pm.bq.reshape(-1)[:] += bq_glob[o * NQ * 2 : (o + L) * NQ * 2]
-            pm.dels += del_glob[o : o + L]
-            pm.ins_q.reshape(-1)[:] += ins_glob[o * NQ : (o + L) * NQ]
-            if pm.hp_hist is not None and hp_glob is not None:
-                pm.hp_hist.reshape(-1)[:] += hp_glob[o * 64 : (o + L) * 64]
+        # jobs are appended in consensus order, so chunks of whole
+        # consensuses keep walk intermediates bounded (~8M bases each) at
+        # any read scale AND give contiguous local bincount windows
+        own_all = np.asarray(j_own, dtype=np.int64)
+        cons_first_job = np.searchsorted(own_all, np.arange(len(pms) + 1))
+        slen_all = np.fromiter((len(s) for s in j_seq), np.int64, len(j_seq))
+        cap = 8 << 20
+        c_lo = 0
+        while c_lo < len(pms):
+            c_hi, bases_sum = c_lo, 0
+            while c_hi < len(pms):
+                nb = int(slen_all[cons_first_job[c_hi] : cons_first_job[c_hi + 1]].sum())
+                if c_hi > c_lo and bases_sum + nb > cap:
+                    break
+                bases_sum += nb
+                c_hi += 1
+            j0, j1 = int(cons_first_job[c_lo]), int(cons_first_job[c_hi])
+            if j1 > j0:
+                _accumulate_pileup_chunk(
+                    pms, c_lo, c_hi, ref_off, L_arr,
+                    j_own[j0:j1], j_seq[j0:j1], j_qual[j0:j1],
+                    j_hp[j0:j1] if use_hp and j_hp else None,
+                    j_cigar[j0:j1], j_t0[j0:j1], j_q0[j0:j1],
+                )
+            c_lo = c_hi
 
     # modal (median) HP length per position -> consensus hp_lengths
     for cons, pm in zip(consensuses, pms):

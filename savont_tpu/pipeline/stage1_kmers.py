@@ -83,6 +83,12 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
     from ..ops.kmers_native import get_scan_lib, split_kmers_native
 
     k = args.kmer_size
+    if args.aggressive_bloom and args.bloom_filter_size <= 0:
+        log.warning(
+            "--aggressive-bloom has no effect without -b/--bloom-filter-size: "
+            "counting is exact, and the aggressive admission rule only "
+            "applies to the Bloom prefilter pass (seq_parse.rs:225-258)"
+        )
     codes_list, phred_list = [], []
     for seq, qual in _iter_reads_for_counting(args.input_files):
         codes_list.append(encode_seq(seq))
@@ -118,6 +124,24 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             # -b: the reference's Bloom-prefiltered low-memory counting mode
             # (seq_parse.rs:80-314).  Exact chunked merge, identical output.
             kmers, counts = count_flagged_kmers_streaming(per_read)
+            if args.aggressive_bloom:
+                # seq_parse.rs:232-258: admission needs an occurrence with a
+                # prior same-strand AND prior other-strand sighting (exact
+                # Bloom semantics, i.e. no false-positive admissions)
+                from ..ops.kmers import aggressive_bloom_admitted
+
+                admitted = aggressive_bloom_admitted(per_read)
+                if len(admitted):
+                    pos = np.minimum(np.searchsorted(admitted, kmers), len(admitted) - 1)
+                    keep = admitted[pos] == kmers
+                else:
+                    keep = np.zeros(len(kmers), dtype=bool)
+                n_drop = int(len(kmers) - keep.sum())
+                kmers, counts = kmers[keep], counts[keep]
+                log.info(
+                    "--aggressive-bloom: %d k-mers dropped by strict two-strand admission",
+                    n_drop,
+                )
         else:
             kmers, counts = count_flagged_kmers(per_read, threads=args.threads)
     raw_n = len(kmers)

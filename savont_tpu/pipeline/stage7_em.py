@@ -64,14 +64,17 @@ def _all_snpmer_candidates(
     asv_trs: list[TwinRead],
     k: int,
     c_rate: int,
-) -> list[list[tuple[int, int]]]:
-    """Candidate (asv_idx, snpmer_mismatches) pairs per read, globally
-    vectorized (alignment.rs:1779-1836 semantics)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tied-lowest-mismatch candidates per read, globally vectorized
+    (alignment.rs:1779-1836 semantics).  Returns flat arrays
+    (read_idx, asv_idx, lowest_mm) over all candidate pairs — one row per
+    (read, tied-best ASV)."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     mask = U64(np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (k - 1)))
     n_asvs = len(asv_trs)
     n_reads = len(read_list)
     if n_asvs == 0 or n_reads == 0:
-        return [[] for _ in read_list]
+        return empty
 
     # flat ASV snpmer table sorted by splitmer
     asv_sm, asv_km, asv_id = [], [], []
@@ -92,7 +95,7 @@ def _all_snpmer_candidates(
     q_km = np.concatenate(read_km) if read_km else np.zeros(0, U64)
     qi, hi = _expand_ranges(asv_sm, q_km & mask)
     if len(qi) == 0:
-        return [[] for _ in read_list]
+        return empty
     r_ids = read_of[qi]
     a_ids = asv_id[hi].astype(np.int64)
     is_match = q_km[qi] == asv_km[hi]
@@ -145,17 +148,13 @@ def _all_snpmer_candidates(
         ratio = mismatches / np.maximum(mm_counts, 1) / c_rate
     eligible = has_hit & mini_ok & (ratio <= EM_RATIO_THRESHOLD)
 
-    out: list[list[tuple[int, int]]] = []
-    for ri in range(n_reads):
-        cols = np.flatnonzero(eligible[ri])
-        if len(cols) == 0:
-            out.append([])
-            continue
-        mms = mismatches[ri, cols]
-        lowest = mms.min()
-        keep = cols[mms == lowest]
-        out.append([(int(a), int(lowest)) for a in keep])
-    return out
+    # per read: tied-lowest-mismatch eligible ASVs, fully vectorized
+    big = np.iinfo(np.int64).max
+    masked_mm = np.where(eligible, mismatches, big)
+    lowest = masked_mm.min(axis=1)
+    keep = eligible & (masked_mm == lowest[:, None])
+    r_ids2, a_ids2 = np.nonzero(keep)
+    return r_ids2.astype(np.int64), a_ids2.astype(np.int64), lowest[r_ids2]
 
 
 def refine_asv_depths_with_em(
@@ -191,50 +190,55 @@ def refine_asv_depths_with_em(
     read_list = [
         tr for tr in twin_reads if sample_filter is None or tr.file_idx == sample_filter
     ]
-    read_cands = _all_snpmer_candidates(read_list, asv_trs, k, args.c)
-    pairs, owners = [], []
-    for ri, tr in enumerate(read_list):
-        cands = read_cands[ri]
-        if cands:
-            # the reference maps ASV-as-query against a read index
-            # (alignment.rs:1841-1855); NM of the optimal local alignment is
-            # orientation-symmetric, and read-as-query lets the ASV target
-            # indexes be cached (one per ASV instead of one per read)
-            read_seq = tr.seq_bytes()
-            for asv, _mm in cands:
-                pairs.append((read_seq, asv_seqs[asv]))
-                owners.append((ri, asv))
+    cr, ca, _cm = _all_snpmer_candidates(read_list, asv_trs, k, args.c)
+    # the reference maps ASV-as-query against a read index
+    # (alignment.rs:1841-1855); NM of the optimal local alignment is
+    # orientation-symmetric, and read-as-query lets the ASV target
+    # indexes be cached (one per ASV instead of one per read)
+    seq_cache: list[bytes | None] = [None] * len(read_list)
+    pairs = []
+    for r, a in zip(cr, ca):
+        s = seq_cache[r]
+        if s is None:
+            s = seq_cache[r] = read_list[r].seq_bytes()
+        pairs.append((s, asv_seqs[a]))
     aln_results = align_pairs_nm(pairs)
-    nm_by_read: dict[int, list[tuple[int, int]]] = {}
-    for (ri, asv), m in zip(owners, aln_results):
-        if m is not None:
-            nm_by_read.setdefault(ri, []).append((asv, m.nm))
 
-    for ri, tr in enumerate(read_list):
-        if not read_cands[ri]:
-            filtered += 1
-            continue
-        best_alns = nm_by_read.get(ri, [])
-        if not best_alns:
-            filtered += 1
-            continue
-        best_alns.sort(key=lambda x: x[1])
-        best_nm = best_alns[0][1]
-        best_set = sorted({a for a, nm in best_alns if nm == best_nm})
-        if sample_filter is None:
-            if len(best_set) == 1:
-                unambig[best_set[0]] += 1
-            else:
-                for a in best_set:
-                    ambig[a] += 1
-            if best_nm <= 10:
-                for a in best_set:
-                    leq10[a] += 1
-            mapping_lines.extend(
-                f"{tr.id}\tasv:{consensuses[a].id}\t{best_nm}\n" for a in best_set
-            )
-        eq_classes[tuple(best_set)] = eq_classes.get(tuple(best_set), 0) + 1
-        total_assigned += 1
+    ok = np.fromiter((m is not None for m in aln_results), bool, len(aln_results))
+    nm_all = np.fromiter(
+        (m.nm if m is not None else 0 for m in aln_results), np.int64, len(aln_results)
+    )
+    rr, aa, nm = cr[ok], ca[ok], nm_all[ok]
+    order = np.lexsort((aa, nm, rr))
+    rr, aa, nm = rr[order], aa[order], nm[order]
+    starts = np.flatnonzero(np.concatenate(([True], rr[1:] != rr[:-1])))
+    ends = np.append(starts[1:], len(rr))
+    # tied-best prefix per read (rows sorted by nm, then asv, within read)
+    best_nm_per = nm[starts]
+    seg_id = np.repeat(np.arange(len(starts)), ends - starts)
+    in_best = nm == best_nm_per[seg_id]
+    best_len = np.bincount(seg_id, weights=in_best, minlength=len(starts)).astype(np.int64)
+
+    total_assigned = len(starts)
+    filtered = len(read_list) - total_assigned
+    if sample_filter is None:
+        singles = best_len == 1
+        unambig += np.bincount(aa[starts[singles]], minlength=len(consensuses))
+        multi_rows = in_best & np.repeat(~singles, ends - starts)
+        ambig += np.bincount(aa[multi_rows], minlength=len(consensuses))
+        leq_rows = in_best & np.repeat(best_nm_per <= 10, ends - starts)
+        leq10 += np.bincount(aa[leq_rows], minlength=len(consensuses))
+        cons_ids = [c.id for c in consensuses]
+        bi = np.flatnonzero(in_best)
+        mapping_lines.extend(
+            f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{nm[i]}\n" for i in bi
+        )
+    eq_counts: dict[bytes, int] = {}
+    for s, e, bl in zip(starts, ends, best_len):
+        key = aa[s : s + bl].tobytes()
+        eq_counts[key] = eq_counts.get(key, 0) + 1
+    for key, count in eq_counts.items():
+        eq_classes[tuple(np.frombuffer(key, dtype=aa.dtype).tolist())] = count
 
     if sample_filter is None:
         _write_read_asv_mappings(

@@ -246,3 +246,24 @@ def test_chunked_native_counting_matches_flat():
     per_read = [split_kmer_mid(c, p, args.kmer_size, args.minimum_base_quality) for c, p in zip(codes, phreds)]
     wk, wc = count_flagged_kmers(per_read)
     assert np.array_equal(gk, wk) and np.array_equal(gc, wc)
+
+
+def test_aggressive_bloom_admission_order_dependent():
+    """seq_parse.rs:225-258 semantics: a k-mer is admitted iff some
+    occurrence has a PRIOR same-strand and a PRIOR other-strand sighting.
+    fwd,fwd,rc is NOT admitted; fwd,rc,fwd is."""
+    from savont_tpu.ops.kmers import aggressive_bloom_admitted
+
+    F = np.uint64(1 << 63)
+    a, b = np.uint64(42), np.uint64(99)
+    # k-mer a: fwd, fwd, rc -> never admitted
+    # k-mer b: fwd, rc, fwd -> admitted at the third occurrence
+    stream = [np.array([a | F, b | F]), np.array([a | F, b]), np.array([a, b | F])]
+    got = aggressive_bloom_admitted(stream)
+    assert got.tolist() == [99]
+    # both-strand-pair only (1,1): not admitted
+    got2 = aggressive_bloom_admitted([np.array([a | F]), np.array([a])])
+    assert got2.tolist() == []
+    # (2,1) with the rc in the middle: admitted
+    got3 = aggressive_bloom_admitted([np.array([a | F, a, a | F])])
+    assert got3.tolist() == [42]

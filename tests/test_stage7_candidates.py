@@ -88,6 +88,9 @@ def test_candidates_match_brute_force(n_asvs):
         _mk_tr(rng, splitmer_pool, mini_pool, int(rng.integers(0, 10)), 30, f"r{i}")
         for i in range(40)
     ]
-    got = _all_snpmer_candidates(reads, asv_trs, K, C_RATE)
+    cr, ca, cm = _all_snpmer_candidates(reads, asv_trs, K, C_RATE)
+    got = [[] for _ in reads]
+    for r, a, mm in zip(cr, ca, cm):
+        got[r].append((int(a), int(mm)))
     want = _brute_force(reads, asv_trs)
     assert [sorted(g) for g in got] == [sorted(w) for w in want]
