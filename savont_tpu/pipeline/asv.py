@@ -49,6 +49,12 @@ def run_cluster(args: ClusterArgs) -> Path:
     args.apply_presets()
     if args.kmer_size % 2 == 0:
         raise SystemExit("K-mer size must be odd")
+    # short-amplicon runs fit a 64-wide DP corridor (output-identical on the
+    # Zymo + 20k/100k synthetic oracles, ~2x less DP work); the operon
+    # preset keeps the conservative 128.  SAVONT_DP_BAND pins either way.
+    from ..ops.align import set_default_band
+
+    set_default_band(64 if args.max_read_length <= 2600 else 128)
     out_dir = Path(args.output_dir)
     temp_dir = out_dir / "temp"
     temp_dir.mkdir(parents=True, exist_ok=True)
