@@ -21,6 +21,7 @@ from ..db import taxonomy as tax
 from ..io.fastx import read_fastx
 from ..ops.align import _window_minimizers, ascii_to_align_codes
 from ..ops.align_batch import align_pairs_nm
+from ..ops.em import em_abundances, groups_to_rows
 from ..ops.encode import U64
 
 log = logging.getLogger("savont")
@@ -89,24 +90,24 @@ def run_em_algorithm(
     total_reads: int,
     convergence_threshold: float,
 ) -> np.ndarray:
-    """EM over unique tax_ids weighted by ASV depth (classify.rs:24-117)."""
-    abund = np.full(num_taxa, 1.0 / num_taxa)
+    """EM over unique tax_ids weighted by ASV depth (classify.rs:24-117).
+
+    Vectorized bincount form (ops/em.py).  Each ASV is a group; its mapped
+    tax indices are the members.  Per-member depths within a group are
+    identical in practice (one depth per ASV), matching the reference's
+    per-ASV weighting — asserted below so a future change can't silently
+    alter semantics."""
     by_asv: dict[int, list[tuple[int, int]]] = defaultdict(list)
     for asv_idx, tax_idx, depth in mappings:
         by_asv[asv_idx].append((tax_idx, depth))
-    for _ in range(CLASSIFY_EM_MAX_ITERATIONS):
-        new = np.zeros(num_taxa)
-        for _asv, maps in by_asv.items():
-            denom = sum(abund[t] for t, _ in maps)
-            if denom > 0:
-                for t, depth in maps:
-                    new[t] += depth * abund[t] / denom
-        if new.sum() > 0:
-            new /= total_reads
-        max_change = float(np.abs(abund - new).max())
-        abund = new
-        if max_change < convergence_threshold:
-            break
+    for maps in by_asv.values():
+        assert len({d for _, d in maps}) <= 1, "per-ASV depths must agree"
+    gids, iids, weights = groups_to_rows(
+        ([t for t, _ in maps], maps[0][1]) for maps in by_asv.values()
+    )
+    abund = em_abundances(
+        gids, iids, weights, num_taxa, float(total_reads), convergence_threshold, CLASSIFY_EM_MAX_ITERATIONS
+    )
     abund[abund < convergence_threshold] = 0.0  # min-abundance zeroing
     return abund
 

@@ -11,29 +11,19 @@ from ..constants import EM_MAX_ITERATIONS, EM_MINIMIZER_RATIO_BASE, EM_RATIO_THR
 from ..core import ConsensusSequence, KmerGlobalInfo, TwinRead
 from ..ops.align import TargetIndex
 from ..ops.align_batch import align_pairs_nm, map_batch
+from ..ops.em import em_abundances, groups_to_rows
 from ..ops.encode import U64
 
 log = logging.getLogger("savont")
 
 
 def _run_em(eq_classes: dict[tuple[int, ...], int], n_asvs: int, total_assigned: int) -> np.ndarray:
-    """Standard EM over equivalence classes (alignment.rs:1951-2003)."""
-    abund = np.full(n_asvs, 1.0 / n_asvs)
-    conv = 0.01 / total_assigned
-    for _ in range(EM_MAX_ITERATIONS):
-        new = np.zeros(n_asvs)
-        for asvs, count in eq_classes.items():
-            denom = sum(abund[a] for a in asvs)
-            if denom > 0:
-                for a in asvs:
-                    new[a] += count * abund[a] / denom
-        if new.sum() > 0:
-            new /= total_assigned
-        max_change = float(np.abs(abund - new).max())
-        abund = new
-        if max_change < conv:
-            break
-    return abund
+    """Standard EM over equivalence classes (alignment.rs:1951-2003).
+
+    Vectorized bincount form (ops/em.py); bit-identical to the dict loop
+    because accumulation row order matches dict iteration order."""
+    gids, iids, weights = groups_to_rows((asvs, count) for asvs, count in eq_classes.items())
+    return em_abundances(gids, iids, weights, n_asvs, float(total_assigned), 0.01 / total_assigned, EM_MAX_ITERATIONS)
 
 
 def _apply_depths(consensuses: list[ConsensusSequence], abund: np.ndarray, total: int) -> list[ConsensusSequence]:
