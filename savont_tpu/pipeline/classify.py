@@ -10,6 +10,7 @@ a flat sorted (hash, id) array — the structure that shards across chips
 from __future__ import annotations
 
 import logging
+import math
 from collections import defaultdict
 from pathlib import Path
 
@@ -26,7 +27,16 @@ from ..ops.encode import U64
 
 log = logging.getLogger("savont")
 
-TOP_CANDIDATES = 50
+# Candidate selection has NO cardinality cap (the reference aligns every ASV
+# against the whole DB and keeps ALL min-NM ties, classify.rs:152-189; a
+# top-K cap could silently drop a tie in SILVA-scale DBs with thousands of
+# near-identical refs).  Instead refs are kept by minimizer hit count
+# relative to the best candidate: any ref tying at min NM has near-equal
+# identity to the query, so its shared-minimizer count is close to the
+# best's — a 0.5 fraction floor is generous.  MIN_CAND_HITS mirrors
+# minimap2's map-ont min chain count economics.
+MIN_CAND_HITS = 3
+CAND_HIT_FRACTION = 0.5
 
 
 class DbMinimizerTable:
@@ -46,18 +56,26 @@ class DbMinimizerTable:
         self.hashes = self.hashes[order]
         self.ids = self.ids[order]
 
-    def candidates(self, query: bytes, top: int = TOP_CANDIDATES) -> np.ndarray:
+    def candidates(self, query: bytes) -> tuple[np.ndarray, int]:
+        """All refs with minimizer hit count >= max(MIN_CAND_HITS,
+        CAND_HIT_FRACTION * best), best-first; second value is how many
+        hit refs were dropped by the floor (logged — no silent caps)."""
         h, _, _ = _window_minimizers(ascii_to_align_codes(query), self.w, self.k)
         if len(h) == 0 or len(self.hashes) == 0:
-            return np.zeros(0, np.int32)
+            return np.zeros(0, np.int32), 0
         left = np.searchsorted(self.hashes, h, side="left")
         right = np.searchsorted(self.hashes, h, side="right")
         hit_ids = np.concatenate([self.ids[l:r] for l, r in zip(left, right)]) if len(h) else np.zeros(0, np.int32)
         if len(hit_ids) == 0:
-            return hit_ids
+            return hit_ids, 0
         uniq, cnt = np.unique(hit_ids, return_counts=True)
-        order = np.argsort(-cnt, kind="stable")
-        return uniq[order][:top]
+        best = int(cnt.max())
+        floor = max(MIN_CAND_HITS, math.ceil(best * CAND_HIT_FRACTION))
+        keep = cnt >= floor
+        if not keep.any():  # low-complexity query: keep the best-count refs
+            keep = cnt == best
+        order = np.argsort(-cnt[keep], kind="stable")
+        return uniq[keep][order], int((~keep).sum())
 
 
 def _load_or_build_table(fasta_path, seqs: list[bytes]) -> DbMinimizerTable:
@@ -210,8 +228,10 @@ def classify(args: ClassifyArgs, db: tax.Database) -> None:
 
     # (asv_idx, tax_key, identity, nm, depth, asv_header, ref_header)
     all_mappings: list[tuple] = []
+    total_dropped = 0
     for asv_idx, (header, seq) in enumerate(asvs):
-        cands = table.candidates(seq)
+        cands, dropped = table.candidates(seq)
+        total_dropped += dropped
         if len(cands) == 0:
             continue
         # NM-only consumer: routes to the TPU kernel under
@@ -232,7 +252,10 @@ def classify(args: ClassifyArgs, db: tax.Database) -> None:
             if key is not None and key in db.taxonomy:
                 all_mappings.append((asv_idx, key, identity, m.nm, asv_depths[asv_idx], asv_header, db_records[c][0]))
 
-    log.info("Collected %d mappings from %d ASVs", len(all_mappings), len(asvs))
+    log.info(
+        "Collected %d mappings from %d ASVs (%d low-hit refs below the candidate floor)",
+        len(all_mappings), len(asvs), total_dropped,
+    )
 
     tax_to_idx: dict[str, int] = {}
     for _, key, *_ in all_mappings:

@@ -222,3 +222,36 @@ def test_download_flow_with_mocked_fetch(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit, match="Unknown database"):
         registry.download(str(tmp_path), ["not-a-db"])
+
+
+def test_classify_keeps_all_min_nm_ties_beyond_50(tmp_path):
+    """Recall guard (classify.rs:152-189 keeps ALL min-NM ties): 60 refs
+    each one substitution away from the query must ALL survive candidate
+    selection and appear in the tie set — a top-K cardinality cap would
+    silently drop 10 of them and shift EM abundances."""
+    template = rand_seq(1500)
+    db_dir = tmp_path / "emu-1"
+    db_dir.mkdir()
+    n_ties = 60
+    positions = RNG.choice(np.arange(100, 1400), n_ties, replace=False)
+    with open(db_dir / "species_taxid.fasta", "w") as f, open(db_dir / "taxonomy.tsv", "w") as t:
+        t.write("tax_id\tspecies\tgenus\tfamily\torder\tclass\tphylum\tclade\tsuperkingdom\tsubspecies\tssg\tsg\n")
+        for i, p in enumerate(positions):
+            s = bytearray(template)
+            s[p] = {65: 67, 67: 71, 71: 84, 84: 65}[s[p]]  # A->C->G->T->A
+            f.write(f">{200 + i}:emu_db:1\n{bytes(s).decode()}\n")
+            t.write(f"{200 + i}\tSpecies {i}\tGenus{i}\tFam\tOrd\tCls\tPhy\t\tBacteria\t\t\t\n")
+        # two decoy refs far from the query
+        for j in range(2):
+            f.write(f">{900 + j}:emu_db:1\n{rand_seq(1500).decode()}\n")
+            t.write(f"{900 + j}\tDecoy {j}\tDecoy\tFam\tOrd\tCls\tPhy\t\tBacteria\t\t\t\n")
+    in_dir = _write_asv_dir(tmp_path, "run_ties", [(template, 100)])
+
+    from savont_tpu.db.registry import load_database
+
+    db = load_database(db_dir)
+    classify(ClassifyArgs(input_dir=str(in_dir), db=str(db_dir)), db)
+
+    rows = (in_dir / "asv_mappings.tsv").read_text().splitlines()[1:]
+    tie_rows = [r for r in rows if r.startswith("final_consensus_0")]
+    assert len(tie_rows) == n_ties
