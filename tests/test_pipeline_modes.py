@@ -126,3 +126,32 @@ def test_resume_checkpoint(tmp_path):
     run_cluster(args2)
     second = (out / "final_asvs.fasta").read_text()
     assert first == second
+
+
+@pytest.mark.skipif(not READS.exists(), reason="bundled data unavailable")
+def test_use_hpc_end_to_end_zymo(tmp_path):
+    """--use-hpc on the real Zymo reads, NM=0 oracle.  The vote path
+    compresses the voted template (stage4_consensus) rather than aligning
+    HPC-compressed reads like alignment.rs:300-310 — output-contract
+    equivalent; this pins that contract end-to-end."""
+    from savont_tpu.validate import validate_asvs
+
+    out = tmp_path / "hpc_zymo"
+    run_cluster(ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4, use_hpc=True))
+    results = validate_asvs(str(out / "final_asvs.fasta"), str(REF_DATA / "zymo_ref_asvs.fa.gz"))
+    assert len(results) >= 18
+    assert all(r.nm == 0 for r in results)
+
+
+@pytest.mark.skipif(not READS.exists(), reason="bundled data unavailable")
+def test_use_blockmers_end_to_end_zymo(tmp_path):
+    """--use-blockmers on the real Zymo reads, NM=0 oracle.  NOTE: the
+    blockmer branch of stage-2/3 sub-clustering uses the Python path (a
+    documented perf cliff, not a correctness one)."""
+    from savont_tpu.validate import validate_asvs
+
+    out = tmp_path / "bm_zymo"
+    run_cluster(ClusterArgs(input_files=[str(READS)], output_dir=str(out), threads=4, use_blockmers=True))
+    results = validate_asvs(str(out / "final_asvs.fasta"), str(REF_DATA / "zymo_ref_asvs.fa.gz"))
+    assert len(results) >= 18
+    assert all(r.nm == 0 for r in results)
