@@ -91,6 +91,191 @@ def sharded_align_em_step(
     return jax.jit(sharded)
 
 
+def sharded_stage7_step(mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float):
+    """Build the PRODUCTION stage-7 device step: candidate-sparse banded
+    alignment + per-read tie sets + the FULL EM fixed point, one jit, psum
+    over the mesh (alignment.rs:1779-2003 economics).
+
+    Shapes are (R, C, ...) — per-read candidate panels, NOT dense R×A: each
+    read carries only its planned candidate jobs (C = max jobs/read, empty
+    slots padded).  Sharding on the read axis keeps every read's slots on
+    one device, so tie-set reduction is shard-local and only the EM
+    numerator crosses the mesh (one psum of (A,) per iteration).
+
+      q        (R, C, Lq)   i32 sharded "dp"  oriented query codes (pad 5)
+      t        (R, C, Lt)   i32 sharded       target codes (pad 6)
+      lo       (R, C, Lq+1) i32 sharded       smoothed band offsets
+      tlens    (R, C)       i32 sharded
+      slot_asv (R, C)       i32 sharded       ASV id per slot, -1 = empty
+
+    Returns (abund (A,) replicated f32, nm (R, C) i32 sharded,
+    score (R, C) i32 sharded, assigned_count () i32 replicated).
+
+    Winner semantics match the host path bit-for-bit: per (read, ASV) the
+    strictly-highest score wins with the EARLIEST slot keeping ties
+    (align_pairs_nm's `m.score > best.score`); per read the min-NM winners
+    form the tie set; EM responsibilities are proportional to abundance
+    within the tie set (ops/em.py fixed point, f32 on device)."""
+    axis = mesh.axis_names[0]
+    big = jnp.int32(1 << 20)
+
+    def per_shard(q, t, lo, tlens, slot_asv):
+        Rl, C, Lq = q.shape
+        out = sw_forward_meta(
+            q.reshape(Rl * C, Lq),
+            t.reshape(Rl * C, -1),
+            lo.reshape(Rl * C, Lq + 1),
+            tlens.reshape(-1),
+            band=band,
+        )
+        nm = out["nm"].reshape(Rl, C).astype(jnp.int32)
+        score = out["score"].reshape(Rl, C).astype(jnp.int32)
+        valid = (slot_asv >= 0) & (score > 0)
+
+        # per-(read, ASV) winner: highest score, earliest slot on ties.
+        # C is small (candidate sets are ~1-4 jobs), so the O(C^2) mask is
+        # cheaper than a sort and keeps everything static-shaped.
+        # int32 key is safe: score <= 2 * 32000 (int16 DP planes) and
+        # C * score stays far below 2^31
+        key = score * C - jnp.arange(C, dtype=jnp.int32)[None, :]
+        same_asv = (slot_asv[:, :, None] == slot_asv[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+        beaten = (same_asv & (key[:, None, :] > key[:, :, None])).any(axis=2)
+        winner = valid & ~beaten
+
+        nm_eff = jnp.where(winner, nm, big)
+        best_nm = nm_eff.min(axis=1, keepdims=True)
+        in_tie = winner & (nm_eff == best_nm)
+        assigned = in_tie.any(axis=1)
+        count = lax.psum(assigned.sum(), axis)
+
+        a_idx = jnp.clip(slot_asv, 0).reshape(-1)
+        tie_f = in_tie.astype(jnp.float32)
+
+        def em_cond(state):
+            it, _, delta = state
+            return (it < em_iters) & (delta >= conv / jnp.maximum(count, 1).astype(jnp.float32))
+
+        def em_body(state):
+            it, abund, _ = state
+            w = tie_f * abund[jnp.clip(slot_asv, 0)]
+            denom = w.sum(axis=1, keepdims=True)
+            resp = jnp.where(denom > 0, w / jnp.maximum(denom, 1e-30), 0.0)
+            local = jax.ops.segment_sum(resp.reshape(-1), a_idx, num_segments=n_asvs)
+            num = lax.psum(local, axis)
+            new = jnp.where(count > 0, num / jnp.maximum(count, 1).astype(jnp.float32), abund)
+            return it + 1, new, jnp.abs(new - abund).max()
+
+        abund0 = jnp.full((n_asvs,), 1.0 / n_asvs, dtype=jnp.float32)
+        _, abund, _ = lax.while_loop(em_cond, em_body, (jnp.int32(0), abund0, jnp.float32(jnp.inf)))
+        return abund, nm, score, count
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P(axis, None), P(axis, None), P()),
+    )
+    return jax.jit(sharded)
+
+
+def mesh_stage7_tie_break(
+    pairs: list,
+    pair_read: np.ndarray,
+    pair_asv: np.ndarray,
+    n_reads: int,
+    n_asvs: int,
+    band: int | None = None,
+    mesh: Mesh | None = None,
+    em_iters: int | None = None,
+):
+    """PRODUCTION stage-7 mesh path (SAVONT_STAGE7_BACKEND=mesh): plan the
+    candidate (read, ASV) pairs with the host seeding/chaining planner,
+    pack the jobs into per-read (R, C) candidate panels, and run
+    `sharded_stage7_step` (align + tie sets + full EM) over every visible
+    device.  `dryrun_multichip` drives this exact function.
+
+    Returns (per_pair_results, device_abund, assigned_count):
+      per_pair_results — list aligned with `pairs`; dict(score, nm) of the
+        pair's winning job or None, identical to align_pairs_nm's NM-only
+        contract (same winner rule), so downstream eq-class construction
+        is unchanged.
+      device_abund — (n_asvs,) f32 EM abundances computed on-device.
+    """
+    from ..constants import EM_MAX_ITERATIONS
+    from ..ops.align import resolve_band, smooth_lo
+    from ..ops.align_batch import _plan_pairs
+
+    band = resolve_band(band)
+    if em_iters is None:
+        em_iters = EM_MAX_ITERATIONS
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    jobs, owner = _plan_pairs(pairs, band)
+    owner = np.asarray(owner, dtype=np.int64)
+    jr = pair_read[owner] if len(owner) else np.zeros(0, np.int64)  # job -> read
+
+    # slot layout: jobs of one read occupy consecutive slots of its row
+    order = np.argsort(jr, kind="stable")
+    jr_s = jr[order]
+    slot_in_read = np.arange(len(jr_s)) - np.searchsorted(jr_s, jr_s, side="left")
+    C = int(slot_in_read.max()) + 1 if len(jr_s) else 1
+    R = -(-max(n_reads, 1) // n_dev) * n_dev  # pad to mesh multiple
+    if C > 32:
+        import logging
+
+        logging.getLogger("savont").info("stage-7 mesh: wide candidate row (C=%d)", C)
+
+    Lq = max((len(jobs[i].qcodes) for i in order), default=8)
+    Lt = max((len(jobs[i].tcodes) for i in order), default=8)
+    q = np.full((R, C, Lq), 5, dtype=np.int32)
+    t = np.full((R, C, Lt), 6, dtype=np.int32)
+    lo = np.zeros((R, C, Lq + 1), dtype=np.int32)
+    tlens = np.full((R, C), Lt, dtype=np.int32)
+    slot_asv = np.full((R, C), -1, dtype=np.int32)
+    slot_job = np.full((R, C), -1, dtype=np.int64)
+    for pos, ji in enumerate(order):
+        j = jobs[ji]
+        r, c = int(jr_s[pos]), int(slot_in_read[pos])
+        nq, nt = len(j.qcodes), len(j.tcodes)
+        q[r, c, :nq] = j.qcodes
+        t[r, c, :nt] = j.tcodes
+        lo[r, c, 1 : nq + 1] = j.lo
+        lo[r, c, 0] = j.lo[0]
+        if nq < Lq:
+            lo[r, c, nq + 1 :] = j.lo[-1]
+        tlens[r, c] = nt
+        slot_asv[r, c] = pair_asv[owner[ji]]
+        slot_job[r, c] = ji
+    lo = smooth_lo(lo.reshape(R * C, Lq + 1)).reshape(R, C, Lq + 1)
+
+    step = sharded_stage7_step(mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01)
+    abund, nm, score, count = step(
+        shard_reads(mesh, q),
+        shard_reads(mesh, t),
+        shard_reads(mesh, lo),
+        shard_reads(mesh, tlens),
+        shard_reads(mesh, slot_asv),
+    )
+    nm = np.asarray(nm)
+    score = np.asarray(score)
+
+    # per-pair winner on host (same rule as the device's per-(read,ASV)
+    # reduction: strictly-greater score wins, earliest job keeps ties)
+    from types import SimpleNamespace
+
+    best: list[SimpleNamespace | None] = [None] * len(pairs)
+    for pos, ji in enumerate(order):
+        r, c = int(jr_s[pos]), int(slot_in_read[pos])
+        s = int(score[r, c])
+        if s <= 0:
+            continue
+        o = int(owner[ji])
+        if best[o] is None or s > best[o].score:
+            best[o] = SimpleNamespace(score=s, nm=int(nm[r, c]))
+    return best, np.asarray(abund), int(count)
+
+
 def sharded_classify_nm(mesh: Mesh, band: int = 128):
     """Build a jitted classify scoring step: queries (ASVs) replicated, the
     REFERENCE PANEL sharded over the mesh ("dp" axis = DB shards, the

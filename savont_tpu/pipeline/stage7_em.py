@@ -192,7 +192,22 @@ def refine_asv_depths_with_em(
         if s is None:
             s = seq_cache[r] = read_list[r].seq_bytes()
         pairs.append((s, asv_seqs[a]))
-    aln_results = align_pairs_nm(pairs)
+    # SAVONT_STAGE7_BACKEND=mesh: the full align + tie-set + EM step runs
+    # on-device over every visible chip ((R, C) candidate panels, psum);
+    # NM winners come back bit-identical to align_pairs_nm's rule and the
+    # emitted depths still use the host f64 EM (bit-exactness invariant) —
+    # the device f32 abundances are cross-checked below.
+    dev_abund = None
+    import os as _os
+
+    if _os.environ.get("SAVONT_STAGE7_BACKEND") == "mesh" and pairs:
+        from ..parallel.mesh import mesh_stage7_tie_break
+
+        aln_results, dev_abund, _dev_count = mesh_stage7_tie_break(
+            pairs, cr, ca, len(read_list), len(consensuses)
+        )
+    else:
+        aln_results = align_pairs_nm(pairs)
 
     ok = np.fromiter((m is not None for m in aln_results), bool, len(aln_results))
     nm_all = np.fromiter(
@@ -244,6 +259,9 @@ def refine_asv_depths_with_em(
             c.ambig_read_map_count = int(ambig[i])
             c.num_map_leq_10nm = int(leq10[i])
         abund = _run_em(eq_classes, len(consensuses), total_assigned)
+        if dev_abund is not None:
+            delta = float(np.abs(abund - dev_abund.astype(np.float64)).max())
+            log.info("Stage 7 mesh EM cross-check: max |host - device| = %.3e", delta)
         consensuses = _apply_depths(consensuses, abund, total_assigned)
     return consensuses, eq_classes, total_assigned
 

@@ -155,3 +155,52 @@ def test_sintax_device_matches_host(tmp_path, monkeypatch):
             (run / "genus_abundance.tsv").read_text(),
         )
     assert outs["host"] == outs["jax"]
+
+
+def test_stage7_mesh_backend_end_to_end(tmp_path, monkeypatch):
+    """SAVONT_STAGE7_BACKEND=mesh routes the production stage-7 tie-break
+    + EM through the sharded (R, C) candidate-panel step over the virtual
+    8-device mesh; outputs must be byte-identical to the host path (same
+    winner rule; emitted depths still use the host f64 EM)."""
+    import gzip
+
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.ops.encode import revcomp_bytes
+    from savont_tpu.pipeline.asv import run_cluster
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    rng = np.random.default_rng(17)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t1 = bytearray(rng.choice(BASES, 1400).tobytes())
+    t2 = bytearray(t1)
+    for p in (160, 480, 800, 1200):
+        t2[p] = b"ACGT"[(b"ACGT".index(bytes([t2[p]])) + 1) % 4]
+    reads = []
+    for tpl in (bytes(t1), bytes(t2)):
+        for i in range(40):
+            b = bytearray(tpl)
+            for p in rng.choice(len(b), 2, replace=False):
+                b[p] = b"ACGT"[rng.integers(4)]
+            r = bytes(b)
+            reads.append(revcomp_bytes(r) if i % 2 else r)
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r.decode()}\n+\n{'Z' * len(r)}\n")
+
+    outs = {}
+    for tag in ("host", "mesh"):
+        if tag == "mesh":
+            monkeypatch.setenv("SAVONT_STAGE7_BACKEND", "mesh")
+        else:
+            monkeypatch.delenv("SAVONT_STAGE7_BACKEND", raising=False)
+        out = tmp_path / tag
+        run_cluster(ClusterArgs(input_files=[str(fq)], output_dir=str(out), threads=2, min_cluster_size=5))
+        outs[tag] = out
+
+    for rel in ("final_asvs.fasta", "feature-table.tsv", "temp/read_to_asv_mappings.tsv"):
+        a = (outs["host"] / rel).read_bytes()
+        b = (outs["mesh"] / rel).read_bytes()
+        assert a == b, f"{rel} differs between host and mesh stage-7"
