@@ -142,6 +142,12 @@ def main(argv: list[str] | None = None) -> int:
     ns = parser.parse_args(argv)
     level = {"warn": "warning"}.get(ns.log_level, ns.log_level)
 
+    # multi-host: join the jax.distributed job BEFORE any device use when
+    # SAVONT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID (or =auto) are set
+    from .parallel.distributed import maybe_init_from_env
+
+    maybe_init_from_env()
+
     if ns.profile:
         return _run_profiled(ns, level)
     return _dispatch(ns, level)

@@ -167,13 +167,21 @@ def sharded_stage7_step(mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv:
 
         abund0 = jnp.full((n_asvs,), 1.0 / n_asvs, dtype=jnp.float32)
         _, abund, _ = lax.while_loop(em_cond, em_body, (jnp.int32(0), abund0, jnp.float32(jnp.inf)))
-        return abund, nm, score, count
+        # replicate the panels so every PROCESS can read them back (the
+        # host winner loop needs full rows; under multi-controller jax a
+        # "dp"-sharded output is only partially addressable per process)
+        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
+        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
+        return abund, nm_g, score_g, count
 
     sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None)),
-        out_specs=(P(), P(axis, None), P(axis, None), P()),
+        out_specs=(P(), P(), P(), P()),
+        # the tiled all_gather makes nm/score replicated, but the static
+        # rep checker can't see through it
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -360,5 +368,14 @@ def sharded_sintax_scores(mesh: Mesh, query_kmers: np.ndarray):
 
 
 def shard_reads(mesh: Mesh, reads: np.ndarray, axis: str = "dp"):
-    """Place a host batch with batch-axis sharding over the mesh."""
-    return jax.device_put(reads, NamedSharding(mesh, P(axis) if reads.ndim == 1 else P(axis, *([None] * (reads.ndim - 1)))))
+    """Place a host batch with batch-axis sharding over the mesh.
+
+    Multi-controller safe: under `jax.distributed` every process runs this
+    with the SAME full host array (the host pipeline is deterministic), and
+    make_array_from_callback hands each process only its addressable
+    shards.  In single-process meshes it degenerates to a device_put."""
+    spec = P(axis) if reads.ndim == 1 else P(axis, *([None] * (reads.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(reads.shape, sharding, lambda idx: reads[idx])
+    return jax.device_put(reads, sharding)

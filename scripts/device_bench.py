@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Device-path end-to-end bench (VERDICT round-1 item 2 evidence).
+
+Runs on whatever jax backend the process gets (on the build VM: one real
+TPU chip through the axon tunnel; the ~100-200 s first-use warmup and
+3-8 min Mosaic compiles are per-process one-time costs and are excluded
+from the steady-state numbers).
+
+Two measurements, written to DEVICE_BENCH.json at the repo root:
+  1. the FULL Zymo pipeline with SAVONT_STAGE7_BACKEND=mesh (production
+     stage-7 align+tie-set+EM on-device), correctness-gated at 18/18 NM=0;
+  2. steady-state mesh_stage7_tie_break pairs/s at Zymo-like shapes
+     (second call, compile cached).
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+READS = "/root/reference/tests/data/ont_zymo_1000.trimmed.fq.gz"
+REF_ASVS = "/root/reference/tests/data/zymo_ref_asvs.fa.gz"
+
+
+def main() -> int:
+    os.environ["SAVONT_STAGE7_BACKEND"] = "mesh"
+    import jax
+    import numpy as np
+
+    devices = [str(d) for d in jax.devices()]
+    print(f"devices: {devices}", flush=True)
+
+    # pay the one-time axon tunnel warmup (~100-200 s worst case) OUTSIDE
+    # the timed sections
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    jnp.zeros(8).block_until_ready()
+    print(f"device warmup: {time.time() - t0:.1f}s", flush=True)
+
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.pipeline.asv import run_cluster
+    from savont_tpu.validate import validate_asvs
+
+    out = Path(tempfile.mkdtemp(prefix="savont_devbench_"))
+    try:
+        # run twice: the first pays the XLA compiles (and any residual
+        # tunnel warmup), the second is the steady-state number
+        walls = []
+        for _ in range(2):
+            shutil.rmtree(out, ignore_errors=True)
+            from savont_tpu.pipeline import stage1_kmers
+
+            stage1_kmers._READ_CACHE.clear()
+            t0 = time.time()
+            run_cluster(ClusterArgs(input_files=[READS], output_dir=str(out), threads=4))
+            walls.append(time.time() - t0)
+        wall = walls[-1]
+        results = validate_asvs(str(out / "final_asvs.fasta"), REF_ASVS)
+        ok = bool(results) and all(r.nm == 0 for r in results)
+        print(f"pipeline: cold {walls[0]:.1f}s, warm {wall:.1f}s, {len(results)} ASVs, all_nm0={ok}", flush=True)
+
+        # steady-state kernel pairs/s at Zymo-like shapes
+        from savont_tpu.parallel.mesh import make_mesh, mesh_stage7_tie_break
+
+        rng = np.random.default_rng(11)
+        BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+        A, L, B = 18, 1500, 256
+        asvs = [rng.choice(BASES, L).tobytes() for _ in range(A)]
+        pairs, rr, ca = [], [], []
+        for r in range(B):
+            b = bytearray(asvs[r % A])
+            for p in rng.choice(L, 20, replace=False):
+                b[p] = b"ACGT"[rng.integers(4)]
+            pairs.append((bytes(b), asvs[r % A]))
+            rr.append(r)
+            ca.append(r % A)
+        rr, ca = np.array(rr), np.array(ca)
+        mesh = make_mesh()
+        t0 = time.time()
+        mesh_stage7_tie_break(pairs, rr, ca, B, A, mesh=mesh)
+        warm = time.time() - t0
+        t0 = time.time()
+        _, abund, count = mesh_stage7_tie_break(pairs, rr, ca, B, A, mesh=mesh)
+        steady = time.time() - t0
+        assert count == B
+        print(f"kernel: warm {warm:.1f}s, steady {steady:.2f}s = {B / steady:.0f} pairs/s", flush=True)
+
+        record = {
+            "backend": jax.default_backend(),
+            "devices": devices,
+            "stage7_backend": "mesh",
+            "pipeline_wall_s": round(wall, 2),
+            "n_asvs": len(results),
+            "all_nm0": ok,
+            "kernel_pairs_per_s_steady": round(B / steady, 1),
+            "kernel_batch": B,
+            "kernel_len": L,
+            "kernel_warm_s": round(warm, 1),
+        }
+        (REPO / "DEVICE_BENCH.json").write_text(json.dumps(record) + "\n")
+        print(json.dumps(record), flush=True)
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
