@@ -644,12 +644,19 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) ->
     return best
 
 
-def _align_pairs_nm_soa(pairs: list[tuple[bytes, bytes]], band: int) -> list[Mapping | None] | None:
-    """Struct-of-arrays NM pair alignment: planning, DP dispatch and winner
+def _align_pairs_nm_soa(
+    pairs: list[tuple[bytes, bytes]], band: int, traceback: bool = False
+) -> list[Mapping | None] | None:
+    """Struct-of-arrays pair alignment: planning, DP dispatch and winner
     selection run on flat arrays with no per-job Python objects.  Returns
     None when a prerequisite is missing (native libs, packed-key dims), so
     the caller can fall back to the AlignJob path.  Results are identical
-    to the legacy path including tie-breaks (tests/test_native.py)."""
+    to the legacy path including tie-breaks (tests/test_native.py).
+
+    traceback=True routes through sw_tb_batch and fills Mapping.cigar
+    (packed u32), serving the align_pairs consumers (stage-4 vote, pileups,
+    stage-5 merge); pairs whose winning job overflows the fixed CIGAR
+    buffer are re-done on the legacy per-pair path (identical results)."""
     from .align import resolve_band, window_minimizers_cached_batch
 
     band = resolve_band(band)
@@ -808,15 +815,33 @@ def _align_pairs_nm_soa(pairs: list[tuple[bytes, bytes]], band: int) -> list[Map
     t_off_s = np.ascontiguousarray(t_off_j[order])
     t_lens_s = np.ascontiguousarray(t_lens_j[order])
     lo_off_s = np.ascontiguousarray(lo_off_j[order])
-    lib.sw_nm_batch(
-        ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
-        ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
-        ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
-        ctypes.c_int32(B), ctypes.c_int32(band),
-        ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
-    )
-    meta = np.empty_like(out_meta)
-    meta[order] = out_meta
+    cig = None
+    if traceback:
+        max_cigar = 512
+        out_meta = np.zeros((B, 8), dtype=np.int32)
+        out_cigar = np.zeros((B, max_cigar), dtype=np.uint32)
+        lib.sw_tb_batch(
+            ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
+            ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
+            ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
+            ctypes.c_int32(B), ctypes.c_int32(band),
+            ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
+            ctypes.c_int32(max_cigar), ctypes.c_int32(0),
+        )
+        meta = np.empty_like(out_meta)
+        meta[order] = out_meta
+        cig = np.empty_like(out_cigar)
+        cig[order] = out_cigar
+    else:
+        lib.sw_nm_batch(
+            ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
+            ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
+            ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
+            ctypes.c_int32(B), ctypes.c_int32(band),
+            ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
+        )
+        meta = np.empty_like(out_meta)
+        meta[order] = out_meta
 
     # vectorized winner selection: per pair, max score, first job on ties
     score = meta[:, 0]
@@ -827,15 +852,37 @@ def _align_pairs_nm_soa(pairs: list[tuple[bytes, bytes]], band: int) -> list[Map
     sel = np.lexsort((ok, -score[ok], owner_j[ok]))
     ow = owner_j[ok][sel]
     first = sel[np.flatnonzero(np.concatenate(([True], ow[1:] != ow[:-1])))]
+    redo: set[int] = set()
+    if traceback:
+        # a pair with ANY CIGAR-overflowing job gets redone on the legacy
+        # per-pair path (same results; extremely fragmented alignments)
+        for j in np.flatnonzero(meta[:, 7] > 0):
+            redo.add(int(owner_j[j]))
     for j in ok[first]:
-        s, q0, q1, t0, t1, nm = (int(x) for x in meta[j])
+        o = int(owner_j[j])
+        if o in redo:
+            continue
+        row = meta[j]
+        s, q0, q1, t0, t1, nm = (int(row[x]) for x in range(6))
         fql = int(qlens_all[uq_j[j]])
         st = int(st_j[j])
         fq0, fq1 = (q0, q1) if st == 1 else (fql - q1, fql - q0)
-        best[int(owner_j[j])] = Mapping(
+        cigar = cig[j, : int(row[6])].copy() if traceback else []
+        best[o] = Mapping(
             target_id=0, strand=st, query_start=fq0, query_end=fq1,
-            target_start=t0, target_end=t1, nm=nm, cigar=[], score=s,
+            target_start=t0, target_end=t1, nm=nm, cigar=cigar, score=s,
         )
+    for o in sorted(redo):
+        jobs_o, owner_o = _plan_pairs([pairs[o]], band)
+        raw_o = run_jobs(jobs_o, band=band)
+        best_o: Mapping | None = None
+        for job, r in zip(jobs_o, raw_o):
+            if r is None:
+                continue
+            (m,) = _jobs_to_mappings([job], [r])
+            if best_o is None or m.score > best_o.score:
+                best_o = m
+        best[o] = best_o
     return best
 
 
@@ -929,7 +976,27 @@ def _plan_pairs(pairs: list[tuple[bytes, bytes]], band: int) -> tuple[list[Align
 
 def align_pairs(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> list[Mapping | None]:
     """Batched independent pair alignments.  Targets are deduplicated so a
-    seed/consensus aligned against many reads is indexed once."""
+    seed/consensus aligned against many reads is indexed once.
+
+    Prefers the struct-of-arrays planner+DP path (no per-job Python
+    objects) with the inter-pair SIMD traceback kernel; falls back to the
+    AlignJob path when native libs or packed-key dims are missing.  Both
+    produce identical Mappings including CIGARs (tests/test_native.py)."""
+    slab = 8192
+    if len(pairs) > slab:
+        out_all: list[Mapping | None] | None = []
+        for s in range(0, len(pairs), slab):
+            part = _align_pairs_nm_soa(pairs[s : s + slab], band, traceback=True)
+            if part is None:
+                out_all = None
+                break
+            out_all.extend(part)
+        if out_all is not None:
+            return out_all
+    else:
+        out = _align_pairs_nm_soa(pairs, band, traceback=True)
+        if out is not None:
+            return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)

@@ -141,11 +141,19 @@ def phred_from_ascii(qual: bytes) -> np.ndarray:
 
 
 def estimate_sequence_identity(phred: np.ndarray | None) -> float | None:
-    """Mean-error-probability identity estimate in percent (seeding.rs:801-817)."""
+    """Mean-error-probability identity estimate in percent (seeding.rs:801-817).
+
+    The sum is SEQUENTIAL (add.reduceat), not np.mean's pairwise blocking,
+    so the batched per-segment variant in stage1_kmers produces bit-identical
+    values — est_id is a sort key and appears in outputs, so every path must
+    agree."""
     if phred is None:
         return None
     p = np.power(10.0, -phred.astype(np.float64) / 10.0)
-    return float(100.0 - p.mean() * 100.0)
+    if len(p) == 0:
+        return float("nan")
+    total = np.add.reduceat(p, np.array([0], dtype=np.int64))[0]
+    return float(100.0 - total / len(p) * 100.0)
 
 
 def bin_qualities(phred_plus33: np.ndarray, bin_size: int = 4) -> np.ndarray:

@@ -440,6 +440,69 @@ def _build_twin_read_from_scan(rec, scan, args: ClusterArgs, codes) -> TwinRead:
     )
 
 
+def _batched_qual_fields(quals: list[bytes | None], phred_list: list[np.ndarray | None]):
+    """Vectorized (est_id, qual_levels) for a batch of reads.
+
+    BIT-IDENTICAL to the per-read path in _build_twin_read_from_scan: the
+    error-probability powers, the per-bin mins and the QualCompact3
+    quantization are elementwise, and the per-segment np.add.reduceat sums
+    match estimate_sequence_identity, which reduces sequentially too."""
+    n = len(quals)
+    est: list[float | None] = [None] * n
+    levels: list[np.ndarray | None] = [None] * n
+    idx = [i for i in range(n) if quals[i] is not None]
+    if not idx:
+        return est, levels
+
+    lens = np.array([len(phred_list[i]) for i in idx], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat_phred = (
+        np.concatenate([phred_list[i] for i in idx])
+        if lens.sum()
+        else np.zeros(0, np.int32)
+    )
+
+    # all-equal-quality detection: min == max per segment (exact)
+    nonempty = lens > 0
+    eq = np.zeros(len(idx), dtype=bool)
+    if nonempty.any():
+        ne_starts = starts[nonempty]
+        mins = np.minimum.reduceat(flat_phred, ne_starts)
+        maxs = np.maximum.reduceat(flat_phred, ne_starts)
+        eq[nonempty] = mins == maxs
+
+    # sequential per-segment sums: bit-identical to the per-read
+    # estimate_sequence_identity (which also reduces sequentially)
+    flat_p = np.power(10.0, -flat_phred.astype(np.float64) / 10.0)
+    est_vals = np.full(len(idx), np.nan)
+    if nonempty.any() and len(flat_p):
+        sums = np.add.reduceat(flat_p, starts[nonempty])
+        est_vals[nonempty] = 100.0 - sums / lens[nonempty] * 100.0
+    for j, i in enumerate(idx):
+        if not eq[j]:
+            est[i] = float(est_vals[j])
+
+    # QualCompact3: per-read padding to bin_size=4 with 255, min per bin,
+    # then one quantization pass over all bins
+    BIN = 4
+    nbins = (lens + BIN - 1) // BIN
+    pad_starts = np.concatenate(([0], np.cumsum(nbins * BIN)[:-1]))
+    total = int((nbins * BIN).sum())
+    padded = np.full(total, 255, dtype=np.uint8)
+    if lens.sum():
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        dest = np.repeat(pad_starts, lens) + within
+        padded[dest] = np.concatenate(
+            [np.frombuffer(quals[i], dtype=np.uint8) for i in idx]
+        )
+    binned = padded.reshape(-1, BIN).min(axis=1)
+    all_levels = quantize_qual_bin(binned)
+    bin_starts = np.concatenate(([0], np.cumsum(nbins)))
+    for j, i in enumerate(idx):
+        levels[i] = all_levels[bin_starts[j] : bin_starts[j + 1]]
+    return est, levels
+
+
 def twin_reads_from_files(
     kmer_info: KmerGlobalInfo, args: ClusterArgs, blockmer_sorted: np.ndarray | None = None
 ) -> list[TwinRead]:
@@ -472,9 +535,22 @@ def twin_reads_from_files(
                 codes_list, phred_list, args.kmer_size, args.c,
                 args.minimum_base_quality, snpmer_sorted,
             )
+            ests, levels = _batched_qual_fields([r.qual for r in recs], phred_list)
             trs = [
-                _build_twin_read_from_scan(rec, scan, args, codes)
-                for rec, scan, codes in zip(recs, scans, codes_list)
+                TwinRead(
+                    id=rec.id,
+                    base_id=rec.id.split()[0] if rec.id.split() else rec.id,
+                    codes=codes,
+                    k=args.kmer_size,
+                    l=args.blockmer_length,
+                    qual_levels=ql,
+                    est_id=est,
+                    mini_pos=scan[0],
+                    mini_kmers_all=scan[1],
+                    snp_pos=scan[2],
+                    snp_kmers_all=scan[3],
+                )
+                for rec, scan, codes, est, ql in zip(recs, scans, codes_list, ests, levels)
             ]
             if blockmer_sorted is not None and len(blockmer_sorted):
                 for tr, codes, phred in zip(trs, codes_list, phred_list):

@@ -469,6 +469,67 @@ def test_align_pairs_nm_soa_matches_legacy():
 
 
 @pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_align_pairs_soa_traceback_matches_legacy():
+    """The struct-of-arrays traceback path (align_pairs) must reproduce the
+    AlignJob path exactly, INCLUDING CIGARs, and the CIGAR-overflow redo
+    fallback must kick in for very fragmented alignments."""
+    from savont_tpu.ops.align_batch import (
+        _align_pairs_nm_soa,
+        _jobs_to_mappings,
+        _plan_pairs,
+        run_jobs,
+    )
+
+    rng = np.random.default_rng(131)
+    targets = [rand_seq(1200 + int(rng.integers(0, 600))) for _ in range(5)]
+    pairs = []
+    for _ in range(80):
+        t = targets[int(rng.integers(len(targets)))]
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(rng.integers(0, 50)), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if rng.random() < 0.3:
+            del q[400 : 400 + int(rng.integers(1, 6))]
+        if rng.random() < 0.5:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        pairs.append((bytes(q), t))
+    # CIGAR-overflow pair: 15 kb target (under the 1<<14 packed-key dim
+    # guard) with 350 scattered single-base deletions -> 701 run-length
+    # ops > the 512 buffer, forcing the per-pair redo path (mismatches
+    # alone can't overflow: match+mismatch share one M run)
+    big = rand_seq(15000)
+    bq = bytearray(big)
+    for p in sorted(rng.choice(np.arange(100, 14900, 25), 350, replace=False),
+                    reverse=True):
+        del bq[p]
+    pairs.append((bytes(bq), big))
+    pairs.append((rand_seq(1000), targets[0]))  # unalignable
+
+    got = _align_pairs_nm_soa(pairs, 128, traceback=True)
+    assert got is not None
+
+    jobs, owner = _plan_pairs(pairs, 128)
+    raw = run_jobs(jobs, band=128)
+    best = [None] * len(pairs)
+    for o, job, r in zip(owner, jobs, raw):
+        if r is None:
+            continue
+        (m,) = _jobs_to_mappings([job], [r])
+        if best[o] is None or m.score > best[o].score:
+            best[o] = m
+
+    assert got[-2] is not None and len(np.asarray(got[-2].cigar)) > 0
+    for g, b in zip(got, best):
+        assert (g is None) == (b is None)
+        if g is not None:
+            assert (g.score, g.nm, g.strand, g.query_start, g.query_end,
+                    g.target_start, g.target_end) == (
+                b.score, b.nm, b.strand, b.query_start, b.query_end,
+                b.target_start, b.target_end)
+            assert np.array_equal(np.asarray(g.cigar), np.asarray(b.cigar))
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
 def test_recluster_round_native_matches_python():
     """Native greedy consensus-merge round == the Python ConsensusPoly loop
     (merge decisions, membership order, merge counts) on random clusters."""
