@@ -1,0 +1,89 @@
+// Batched pileup accumulation: walk each read's packed CIGAR against its
+// consensus and scatter base/del/insertion counts directly into the
+// per-consensus count matrices (the sufficient statistics of
+// savont_tpu/pipeline/pileup.py; semantics of reference alignment.rs:520-564).
+//
+// The NumPy path expands every CIGAR into ~30M-element per-base streams
+// (ops/tpos/qpos/levels...) and bincounts them — memory-bound at 20k+ reads.
+// Here each job walks its runs serially in registers and increments the
+// output counters in place; parallelism is over consensuses (each thread
+// owns whole consensuses, so writes never race).
+//
+// Packed CIGAR: u32 = (length << 4) | op, op 0=M 1=I 2=D, coordinates on the
+// ORIENTED query (caller pre-orients seq/qual/hp for strand -1).
+#include <cstdint>
+#include <omp.h>
+
+static inline int qlevel(uint8_t q, int nq) {
+    int v = ((int)q - 33) / 3;  // == numpy floor-div after the >=0 clamp
+    if (v < 0) v = 0;
+    if (v > nq - 1) v = nq - 1;
+    return v;
+}
+
+extern "C" void pileup_accum_batch(
+    const uint8_t* seq_cat, const int64_t* s_off,      // per job (n_jobs+1)
+    const uint8_t* qual_cat,                           // same offsets as seq
+    const uint8_t* hp_cat,                             // nullable, same offsets
+    const uint32_t* cig_cat, const int64_t* cig_off,   // per job (n_jobs+1)
+    const int64_t* t0, const int64_t* q0,              // per job
+    const int64_t* job_off,                            // per consensus (n_cons+1)
+    int64_t n_cons,
+    const uint8_t* ref_cat, const int64_t* ref_off,    // per consensus (n_cons+1)
+    int32_t nq,
+    int64_t* bq,       // ref_off[n_cons] * nq * 2
+    int64_t* dels,     // ref_off[n_cons]
+    int64_t* ins_q,    // ref_off[n_cons] * nq
+    int64_t* hp_hist,  // ref_off[n_cons] * 64, nullable
+    int32_t n_threads) {
+    const int nt_ = (n_threads > 0) ? n_threads
+                    : (n_cons > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel for schedule(dynamic) num_threads(nt_)
+    for (int64_t c = 0; c < n_cons; c++) {
+        const int64_t L = ref_off[c + 1] - ref_off[c];
+        const uint8_t* ref = ref_cat + ref_off[c];
+        int64_t* bqc = bq + ref_off[c] * nq * 2;
+        int64_t* delc = dels + ref_off[c];
+        int64_t* insc = ins_q + ref_off[c] * nq;
+        int64_t* hpc = hp_hist ? hp_hist + ref_off[c] * 64 : nullptr;
+        for (int64_t j = job_off[c]; j < job_off[c + 1]; j++) {
+            const uint8_t* seq = seq_cat + s_off[j];
+            const uint8_t* qual = qual_cat + s_off[j];
+            const uint8_t* hp = hp_cat ? hp_cat + s_off[j] : nullptr;
+            const int64_t slen = s_off[j + 1] - s_off[j];
+            int64_t tpos = t0[j], qpos = q0[j];
+            for (int64_t r = cig_off[j]; r < cig_off[j + 1]; r++) {
+                const uint32_t v = cig_cat[r];
+                const int64_t len = (int64_t)(v >> 4);
+                const uint32_t op = v & 0xF;
+                if (op == 0) {  // M: per-base, bounds-checked like the vector path
+                    for (int64_t i = 0; i < len; i++) {
+                        const int64_t t = tpos + i, q = qpos + i;
+                        if (t < L && q < slen) {
+                            const int lvl = qlevel(qual[q], nq);
+                            const int isr = (seq[q] == ref[t]) ? 1 : 0;
+                            bqc[(t * nq + lvl) * 2 + isr]++;
+                            if (hpc) {
+                                int hv = hp[q];
+                                if (hv > 63) hv = 63;
+                                hpc[t * 64 + hv]++;
+                            }
+                        }
+                    }
+                    tpos += len;
+                    qpos += len;
+                } else if (op == 1) {  // I: one event per run, first-base quality
+                    if (tpos > 0 && tpos - 1 < L && qpos + len <= slen)
+                        insc[(tpos - 1) * nq + qlevel(qual[qpos], nq)]++;
+                    qpos += len;
+                } else {  // D
+                    for (int64_t i = 0; i < len; i++) {
+                        const int64_t t = tpos + i;
+                        if (t < L) delc[t]++;
+                    }
+                    tpos += len;
+                }
+            }
+        }
+    }
+}

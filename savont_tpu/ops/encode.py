@@ -140,6 +140,17 @@ def phred_from_ascii(qual: bytes) -> np.ndarray:
     return np.frombuffer(qual, dtype=np.uint8).astype(np.int32) - 33
 
 
+# 10^(-q/10) for q = (ascii 0..255) - 33; indexed by RAW ASCII so negative
+# phred (malformed quality < '!') still maps in-table.  Each entry is the
+# same double np.power would produce for that q, so LUT gather == power.
+_ERR_PROB_LUT = np.power(10.0, -(np.arange(256, dtype=np.float64) - 33.0) / 10.0)
+
+
+def error_probs_from_phred(phred: np.ndarray) -> np.ndarray:
+    """10^(-q/10) per base via LUT gather (bit-identical to np.power)."""
+    return _ERR_PROB_LUT[(phred.astype(np.int64) + 33) & 0xFF]
+
+
 def estimate_sequence_identity(phred: np.ndarray | None) -> float | None:
     """Mean-error-probability identity estimate in percent (seeding.rs:801-817).
 
@@ -149,7 +160,7 @@ def estimate_sequence_identity(phred: np.ndarray | None) -> float | None:
     agree."""
     if phred is None:
         return None
-    p = np.power(10.0, -phred.astype(np.float64) / 10.0)
+    p = error_probs_from_phred(phred)
     if len(p) == 0:
         return float("nan")
     total = np.add.reduceat(p, np.array([0], dtype=np.int64))[0]

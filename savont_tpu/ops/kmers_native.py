@@ -109,13 +109,19 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
         codes = np.zeros(0, np.uint8)
     ph = None
     if phreds is not None and any(p is not None for p in phreds):
-        ph = np.empty(int(off[-1]), dtype=np.uint8)
-        for i, p in enumerate(phreds):
-            if p is not None:
-                ph[off[i] : off[i] + len(p)] = np.clip(p, 0, 255)
-            else:
-                # reads without qualities: mark all-equal so gates disable
-                ph[off[i] : off[i + 1]] = 60
+        if all(p is not None for p in phreds):
+            # one concatenate + one clip instead of a per-read loop
+            flat = np.empty(int(off[-1]), dtype=np.int64)
+            np.concatenate(phreds, out=flat, casting="unsafe")
+            ph = np.clip(flat, 0, 255).astype(np.uint8)
+        else:
+            ph = np.empty(int(off[-1]), dtype=np.uint8)
+            for i, p in enumerate(phreds):
+                if p is not None:
+                    ph[off[i] : off[i] + len(p)] = np.clip(p, 0, 255)
+                else:
+                    # reads without qualities: mark all-equal so gates disable
+                    ph[off[i] : off[i + 1]] = 60
     return codes, ph, off
 
 

@@ -172,6 +172,95 @@ def add_read_to_pileup(
         pm.hp_hist.reshape(-1)[:] += np.bincount(hp_flat, minlength=L * 64)
 
 
+_PILEUP_LIB = None
+_PILEUP_TRIED = False
+
+
+def _get_pileup_lib():
+    """native/pileup.cpp: direct CIGAR-walk scatter into count matrices (no
+    per-base intermediate streams).  None -> NumPy chunk path."""
+    global _PILEUP_LIB, _PILEUP_TRIED
+    if _PILEUP_TRIED:
+        return _PILEUP_LIB
+    _PILEUP_TRIED = True
+    import ctypes
+
+    from ..ops.native_build import build_extra
+
+    so = build_extra("pileup", extra_link=["-fopenmp"])
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.pileup_accum_batch.restype = None
+    lib.pileup_accum_batch.argtypes = [
+        u8p, i64p, u8p, u8p, u32p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, u8p, i64p, ctypes.c_int32,
+        i64p, i64p, i64p, i64p, ctypes.c_int32,
+    ]
+    _PILEUP_LIB = lib
+    return lib
+
+
+def _accumulate_native(
+    lib, pms, ref_cat, ref_off, cons_first_job, seqs, quals, hps, cigars,
+    t0s, q0s, bq_flat, del_flat, ins_flat, hp_flat, threads,
+) -> bool:
+    """One native scatter pass over ALL jobs; returns False if any input
+    can't be marshalled (caller falls back to the NumPy chunk path)."""
+    import ctypes
+
+    if any(np.asarray(c).ndim != 1 for c in cigars):
+        return False
+    slen = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    s_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(slen, out=s_off[1:])
+    seq_cat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    qual_cat = np.ascontiguousarray(np.concatenate(quals), dtype=np.uint8)
+    if len(qual_cat) != len(seq_cat):
+        return False
+    hp_cat = None
+    if hps is not None:
+        hp_cat = np.minimum(np.concatenate(hps), 63).astype(np.uint8)
+        if len(hp_cat) != len(seq_cat):
+            return False
+    n_runs = np.fromiter((len(c) for c in cigars), np.int64, len(cigars))
+    cig_off = np.zeros(len(cigars) + 1, dtype=np.int64)
+    np.cumsum(n_runs, out=cig_off[1:])
+    cig_cat = (
+        np.ascontiguousarray(np.concatenate(cigars), dtype=np.uint32)
+        if len(cigars)
+        else np.zeros(0, np.uint32)
+    )
+    t0 = np.asarray(t0s, dtype=np.int64)
+    q0 = np.asarray(q0s, dtype=np.int64)
+    job_off = np.ascontiguousarray(cons_first_job, dtype=np.int64)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.pileup_accum_batch(
+        ptr(seq_cat, ctypes.c_uint8), ptr(s_off, ctypes.c_int64),
+        ptr(qual_cat, ctypes.c_uint8),
+        ptr(hp_cat, ctypes.c_uint8) if hp_cat is not None else None,
+        ptr(cig_cat, ctypes.c_uint32), ptr(cig_off, ctypes.c_int64),
+        ptr(t0, ctypes.c_int64), ptr(q0, ctypes.c_int64),
+        ptr(job_off, ctypes.c_int64), ctypes.c_int64(len(pms)),
+        ptr(ref_cat, ctypes.c_uint8), ptr(ref_off, ctypes.c_int64),
+        ctypes.c_int32(NQ),
+        ptr(bq_flat, ctypes.c_int64), ptr(del_flat, ctypes.c_int64),
+        ptr(ins_flat, ctypes.c_int64),
+        ptr(hp_flat, ctypes.c_int64) if hp_flat is not None else None,
+        ctypes.c_int32(threads),
+    )
+    return True
+
+
 def _median_from_hist(hist: np.ndarray) -> np.ndarray:
     """Per-row median with the reference's even-count averaging
     (alignment.rs:603-612); rows with no observations -> 1."""
@@ -277,16 +366,27 @@ def generate_consensus_pileups(
             payload.append((seq, qual, hp))
     results = align_pairs(pairs)
 
+    # count matrices are contiguous views into flat per-type buffers, so the
+    # native scatter kernel can write all consensuses through one pointer
+    L_flat = np.fromiter((len(c.sequence) for c in consensuses), np.int64, len(consensuses))
+    roff = np.zeros(len(consensuses) + 1, dtype=np.int64)
+    np.cumsum(L_flat, out=roff[1:])
+    total_L = int(roff[-1])
+    bq_flat = np.zeros(total_L * NQ * 2, dtype=np.int64)
+    del_flat = np.zeros(total_L, dtype=np.int64)
+    ins_flat = np.zeros(total_L * NQ, dtype=np.int64)
+    hp_flat = np.zeros(total_L * 64, dtype=np.int64) if args.use_hpc else None
     pms = []
-    for cons in consensuses:
+    for ci, cons in enumerate(consensuses):
         L = len(cons.sequence)
+        o = int(roff[ci])
         pms.append(
             PileupMatrix(
                 ref=cons.sequence.copy(),
-                bq=np.zeros((L, NQ, 2), dtype=np.int64),
-                dels=np.zeros(L, dtype=np.int64),
-                ins_q=np.zeros((L, NQ), dtype=np.int64),
-                hp_hist=np.zeros((L, 64), dtype=np.int64) if args.use_hpc else None,
+                bq=bq_flat[o * NQ * 2 : (o + L) * NQ * 2].reshape(L, NQ, 2),
+                dels=del_flat[o : o + L],
+                ins_q=ins_flat[o * NQ : (o + L) * NQ].reshape(L, NQ),
+                hp_hist=hp_flat[o * 64 : (o + L) * 64].reshape(L, 64) if args.use_hpc else None,
             )
         )
     # one batched CIGAR walk over every (read, consensus) mapping, then one
@@ -327,9 +427,19 @@ def generate_consensus_pileups(
         # any read scale AND give contiguous local bincount windows
         own_all = np.asarray(j_own, dtype=np.int64)
         cons_first_job = np.searchsorted(own_all, np.arange(len(pms) + 1))
+        lib = _get_pileup_lib()
+        done = False
+        if lib is not None:
+            ref_cat = np.concatenate([pm.ref for pm in pms]) if pms else np.zeros(0, np.uint8)
+            done = _accumulate_native(
+                lib, pms, np.ascontiguousarray(ref_cat, dtype=np.uint8), roff,
+                cons_first_job, j_seq, j_qual,
+                j_hp if use_hp and j_hp else None, j_cigar, j_t0, j_q0,
+                bq_flat, del_flat, ins_flat, hp_flat, args.threads,
+            )
         slen_all = np.fromiter((len(s) for s in j_seq), np.int64, len(j_seq))
         cap = 8 << 20
-        c_lo = 0
+        c_lo = 0 if not done else len(pms)
         while c_lo < len(pms):
             c_hi, bases_sum = c_lo, 0
             while c_hi < len(pms):

@@ -472,8 +472,10 @@ def _batched_qual_fields(quals: list[bytes | None], phred_list: list[np.ndarray 
         eq[nonempty] = mins == maxs
 
     # sequential per-segment sums: bit-identical to the per-read
-    # estimate_sequence_identity (which also reduces sequentially)
-    flat_p = np.power(10.0, -flat_phred.astype(np.float64) / 10.0)
+    # estimate_sequence_identity (same LUT gather, same sequential reduce)
+    from ..ops.encode import error_probs_from_phred
+
+    flat_p = error_probs_from_phred(flat_phred)
     est_vals = np.full(len(idx), np.nan)
     if nonempty.any() and len(flat_p):
         sums = np.add.reduceat(flat_p, starts[nonempty])

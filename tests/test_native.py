@@ -576,3 +576,84 @@ def test_recluster_round_native_matches_python():
     got_r = _reassign_reads(got_m, trs, k, 2, flat=flat)
     want_r = _reassign_reads(want_m, trs, k, 2)
     assert got_r == want_r
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_pileup_native_matches_numpy_chunk():
+    """native/pileup.cpp scatter == the NumPy batched-walk bincount path on
+    random (incl. out-of-bounds-crossing) CIGARs, with and without HPC."""
+    from savont_tpu.pipeline.pileup import (
+        NQ,
+        PileupMatrix,
+        _accumulate_native,
+        _accumulate_pileup_chunk,
+        _get_pileup_lib,
+    )
+
+    lib = _get_pileup_lib()
+    if lib is None:
+        pytest.skip("pileup native kernel unavailable")
+
+    rng = np.random.default_rng(7)
+    for use_hp in (False, True):
+        n_cons = 4
+        refs = [np.frombuffer(rand_seq(300 + int(rng.integers(0, 200))), np.uint8).copy()
+                for _ in range(n_cons)]
+        L_arr = np.fromiter((len(r) for r in refs), np.int64, n_cons)
+        roff = np.zeros(n_cons + 1, np.int64)
+        np.cumsum(L_arr, out=roff[1:])
+        total_L = int(roff[-1])
+
+        own, seqs, quals, hps, cigars, t0s, q0s = [], [], [], [], [], [], []
+        for ci in range(n_cons):
+            for _ in range(int(rng.integers(3, 9))):
+                slen = int(rng.integers(150, 500))
+                seqs.append(rand_seq(slen))
+                quals.append(rng.integers(33, 94, slen).astype(np.uint8))
+                hps.append(rng.integers(1, 90, slen).astype(np.int64))
+                runs = []
+                for _ in range(int(rng.integers(1, 25))):
+                    op = int(rng.choice([0, 0, 0, 1, 2]))
+                    ln = int(rng.integers(1, 60))
+                    runs.append((ln << 4) | op)
+                cigars.append(np.array(runs, dtype=np.uint32))
+                own.append(ci)
+                t0s.append(int(rng.integers(0, max(1, len(refs[ci]) - 50))))
+                q0s.append(int(rng.integers(0, 40)))
+
+        def fresh():
+            bq = np.zeros(total_L * NQ * 2, np.int64)
+            dl = np.zeros(total_L, np.int64)
+            iq = np.zeros(total_L * NQ, np.int64)
+            hh = np.zeros(total_L * 64, np.int64) if use_hp else None
+            pms = []
+            for ci in range(n_cons):
+                L, o = int(L_arr[ci]), int(roff[ci])
+                pms.append(PileupMatrix(
+                    ref=refs[ci],
+                    bq=bq[o * NQ * 2:(o + L) * NQ * 2].reshape(L, NQ, 2),
+                    dels=dl[o:o + L],
+                    ins_q=iq[o * NQ:(o + L) * NQ].reshape(L, NQ),
+                    hp_hist=hh[o * 64:(o + L) * 64].reshape(L, 64) if use_hp else None,
+                ))
+            return pms, bq, dl, iq, hh
+
+        pms_n, bq_n, dl_n, iq_n, hh_n = fresh()
+        job_off = np.searchsorted(np.asarray(own, np.int64), np.arange(n_cons + 1))
+        ok = _accumulate_native(
+            lib, pms_n, np.ascontiguousarray(np.concatenate(refs)), roff, job_off,
+            seqs, quals, hps if use_hp else None, cigars, t0s, q0s,
+            bq_n, dl_n, iq_n, hh_n, 3,
+        )
+        assert ok
+
+        pms_p, bq_p, dl_p, iq_p, hh_p = fresh()
+        _accumulate_pileup_chunk(
+            pms_p, 0, n_cons, roff, L_arr, own, seqs, quals,
+            hps if use_hp else None, cigars, t0s, q0s,
+        )
+        assert np.array_equal(bq_n, bq_p)
+        assert np.array_equal(dl_n, dl_p)
+        assert np.array_equal(iq_n, iq_p)
+        if use_hp:
+            assert np.array_equal(hh_n, hh_p)
