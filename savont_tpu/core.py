@@ -89,13 +89,26 @@ class TwinRead:
         return len(self.codes)
 
     def seq_bytes(self) -> bytes:
-        return decode_seq(self.codes)
+        """Decoded ASCII sequence, memoized: stages 4/5/7 each re-read every
+        cluster member, and a stable bytes object also lets the DP batch
+        packer dedup shared queries by identity."""
+        b = getattr(self, "_seq_bytes_cache", None)
+        if b is None:
+            b = decode_seq(self.codes)
+            self._seq_bytes_cache = b
+        return b
 
     def expanded_qual_ascii(self) -> np.ndarray:
-        """Per-base ASCII qualities from the binned codec (alignment.rs:233-258)."""
-        if self.qual_levels is None:
-            return np.full(len(self.codes), 33, dtype=np.uint8)
-        return expand_binned_qualities(self.qual_levels, len(self.codes))
+        """Per-base ASCII qualities from the binned codec (alignment.rs:233-258).
+        Memoized like seq_bytes; treat the returned array as read-only."""
+        q = getattr(self, "_qual_ascii_cache", None)
+        if q is None:
+            if self.qual_levels is None:
+                q = np.full(len(self.codes), 33, dtype=np.uint8)
+            else:
+                q = expand_binned_qualities(self.qual_levels, len(self.codes))
+            self._qual_ascii_cache = q
+        return q
 
     def minimizer_kmers(self) -> np.ndarray:
         """UNFILTERED minimizer k-mers (reference minimizer_kmers())."""

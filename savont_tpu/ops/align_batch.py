@@ -48,6 +48,37 @@ def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
     return hit
 
 
+def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
+    """Batched _qcodes_cached: all cache misses are encoded through ONE
+    concatenated LUT gather (the per-call numpy overhead dominated at tens
+    of thousands of small sequences).  Same values, same cache."""
+    from .align import _ASCII_CODE
+
+    out: list[np.ndarray | None] = [None] * len(items)
+    miss: list[int] = []
+    for x, key in enumerate(items):
+        hit = _QCODE_CACHE.get(key)
+        if hit is None:
+            miss.append(x)
+        else:
+            out[x] = hit
+    if miss:
+        bufs = [
+            items[x][0] if items[x][1] == 1 else revcomp_bytes(items[x][0])
+            for x in miss
+        ]
+        off = np.zeros(len(bufs) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
+        codes_cat = _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
+        for i, x in enumerate(miss):
+            if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
+                _QCODE_CACHE.clear()
+            c = codes_cat[off[i] : off[i + 1]]
+            _QCODE_CACHE[items[x]] = c
+            out[x] = c
+    return out
+
+
 @dataclass
 class AlignJob:
     """One planned banded alignment (post seeding/chaining)."""
@@ -228,9 +259,12 @@ def plan_jobs_batch(
         lo_flat, lo_off, nchain = chain_band_native(
             qp_o, tpos, grp_off, qlens[g_qi], t_lens[g_tid], band, min_anchors
         )
-        for g in np.flatnonzero(nchain >= min_anchors):
+        kept = np.flatnonzero(nchain >= min_anchors)
+        qcodes_all = _qcodes_cached_batch(
+            [(bytes(queries[int(g_qi[g])]), int(g_st[g])) for g in kept]
+        )
+        for g, qcodes in zip(kept, qcodes_all):
             qi, tid, st = int(g_qi[g]), int(g_tid[g]), int(g_st[g])
-            qcodes = _qcodes_cached(bytes(queries[qi]), st)
             lo = lo_flat[lo_off[g] : lo_off[g] + len(qcodes)]
             jobs.append(AlignJob(qcodes, index.targets[tid], lo, tid, st, int(qlens[qi])))
             owners.append(qi)
@@ -781,10 +815,9 @@ def _align_pairs_nm_soa(
     # code pools: encode each used (query, strand) / target exactly once
     combo = uq_j * 2 + (st_j == 1)
     ucombo, inv = np.unique(combo, return_inverse=True)
-    combo_codes = [
-        _qcodes_cached(qry_bytes[int(cb) // 2], 1 if int(cb) & 1 else -1)
-        for cb in ucombo
-    ]
+    combo_codes = _qcodes_cached_batch(
+        [(qry_bytes[int(cb) // 2], 1 if int(cb) & 1 else -1) for cb in ucombo]
+    )
     combo_lens = np.fromiter((len(c) for c in combo_codes), np.int64, len(combo_codes))
     combo_off = np.zeros(len(combo_codes) + 1, dtype=np.int64)
     np.cumsum(combo_lens, out=combo_off[1:])
@@ -858,16 +891,20 @@ def _align_pairs_nm_soa(
         # per-pair path (same results; extremely fragmented alignments)
         for j in np.flatnonzero(meta[:, 7] > 0):
             redo.add(int(owner_j[j]))
-    for j in ok[first]:
-        o = int(owner_j[j])
+    jj = ok[first]
+    rows = meta[jj].tolist()  # python ints in one pass (no per-scalar int())
+    owners_w = owner_j[jj].tolist()
+    sts_w = st_j[jj].tolist()
+    fqls_w = qlens_all[uq_j[jj]].tolist()
+    for x, j in enumerate(jj):
+        o = owners_w[x]
         if o in redo:
             continue
-        row = meta[j]
-        s, q0, q1, t0, t1, nm = (int(row[x]) for x in range(6))
-        fql = int(qlens_all[uq_j[j]])
-        st = int(st_j[j])
+        s, q0, q1, t0, t1, nm = rows[x][:6]
+        st = sts_w[x]
+        fql = fqls_w[x]
         fq0, fq1 = (q0, q1) if st == 1 else (fql - q1, fql - q0)
-        cigar = cig[j, : int(row[6])].copy() if traceback else []
+        cigar = cig[j, : rows[x][6]].copy() if traceback else []
         best[o] = Mapping(
             target_id=0, strand=st, query_start=fq0, query_end=fq1,
             target_start=t0, target_end=t1, nm=nm, cigar=cigar, score=s,

@@ -440,13 +440,15 @@ def _build_twin_read_from_scan(rec, scan, args: ClusterArgs, codes) -> TwinRead:
     )
 
 
-def _batched_qual_fields(quals: list[bytes | None], phred_list: list[np.ndarray | None]):
+def _batched_qual_fields(quals: list[bytes | None]):
     """Vectorized (est_id, qual_levels) for a batch of reads.
 
     BIT-IDENTICAL to the per-read path in _build_twin_read_from_scan: the
     error-probability powers, the per-bin mins and the QualCompact3
     quantization are elementwise, and the per-segment np.add.reduceat sums
     match estimate_sequence_identity, which reduces sequentially too."""
+    from ..ops.encode import _ERR_PROB_LUT
+
     n = len(quals)
     est: list[float | None] = [None] * n
     levels: list[np.ndarray | None] = [None] * n
@@ -454,28 +456,28 @@ def _batched_qual_fields(quals: list[bytes | None], phred_list: list[np.ndarray 
     if not idx:
         return est, levels
 
-    lens = np.array([len(phred_list[i]) for i in idx], dtype=np.int64)
+    lens = np.array([len(quals[i]) for i in idx], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    flat_phred = (
-        np.concatenate([phred_list[i] for i in idx])
+    flat_q = (
+        np.frombuffer(b"".join(quals[i] for i in idx), dtype=np.uint8)
         if lens.sum()
-        else np.zeros(0, np.int32)
+        else np.zeros(0, np.uint8)
     )
 
-    # all-equal-quality detection: min == max per segment (exact)
+    # all-equal-quality detection: min == max per segment (exact; ASCII
+    # order == phred order)
     nonempty = lens > 0
     eq = np.zeros(len(idx), dtype=bool)
     if nonempty.any():
         ne_starts = starts[nonempty]
-        mins = np.minimum.reduceat(flat_phred, ne_starts)
-        maxs = np.maximum.reduceat(flat_phred, ne_starts)
+        mins = np.minimum.reduceat(flat_q, ne_starts)
+        maxs = np.maximum.reduceat(flat_q, ne_starts)
         eq[nonempty] = mins == maxs
 
     # sequential per-segment sums: bit-identical to the per-read
-    # estimate_sequence_identity (same LUT gather, same sequential reduce)
-    from ..ops.encode import error_probs_from_phred
-
-    flat_p = error_probs_from_phred(flat_phred)
+    # estimate_sequence_identity (LUT[ascii] == LUT[(phred+33)&0xFF], and
+    # both reduce sequentially)
+    flat_p = _ERR_PROB_LUT[flat_q]
     est_vals = np.full(len(idx), np.nan)
     if nonempty.any() and len(flat_p):
         sums = np.add.reduceat(flat_p, starts[nonempty])
@@ -494,9 +496,7 @@ def _batched_qual_fields(quals: list[bytes | None], phred_list: list[np.ndarray 
     if lens.sum():
         within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
         dest = np.repeat(pad_starts, lens) + within
-        padded[dest] = np.concatenate(
-            [np.frombuffer(quals[i], dtype=np.uint8) for i in idx]
-        )
+        padded[dest] = flat_q
     binned = padded.reshape(-1, BIN).min(axis=1)
     all_levels = quantize_qual_bin(binned)
     bin_starts = np.concatenate(([0], np.cumsum(nbins)))
@@ -537,7 +537,7 @@ def twin_reads_from_files(
                 codes_list, phred_list, args.kmer_size, args.c,
                 args.minimum_base_quality, snpmer_sorted,
             )
-            ests, levels = _batched_qual_fields([r.qual for r in recs], phred_list)
+            ests, levels = _batched_qual_fields([r.qual for r in recs])
             trs = [
                 TwinRead(
                     id=rec.id,

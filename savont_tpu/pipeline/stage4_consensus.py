@@ -34,13 +34,30 @@ def _read_seq_and_qual(tr: TwinRead) -> tuple[bytes, np.ndarray]:
     return tr.seq_bytes(), tr.expanded_qual_ascii()
 
 
+# per-level accuracy 1 - 10^(-3*level/10); same doubles as the elementwise
+# power the per-read formula produced (levels are 0..15, table padded to 64)
+_ACC_LUT = 1.0 - np.power(10.0, -(np.arange(64, dtype=np.float64) * 3.0) / 10.0)
+
+
+def _avg_qual_batch(trs: list[TwinRead]) -> np.ndarray:
+    """Mean per-BIN accuracy for many reads in one LUT gather + segmented
+    sums (alignment.rs:239-245).  Reads without qualities -> 1.0."""
+    out = np.ones(len(trs), dtype=np.float64)
+    idx = [i for i, tr in enumerate(trs) if tr.qual_levels is not None and len(tr.qual_levels)]
+    if not idx:
+        return out
+    lens = np.fromiter((len(trs[i].qual_levels) for i in idx), np.int64, len(idx))
+    starts = np.zeros(len(idx), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = np.concatenate([trs[i].qual_levels for i in idx])
+    acc = _ACC_LUT[flat]
+    out[idx] = np.add.reduceat(acc, starts) / lens
+    return out
+
+
 def _avg_qual(tr: TwinRead) -> float:
-    """Mean per-BIN accuracy (alignment.rs:239-245: average over binned
-    quality values, one per 4-base bin)."""
-    if tr.qual_levels is None:
-        return 1.0
-    q = tr.qual_levels.astype(np.float64) * 3 + 33
-    return float((1.0 - np.power(10.0, -(q - 33) / 10.0)).mean())
+    """Single-read wrapper over _avg_qual_batch (same values)."""
+    return float(_avg_qual_batch([tr])[0])
 
 
 # ── consensus via template + weighted column vote (spoa replacement) ─────────
@@ -147,12 +164,12 @@ def align_and_consensus(
     # per-cluster prep
     ctx = []
     for cluster in clusters:
-        seqs, quals, avgq = [], [], []
+        seqs, quals = [], []
         for rid in cluster:
             s, q = _read_seq_and_qual(twin_reads[rid])
             seqs.append(s)
             quals.append(q)
-            avgq.append(_avg_qual(twin_reads[rid]))
+        avgq = _avg_qual_batch([twin_reads[rid] for rid in cluster])
         lengths_i = sorted((len(s), i) for i, s in enumerate(seqs))
         seed_idx = lengths_i[int(len(lengths_i) * 0.9)][1]
         order = sorted(range(len(seqs)), key=lambda i: -avgq[i])[:MAX_SEQS_POA]
