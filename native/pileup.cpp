@@ -21,6 +21,75 @@ static inline int qlevel(uint8_t q, int nq) {
     return v;
 }
 
+// Quality-weighted consensus vote accumulation (stage4_consensus.py
+// _vote_consensus): per template position, summed ASCII-quality weights for
+// each base (A/C/G/T), for deletions, and total coverage.  Weights are
+// integer ASCII values, so int64 accumulation equals the NumPy float64
+// bincount exactly (all sums < 2^53).  Like the vote's NumPy path, CIGARs
+// are trusted to stay in bounds (they come from alignments of these exact
+// sequences); a defensive per-base guard keeps stray runs from corrupting
+// memory (such runs would have crashed the NumPy bincount instead).
+extern "C" void vote_accum_batch(
+    const uint8_t* seq_cat, const int64_t* s_off,     // per job (n_jobs+1)
+    const uint8_t* qual_cat,                          // same offsets as seq
+    const uint32_t* cig_cat, const int64_t* cig_off,  // per job (n_jobs+1)
+    const int64_t* t0, const int64_t* q0,             // per job
+    const int64_t* job_off,                           // per cluster (n_cons+1)
+    int64_t n_cons,
+    const int64_t* tmpl_off,                          // per cluster (n_cons+1)
+    const int8_t* code_tab,                           // 256: base byte -> 0..3 / -1
+    int64_t* base_w,  // tmpl_off[n_cons] * 4
+    int64_t* del_w,   // tmpl_off[n_cons]
+    int64_t* cov_w,   // tmpl_off[n_cons]
+    int32_t n_threads) {
+    const int nt_ = (n_threads > 0) ? n_threads
+                    : (n_cons > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel for schedule(dynamic) num_threads(nt_)
+    for (int64_t c = 0; c < n_cons; c++) {
+        const int64_t L = tmpl_off[c + 1] - tmpl_off[c];
+        int64_t* bw = base_w + tmpl_off[c] * 4;
+        int64_t* dw = del_w + tmpl_off[c];
+        int64_t* cw = cov_w + tmpl_off[c];
+        for (int64_t j = job_off[c]; j < job_off[c + 1]; j++) {
+            const uint8_t* seq = seq_cat + s_off[j];
+            const uint8_t* qual = qual_cat + s_off[j];
+            const int64_t slen = s_off[j + 1] - s_off[j];
+            int64_t tpos = t0[j], qpos = q0[j];
+            for (int64_t r = cig_off[j]; r < cig_off[j + 1]; r++) {
+                const uint32_t v = cig_cat[r];
+                const int64_t len = (int64_t)(v >> 4);
+                const uint32_t op = v & 0xF;
+                if (op == 0) {  // M
+                    for (int64_t i = 0; i < len; i++) {
+                        const int64_t t = tpos + i, q = qpos + i;
+                        if (t < 0 || t >= L || q < 0 || q >= slen) continue;
+                        const int64_t w = (int64_t)qual[q];
+                        const int cd = code_tab[seq[q]];
+                        if (cd >= 0) bw[t * 4 + cd] += w;
+                        cw[t] += w;
+                    }
+                    tpos += len;
+                    qpos += len;
+                } else if (op == 1) {  // I: no per-base weight (run handled in Python)
+                    qpos += len;
+                } else {  // D: every base weighted by the run-start quality
+                    int64_t qd = qpos;
+                    if (qd > slen - 1) qd = slen - 1;
+                    const int64_t w = (qd >= 0) ? (int64_t)qual[qd] : 0;
+                    for (int64_t i = 0; i < len; i++) {
+                        const int64_t t = tpos + i;
+                        if (t >= 0 && t < L) {
+                            dw[t] += w;
+                            cw[t] += w;
+                        }
+                    }
+                    tpos += len;
+                }
+            }
+        }
+    }
+}
+
 extern "C" void pileup_accum_batch(
     const uint8_t* seq_cat, const int64_t* s_off,      // per job (n_jobs+1)
     const uint8_t* qual_cat,                           // same offsets as seq

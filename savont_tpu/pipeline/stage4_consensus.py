@@ -131,6 +131,19 @@ def _vote_consensus(
                     qual_cat[s_off[r] + qp]
                 )
 
+    return _vote_finish(t_arr, base_w, del_w, cov_w, ins_votes)
+
+
+def _vote_finish(
+    t_arr: np.ndarray,
+    base_w: np.ndarray,
+    del_w: np.ndarray,
+    cov_w: np.ndarray,
+    ins_votes: dict[int, Counter],
+) -> bytes:
+    """Column decisions + insertion splicing from accumulated vote weights
+    (shared by the NumPy and native accumulation paths)."""
+    n = len(t_arr)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     best_c = np.argmax(base_w, axis=1)
     best_v = base_w[np.arange(n), best_c]
@@ -155,6 +168,170 @@ def _vote_consensus(
         prev = i + 1
     out.extend(out_arr[prev:][~drop[prev:]].tobytes())
     return bytes(out)
+
+
+_CODE_TAB_I8 = np.full(256, -1, dtype=np.int8)
+for _b, _c in ((65, 0), (67, 1), (71, 2), (84, 3)):
+    _CODE_TAB_I8[_b] = _c
+
+
+def _vote_consensus_batch(
+    templates: list[bytes],
+    oriented_list: list[list[tuple[bytes, np.ndarray]]],
+    mappings_list: list[list[Mapping]],
+    threads: int = 0,
+) -> list[bytes]:
+    """All clusters' vote accumulation in ONE native scatter call
+    (native/pileup.cpp vote_accum_batch; int64 weight sums equal the NumPy
+    float64 bincounts exactly since ASCII weights are integers).  Insertion
+    runs are located with run-level segmented cumsums (no per-base walk) and
+    voted in global run order — the same Counter insertion order as the
+    per-cluster path.  Falls back to per-cluster _vote_consensus."""
+    import ctypes
+
+    from .pileup import _get_pileup_lib
+
+    if not templates:
+        return []
+    lib = _get_pileup_lib()
+    if lib is None or not hasattr(lib, "vote_accum_batch_ok"):
+        _bind_vote(lib)
+    if lib is None or not getattr(lib, "vote_accum_batch_ok", False):
+        return [
+            _vote_consensus(t, o, m)
+            for t, o, m in zip(templates, oriented_list, mappings_list)
+        ]
+
+    n_cons = len(templates)
+    tmpl_len = np.fromiter((len(t) for t in templates), np.int64, n_cons)
+    tmpl_off = np.zeros(n_cons + 1, dtype=np.int64)
+    np.cumsum(tmpl_len, out=tmpl_off[1:])
+    total_L = int(tmpl_off[-1])
+
+    seqs: list[bytes] = []
+    quals: list[np.ndarray] = []
+    cigars: list[np.ndarray] = []
+    t0s: list[int] = []
+    q0s: list[int] = []
+    job_off = np.zeros(n_cons + 1, dtype=np.int64)
+    for ci in range(n_cons):
+        for (oseq, oqual), m in zip(oriented_list[ci], mappings_list[ci]):
+            seqs.append(oseq)
+            quals.append(oqual)
+            cigars.append(np.asarray(m.cigar, dtype=np.uint32))
+            t0s.append(m.target_start)
+            q0s.append(
+                m.query_start if m.strand == 1 else len(oseq) - m.query_end
+            )
+        job_off[ci + 1] = len(seqs)
+
+    slen = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    s_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(slen, out=s_off[1:])
+    seq_cat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    qual_cat = (
+        np.ascontiguousarray(np.concatenate(quals), dtype=np.uint8)
+        if quals
+        else np.zeros(0, np.uint8)
+    )
+    n_runs = np.fromiter((len(c) for c in cigars), np.int64, len(cigars))
+    cig_off = np.zeros(len(cigars) + 1, dtype=np.int64)
+    np.cumsum(n_runs, out=cig_off[1:])
+    cig_cat = (
+        np.ascontiguousarray(np.concatenate(cigars), dtype=np.uint32)
+        if cigars
+        else np.zeros(0, np.uint32)
+    )
+    t0_a = np.asarray(t0s, dtype=np.int64)
+    q0_a = np.asarray(q0s, dtype=np.int64)
+
+    base_w = np.zeros(total_L * 4, dtype=np.int64)
+    del_w = np.zeros(total_L, dtype=np.int64)
+    cov_w = np.zeros(total_L, dtype=np.int64)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.vote_accum_batch(
+        ptr(seq_cat, ctypes.c_uint8), ptr(s_off, ctypes.c_int64),
+        ptr(qual_cat, ctypes.c_uint8),
+        ptr(cig_cat, ctypes.c_uint32), ptr(cig_off, ctypes.c_int64),
+        ptr(t0_a, ctypes.c_int64), ptr(q0_a, ctypes.c_int64),
+        ptr(job_off, ctypes.c_int64), ctypes.c_int64(n_cons),
+        ptr(tmpl_off, ctypes.c_int64),
+        ptr(_CODE_TAB_I8, ctypes.c_int8),
+        ptr(base_w, ctypes.c_int64), ptr(del_w, ctypes.c_int64),
+        ptr(cov_w, ctypes.c_int64), ctypes.c_int32(threads),
+    )
+
+    # insertion events from run-level segmented cumsums (rare; Counter order
+    # == global run order == the per-cluster loop's order)
+    ins_by_cons: dict[int, dict[int, Counter]] = {}
+    if len(cig_cat):
+        lens = (cig_cat >> np.uint32(4)).astype(np.int64)
+        ops = (cig_cat & np.uint32(0xF)).astype(np.int64)
+        t_adv = lens * (ops != 1)
+        q_adv = lens * (ops != 2)
+        ct = np.cumsum(t_adv)
+        cq = np.cumsum(q_adv)
+        et = ct - t_adv
+        eq = cq - q_adv
+        run_job = np.repeat(np.arange(len(cigars)), n_runs)
+        first = cig_off[:-1]
+        et0 = et[np.minimum(first, max(len(et) - 1, 0))]
+        eq0 = eq[np.minimum(first, max(len(eq) - 1, 0))]
+        tpos_run = t0_a[run_job] + et - et0[run_job]
+        qpos_run = q0_a[run_job] + eq - eq0[run_job]
+        ins_idx = np.flatnonzero((ops == 1) & (tpos_run > 0))
+        if len(ins_idx):
+            job_cons = np.repeat(np.arange(n_cons), np.diff(job_off))
+            for x in ins_idx.tolist():
+                j = int(run_job[x])
+                ci = int(job_cons[j])
+                tp, qp, ln = int(tpos_run[x]), int(qpos_run[x]), int(lens[x])
+                seg = seq_cat[s_off[j] + qp : s_off[j] + qp + ln]
+                w = float(qual_cat[s_off[j] + qp]) if s_off[j] + qp < s_off[j + 1] else 0.0
+                ins_by_cons.setdefault(ci, {}).setdefault(tp - 1, Counter())[
+                    seg.tobytes()
+                ] += w
+
+    out: list[bytes] = []
+    for ci in range(n_cons):
+        o = int(tmpl_off[ci])
+        L = int(tmpl_len[ci])
+        out.append(
+            _vote_finish(
+                np.frombuffer(templates[ci], dtype=np.uint8),
+                base_w[o * 4 : (o + L) * 4].reshape(L, 4),
+                del_w[o : o + L],
+                cov_w[o : o + L],
+                ins_by_cons.get(ci, {}),
+            )
+        )
+    return out
+
+
+def _bind_vote(lib) -> None:
+    """Declare vote_accum_batch argtypes once per process."""
+    import ctypes
+
+    if lib is None:
+        return
+    try:
+        fn = lib.vote_accum_batch
+    except AttributeError:
+        lib.vote_accum_batch_ok = False
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    fn.restype = None
+    fn.argtypes = [
+        u8p, i64p, u8p, u32p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, i64p, i8p, i64p, i64p, i64p, ctypes.c_int32,
+    ]
+    lib.vote_accum_batch_ok = True
 
 
 def align_and_consensus(
@@ -198,12 +375,20 @@ def align_and_consensus(
         oriented_by_cluster.setdefault(cid, []).append(o)
         mappings_by_cluster.setdefault(cid, []).append(m)
 
-    templates: dict[int, bytes] = {}
-    for cid, c in enumerate(ctx):
-        seed_seq = c["seqs"][c["seed"]]
-        ori = oriented_by_cluster.get(cid, [])
-        mps = mappings_by_cluster.get(cid, [])
-        templates[cid] = _vote_consensus(seed_seq, ori, mps) if mps else seed_seq
+    templates: dict[int, bytes] = {
+        cid: c["seqs"][c["seed"]] for cid, c in enumerate(ctx)
+    }
+    voted_ids = [cid for cid in range(len(ctx)) if mappings_by_cluster.get(cid)]
+    for cid, t in zip(
+        voted_ids,
+        _vote_consensus_batch(
+            [templates[cid] for cid in voted_ids],
+            [oriented_by_cluster[cid] for cid in voted_ids],
+            [mappings_by_cluster[cid] for cid in voted_ids],
+            args.threads,
+        ),
+    ):
+        templates[cid] = t
 
     # round 2: re-align oriented reads to round-1 templates, batched
     pairs2, owners2 = [], []
@@ -223,11 +408,21 @@ def align_and_consensus(
         ori2.setdefault(cid, []).append((oseq, oqual))
         mps2.setdefault(cid, []).append(m)
 
+    voted2 = [cid for cid in range(len(ctx)) if mps2.get(cid)]
+    for cid, t in zip(
+        voted2,
+        _vote_consensus_batch(
+            [templates[cid] for cid in voted2],
+            [ori2[cid] for cid in voted2],
+            [mps2[cid] for cid in voted2],
+            args.threads,
+        ),
+    ):
+        templates[cid] = t
+
     out: list[tuple[int, bytes, int, list[int]]] = []
     for cid, cluster in enumerate(clusters):
         template = templates[cid]
-        if mps2.get(cid):
-            template = _vote_consensus(template, ori2[cid], mps2[cid])
         if args.use_hpc:
             hpc, _ = homopolymer_compress(np.frombuffer(template, dtype=np.uint8), True)
             template = hpc.tobytes()

@@ -657,3 +657,68 @@ def test_pileup_native_matches_numpy_chunk():
         assert np.array_equal(iq_n, iq_p)
         if use_hp:
             assert np.array_equal(hh_n, hh_p)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_vote_batch_native_matches_python():
+    """_vote_consensus_batch (native vote_accum_batch + run-level insertion
+    votes) == per-cluster NumPy _vote_consensus on real aligned clusters."""
+    from savont_tpu.ops.align_batch import align_pairs
+    from savont_tpu.pipeline.stage4_consensus import (
+        _vote_consensus,
+        _vote_consensus_batch,
+    )
+    from savont_tpu.pipeline.pileup import _get_pileup_lib
+
+    if _get_pileup_lib() is None:
+        pytest.skip("pileup native kernel unavailable")
+
+    rng = np.random.default_rng(53)
+    templates, oriented_list, mappings_list = [], [], []
+    pairs, owners = [], []
+    for ci in range(6):
+        tmpl = rand_seq(1100 + int(rng.integers(0, 500)))
+        templates.append(tmpl)
+        n_reads = int(rng.integers(4, 12))
+        reads = []
+        for _ in range(n_reads):
+            q = bytearray(tmpl)
+            for p in rng.choice(len(q), int(rng.integers(5, 60)), replace=False):
+                q[p] = b"ACGT"[rng.integers(4)]
+            if rng.random() < 0.5:
+                d = int(rng.integers(100, len(q) - 100))
+                del q[d : d + int(rng.integers(1, 5))]
+            if rng.random() < 0.5:
+                d = int(rng.integers(100, len(q) - 100))
+                q[d:d] = rand_seq(int(rng.integers(1, 5)))
+            if rng.random() < 0.4:
+                q = bytearray(revcomp_bytes(bytes(q)))
+            reads.append(bytes(q))
+        for r in reads:
+            pairs.append((r, tmpl))
+            owners.append((ci, r))
+    res = align_pairs(pairs, 128)
+    per_cluster_or, per_cluster_mp = {}, {}
+    for (ci, r), m in zip(owners, res):
+        if m is None:
+            continue
+        qual = rng.integers(33, 94, len(r)).astype(np.uint8)
+        if m.strand == -1:
+            per_cluster_or.setdefault(ci, []).append((revcomp_bytes(r), qual[::-1]))
+        else:
+            per_cluster_or.setdefault(ci, []).append((r, qual))
+        per_cluster_mp.setdefault(ci, []).append(m)
+
+    ids = sorted(per_cluster_or)
+    assert ids
+    got = _vote_consensus_batch(
+        [templates[ci] for ci in ids],
+        [per_cluster_or[ci] for ci in ids],
+        [per_cluster_mp[ci] for ci in ids],
+        3,
+    )
+    want = [
+        _vote_consensus(templates[ci], per_cluster_or[ci], per_cluster_mp[ci])
+        for ci in ids
+    ]
+    assert got == want
