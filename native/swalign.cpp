@@ -340,6 +340,11 @@ struct NmScratch {
     std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
 };
 
+// COORDS=false drops the (q_start, t_start) metadata planes entirely —
+// score / q_end / t_end / nm are bit-identical to the COORDS=true variant
+// (the start planes never feed back into them); out slots 1 and 3 are 0.
+// NM-only consumers (stage-7 tie-break) use this ~1/3-lighter form.
+template <bool COORDS>
 inline void nm_block(
     const uint8_t* const* q, const int32_t* qlen,
     const uint8_t* const* t, const int32_t* tlen,
@@ -353,16 +358,20 @@ inline void nm_block(
     init_plane(sc.H, 0);
     init_plane(sc.F, NEG);
     init_plane(sc.nmh, 0);
-    init_plane(sc.qsh, 0);
-    init_plane(sc.tsh, 0);
     init_plane(sc.nmf, 0);
-    init_plane(sc.qsf, 0);
-    init_plane(sc.tsf, 0);
+    if (COORDS) {
+        init_plane(sc.qsh, 0);
+        init_plane(sc.tsh, 0);
+        init_plane(sc.qsf, 0);
+        init_plane(sc.tsf, 0);
+        sc.qsg.resize(plane); sc.tsg.resize(plane);
+        sc.qshn.resize(plane); sc.tshn.resize(plane);
+    }
     sc.Gr.resize(plane);
-    sc.nmg.resize(plane); sc.qsg.resize(plane); sc.tsg.resize(plane);
+    sc.nmg.resize(plane);
     sc.tc.resize(plane);
     sc.Hn.resize(plane); sc.Fn.resize(plane);
-    sc.nmhn.resize(plane); sc.qshn.resize(plane); sc.tshn.resize(plane);
+    sc.nmhn.resize(plane);
 
     int32_t m_max = 0;
     for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
@@ -402,8 +411,12 @@ inline void nm_block(
         // raw-lo semantics without per-lane gathers in the hot loops
         if (any_jump) {
             int16_t* planes_neg[2] = { sc.H.data(), sc.F.data() };
-            int16_t* planes_zero[6] = { sc.nmh.data(), sc.qsh.data(), sc.tsh.data(),
-                                        sc.nmf.data(), sc.qsf.data(), sc.tsf.data() };
+            int16_t* planes_zero[6] = { sc.nmh.data(), sc.nmf.data(),
+                                        COORDS ? sc.qsh.data() : nullptr,
+                                        COORDS ? sc.tsh.data() : nullptr,
+                                        COORDS ? sc.qsf.data() : nullptr,
+                                        COORDS ? sc.tsf.data() : nullptr };
+            const int nz = COORDS ? 6 : 2;
             for (int p = 0; p < np; p++) {
                 const int32_t d = dl[p];
                 if (d <= 1) continue;
@@ -415,7 +428,7 @@ inline void nm_block(
                     for (int32_t j = std::max(0, band + 1 - sh); j < band + 1; j++)
                         pl[(size_t)j * PBLK + p] = NEG;
                 }
-                for (int x = 0; x < 6; x++) {
+                for (int x = 0; x < nz; x++) {
                     int16_t* pl = planes_zero[x];
                     for (int32_t j = 0; j + sh < band + 1; j++)
                         pl[(size_t)j * PBLK + p] = pl[(size_t)(j + sh) * PBLK + p];
@@ -503,23 +516,15 @@ inline void nm_block(
                     const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
                     const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
                     const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], nmhb[o0 + p]);
-                    const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
-                    const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
                     const int16_t nmf_up = SEL16(md1, nmfb[o1 + p], nmfb[o0 + p]);
-                    const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
-                    const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
                     // diag = previous row, column j + dl - 1; at j = 0 with
                     // dl = 0, the free zero boundary applies only at col 0
                     const int16_t mdiag = (int16_t)(md1 | mjpos);
                     const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
                     const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
                     const int16_t nmd0 = SEL16(md1, nmhb[o0 + p], nmhb[om + p]);
-                    const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
-                    const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
                     const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
                     const int16_t nmd = (int16_t)(mdiag & nmd0);
-                    const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
-                    const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
                     const int16_t tcv = tcb[o0 + p];
                     const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
                     const int16_t s = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
@@ -529,8 +534,6 @@ inline void nm_block(
                     int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
                     f = std::max<int16_t>(f, (int16_t)NEG);
                     const int16_t nmf_n = (int16_t)(SEL16(mfh, nmh_up, nmf_up) + 1);
-                    const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
-                    const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
                     // G: priority zero > F > diag
                     const int16_t gd = (int16_t)(Hdiag + s);
                     const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
@@ -538,13 +541,25 @@ inline void nm_block(
                     const int16_t mgf = (int16_t)(~mgz & (int16_t)-(int16_t)(g == f));
                     const int16_t nmdm = (int16_t)(nmd + (int16_t)(~mmatch & 1));
                     nmgb[o0 + p] = (int16_t)(~mgz & SEL16(mgf, nmf_n, nmdm));
-                    qsgb[o0 + p] = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
-                    tsgb[o0 + p] = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
                     Grb[o0 + p] = g;
                     Fnb[o0 + p] = f;
                     nmfnb[o0 + p] = nmf_n;
-                    qsfnb[o0 + p] = qsf_n;
-                    tsfnb[o0 + p] = tsf_n;
+                    if constexpr (COORDS) {
+                        const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
+                        const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
+                        const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
+                        const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
+                        const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
+                        const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
+                        const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
+                        const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
+                        const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
+                        const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
+                        qsgb[o0 + p] = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
+                        tsgb[o0 + p] = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
+                        qsfnb[o0 + p] = qsf_n;
+                        tsfnb[o0 + p] = tsf_n;
+                    }
                 }
             }
         }
@@ -572,39 +587,41 @@ inline void nm_block(
                     e = std::max<int16_t>(e, (int16_t)NEG);
                     e = SEL16(mjpos, e, (int16_t)NEG);
                     const int16_t nme = (int16_t)(mjpos & (int16_t)(run_nm[p] + j));
-                    const int16_t qse = (int16_t)(mjpos & run_qs[p]);
-                    const int16_t tse = (int16_t)(mjpos & run_ts[p]);
                     const int16_t g = Grb[o0 + p];
                     const int16_t nmg_v = nmgb[o0 + p];
-                    const int16_t qsg_v = qsgb[o0 + p];
-                    const int16_t tsg_v = tsgb[o0 + p];
                     const int16_t mg = (int16_t)-(int16_t)(g >= e);
                     const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
                     const int16_t h0 = SEL16(mg, g, e);
                     const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
                     const int16_t nmh_n = SEL16(mg, nmg_v, nme);
-                    const int16_t qsh_n = SEL16(mg, qsg_v, qse);
-                    const int16_t tsh_n = SEL16(mg, tsg_v, tse);
                     Hnb[o0 + p] = h;
                     // overwrite G meta planes with H meta (consumed next row)
                     nmgb[o0 + p] = nmh_n;
-                    qsgb[o0 + p] = qsh_n;
-                    tsgb[o0 + p] = tsh_n;
                     // prefix update with A = G + ext*j, ties -> larger j
                     const int16_t cand = (int16_t)(g + GAP_EXT * j);
                     const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
                     run_v[p] = SEL16(mtake, cand, run_v[p]);
                     run_nm[p] = SEL16(mtake, (int16_t)(nmg_v - j), run_nm[p]);
-                    run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
-                    run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
                     // per-lane best (strict >: earliest row, lowest j wins)
                     const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
                     bv[p] = SEL16(mb, h, bv[p]);
-                    bqs[p] = SEL16(mb, qsh_n, bqs[p]);
-                    bts[p] = SEL16(mb, tsh_n, bts[p]);
                     bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
                     bte[p] = SEL16(mb, (int16_t)(col + 1), bte[p]);
                     bnm[p] = SEL16(mb, nmh_n, bnm[p]);
+                    if constexpr (COORDS) {
+                        const int16_t qse = (int16_t)(mjpos & run_qs[p]);
+                        const int16_t tse = (int16_t)(mjpos & run_ts[p]);
+                        const int16_t qsg_v = qsgb[o0 + p];
+                        const int16_t tsg_v = tsgb[o0 + p];
+                        const int16_t qsh_n = SEL16(mg, qsg_v, qse);
+                        const int16_t tsh_n = SEL16(mg, tsg_v, tse);
+                        qsgb[o0 + p] = qsh_n;
+                        tsgb[o0 + p] = tsh_n;
+                        run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
+                        run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
+                        bqs[p] = SEL16(mb, qsh_n, bqs[p]);
+                        bts[p] = SEL16(mb, tsh_n, bts[p]);
+                    }
                 }
             }
         }
@@ -614,24 +631,29 @@ inline void nm_block(
         std::swap(sc.H, sc.Hn);
         std::swap(sc.F, sc.Fn);
         std::swap(sc.nmh, sc.nmg);
-        std::swap(sc.qsh, sc.qsg);
-        std::swap(sc.tsh, sc.tsg);
         std::swap(sc.nmf, sc.nmhn);
-        std::swap(sc.qsf, sc.qshn);
-        std::swap(sc.tsf, sc.tshn);
+        if constexpr (COORDS) {
+            std::swap(sc.qsh, sc.qsg);
+            std::swap(sc.tsh, sc.tsg);
+            std::swap(sc.qsf, sc.qshn);
+            std::swap(sc.tsf, sc.tshn);
+        }
         // restore fill slots at j = band (swaps may have moved stale data in)
         const size_t ob = (size_t)band * stride;
         for (int p = 0; p < PBLK; p++) {
             sc.H[ob + p] = NEG; sc.F[ob + p] = NEG;
-            sc.nmh[ob + p] = 0; sc.qsh[ob + p] = 0; sc.tsh[ob + p] = 0;
-            sc.nmf[ob + p] = 0; sc.qsf[ob + p] = 0; sc.tsf[ob + p] = 0;
+            sc.nmh[ob + p] = 0; sc.nmf[ob + p] = 0;
+            if constexpr (COORDS) {
+                sc.qsh[ob + p] = 0; sc.tsh[ob + p] = 0;
+                sc.qsf[ob + p] = 0; sc.tsf[ob + p] = 0;
+            }
         }
     }
 
     for (int p = 0; p < np; p++) {
         int32_t* o = out + (size_t)p * 6;
-        o[0] = bv[p]; o[1] = bqs[p]; o[2] = bqe[p];
-        o[3] = bts[p]; o[4] = bte[p]; o[5] = bnm[p];
+        o[0] = bv[p]; o[1] = COORDS ? bqs[p] : 0; o[2] = bqe[p];
+        o[3] = COORDS ? bts[p] : 0; o[4] = bte[p]; o[5] = bnm[p];
     }
 }
 
@@ -639,10 +661,16 @@ inline void nm_block(
 
 extern "C" {
 
+}  // extern "C"
+
 // NM-only batch: q/t/lo concatenated like sw_banded_batch; lo is the raw
 // planner band (len q_len per pair, arbitrary non-decreasing advances).
 // out_meta: (B, 6) int32 = (score, q_start, q_end, t_start, t_end, nm).
-void sw_nm_batch(
+// The COORDS=false variant skips the (q_start, t_start) metadata planes
+// (slots 1/3 read 0); score, q_end, t_end, nm stay bit-identical — for
+// NM-only consumers.
+template <bool COORDS>
+static void sw_nm_batch_impl(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
     const int64_t* lo, const int64_t* lo_off,
@@ -675,11 +703,34 @@ void sw_nm_batch(
                 ql[i] = q_len[src];
                 tl[i] = t_len[src];
             }
-            nm_block(qp, ql, tp, tl, lop, PBLK, band, blk_out, sc);
+            nm_block<COORDS>(qp, ql, tp, tl, lop, PBLK, band, blk_out, sc);
             std::memcpy(out_meta + (size_t)start * 6, blk_out,
                         (size_t)np * 6 * sizeof(int32_t));
         }
     }
+}
+
+extern "C" {
+
+void sw_nm_batch(
+    const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
+    const int64_t* lo, const int64_t* lo_off,
+    int32_t n_pairs, int32_t band,
+    int32_t* out_meta, int32_t n_threads) {
+    sw_nm_batch_impl<true>(q, q_off, q_len, t, t_off, t_len, lo, lo_off,
+                           n_pairs, band, out_meta, n_threads);
+}
+
+// no-coords variant (see above): stage-7 tie-break economics
+void sw_nm_batch_nc(
+    const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
+    const int64_t* lo, const int64_t* lo_off,
+    int32_t n_pairs, int32_t band,
+    int32_t* out_meta, int32_t n_threads) {
+    sw_nm_batch_impl<false>(q, q_off, q_len, t, t_off, t_len, lo, lo_off,
+                            n_pairs, band, out_meta, n_threads);
 }
 
 }  // extern "C"

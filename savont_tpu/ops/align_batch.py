@@ -642,9 +642,15 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
     return run_jobs(jobs, band)
 
 
-def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> list[Mapping | None]:
+def align_pairs_nm(
+    pairs: list[tuple[bytes, bytes]], band: int | None = None, coords: bool = True
+) -> list[Mapping | None]:
     """Batched pair alignment for NM-only consumers (stage-7 tie-break,
-    classification): uses the device kernel when enabled."""
+    classification): uses the device kernel when enabled.
+
+    coords=False routes the native path through the lighter no-coords DP
+    variant: score/nm (and the tie-break winner) are bit-identical, but
+    query_start/target_start read 0 — only for callers that ignore spans."""
     import os
 
     if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
@@ -655,7 +661,7 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) ->
         if len(pairs) > slab:
             out_all: list[Mapping | None] = []
             for s in range(0, len(pairs), slab):
-                part = _align_pairs_nm_soa(pairs[s : s + slab], band)
+                part = _align_pairs_nm_soa(pairs[s : s + slab], band, coords=coords)
                 if part is None:
                     out_all = None  # type: ignore[assignment]
                     break
@@ -663,7 +669,7 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) ->
             if out_all is not None:
                 return out_all
         else:
-            out = _align_pairs_nm_soa(pairs, band)
+            out = _align_pairs_nm_soa(pairs, band, coords=coords)
             if out is not None:
                 return out
     all_jobs, owner = _plan_pairs(pairs, band)
@@ -679,7 +685,8 @@ def align_pairs_nm(pairs: list[tuple[bytes, bytes]], band: int | None = None) ->
 
 
 def _align_pairs_nm_soa(
-    pairs: list[tuple[bytes, bytes]], band: int, traceback: bool = False
+    pairs: list[tuple[bytes, bytes]], band: int, traceback: bool = False,
+    coords: bool = True,
 ) -> list[Mapping | None] | None:
     """Struct-of-arrays pair alignment: planning, DP dispatch and winner
     selection run on flat arrays with no per-job Python objects.  Returns
@@ -866,7 +873,8 @@ def _align_pairs_nm_soa(
         cig = np.empty_like(out_cigar)
         cig[order] = out_cigar
     else:
-        lib.sw_nm_batch(
+        nm_fn = lib.sw_nm_batch if coords else lib.sw_nm_batch_nc
+        nm_fn(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
             ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),

@@ -125,6 +125,8 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        lib.sw_nm_batch_nc.restype = None
+        lib.sw_nm_batch_nc.argtypes = lib.sw_nm_batch.argtypes
         _LIB = lib
         log.info("native banded-SW kernel loaded (%s)", _SO.name)
         return _LIB

@@ -722,3 +722,39 @@ def test_vote_batch_native_matches_python():
         for ci in ids
     ]
     assert got == want
+
+
+def test_nm_nocoords_variant_matches_coords():
+    """sw_nm_batch_nc (no start-coordinate planes) must agree with
+    sw_nm_batch on score/nm/ends for every pair, including band jumps."""
+    if get_lib() is None:
+        pytest.skip("native kernels unavailable")
+    from savont_tpu.ops.align_batch import _align_pairs_nm_soa
+
+    rng = np.random.default_rng(11)
+
+    def rand_seq(n):
+        return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+
+    pairs = []
+    for _ in range(60):
+        t = bytearray(rand_seq(int(rng.integers(600, 1600))))
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(rng.integers(5, 80)), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if rng.random() < 0.5:
+            d = int(rng.integers(100, len(q) - 120))
+            del q[d : d + int(rng.integers(1, 60))]  # structural indels too
+        if rng.random() < 0.4:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        pairs.append((bytes(q), bytes(t)))
+    res_c = _align_pairs_nm_soa(pairs, 64, coords=True)
+    res_n = _align_pairs_nm_soa(pairs, 64, coords=False)
+    assert res_c is not None and res_n is not None
+    for a, b in zip(res_c, res_n):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert (a.nm, a.score, a.strand) == (b.nm, b.score, b.strand)
+        if a.strand == 1:
+            assert (a.query_end, a.target_end) == (b.query_end, b.target_end)
