@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <unordered_map>
 #include <utility>
+#include <limits>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -859,6 +860,50 @@ void gather_ranges(const uint8_t* src, const int64_t* src_off,
         if (cnt[i] > 0)
             memcpy(dst + dst_off[i] * elt, src + src_off[i] * elt,
                    (size_t)(cnt[i] * elt));
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// eq-flag + QualCompact3 levels for a batch of raw ASCII quality strings
+// (native twin of the integer half of stage1_kmers._batched_qual_fields;
+// the float est_id half stays in NumPy so np.add.reduceat's summation
+// order is preserved bit-exactly).  quals: concatenated ASCII; off: (n+1).
+// Outputs per read i: eq[i] = all-bases-equal flag, levels at lvl_off[i]
+// (ceil(len/4) entries, 4-base min bins quantized to 0..15 like
+// encode.quantize_qual_bin).
+void qual_fields_batch(const uint8_t* quals, const int64_t* off, int64_t n,
+                       uint8_t* eq, uint8_t* levels,
+                       const int64_t* lvl_off, int n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    num_threads(n_threads > 0 ? n_threads : 1)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* q = quals + off[i];
+        const int64_t len = off[i + 1] - off[i];
+        uint8_t* lvl = levels + lvl_off[i];
+        if (len == 0) {
+            eq[i] = 0;
+            continue;
+        }
+        uint8_t mn = 255, mx = 0;
+        const int64_t nbins = (len + 3) / 4;
+        for (int64_t b = 0; b < nbins; b++) {
+            uint8_t m = 255;
+            const int64_t hi = std::min(len, b * 4 + 4);
+            for (int64_t j = b * 4; j < hi; j++) {
+                const uint8_t v = q[j];
+                m = std::min(m, v);
+                mx = std::max(mx, v);
+            }
+            mn = std::min(mn, m);
+            lvl[b] = (m <= 34) ? 0
+                               : (uint8_t)std::min<int>((m - 35) / 3 + 1, 15);
+        }
+        eq[i] = (mn == mx) ? 1 : 0;
     }
 }
 

@@ -90,6 +90,10 @@ def get_scan_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u64p, u64p, i64p,
         ctypes.c_int,
     ]
+    lib.qual_fields_batch.restype = None
+    lib.qual_fields_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, u8p, u8p, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -284,6 +288,32 @@ def syncmer_scan_native(
             for i in range(len(sub))
         )
     return out_all
+
+
+def qual_fields_batch_native(
+    flat: np.ndarray, off: np.ndarray, threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """eq flags + QualCompact3 levels for many ASCII quality strings in one
+    native pass over the concatenated buffer (bit-exact twin of the integer
+    half of stage1_kmers._batched_qual_fields; the float est_id half stays
+    in NumPy to preserve np.add.reduceat's summation order).  Returns
+    (eq u8, levels_flat u8, lvl_off i64) or None without the library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(off) - 1
+    lens = np.diff(off)
+    nbins = (lens + 3) // 4
+    lvl_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbins, out=lvl_off[1:])
+    eq = np.zeros(n, dtype=np.uint8)
+    levels = np.empty(int(lvl_off[-1]), dtype=np.uint8)
+    lib.qual_fields_batch(
+        _ptr(flat, ctypes.c_uint8), _ptr(np.ascontiguousarray(off, np.int64), ctypes.c_int64),
+        n, _ptr(eq, ctypes.c_uint8),
+        _ptr(levels, ctypes.c_uint8), _ptr(lvl_off, ctypes.c_int64), threads,
+    )
+    return eq, levels, lvl_off
 
 
 def _capacity_offsets(reads: list[np.ndarray], k: int) -> np.ndarray:

@@ -62,6 +62,37 @@ def _cached_records(path: str):
     return recs
 
 
+def _batch_encode(seqs: list[bytes], quals: list):
+    """One-pass 2-bit encode + phred decode for a batch of reads: one LUT
+    gather / one subtract over concatenated buffers, per-read views out.
+    BIT-IDENTICAL to per-read encode_seq / phred_from_ascii (elementwise)."""
+    from ..ops.encode import _BYTE_TO_CODE
+
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = (
+        np.frombuffer(b"".join(seqs), np.uint8) if int(off[-1]) else np.zeros(0, np.uint8)
+    )
+    codes_all = _BYTE_TO_CODE[flat]
+    codes_list = [codes_all[off[i] : off[i + 1]] for i in range(n)]
+    phred_list: list = [None] * n
+    qidx = [i for i in range(n) if quals[i] is not None]
+    if qidx:
+        qlens = np.fromiter((len(quals[i]) for i in qidx), np.int64, len(qidx))
+        qoff = np.zeros(len(qidx) + 1, np.int64)
+        np.cumsum(qlens, out=qoff[1:])
+        qflat = (
+            np.frombuffer(b"".join(quals[i] for i in qidx), np.uint8).astype(np.int32) - 33
+            if int(qoff[-1])
+            else np.zeros(0, np.int32)
+        )
+        for j, i in enumerate(qidx):
+            phred_list[i] = qflat[qoff[j] : qoff[j + 1]]
+    return codes_list, phred_list
+
+
 def _iter_reads_for_counting(files: list[str]):
     """Counting passes handle the cutadapt 'rc' header suffix by
     reverse-complementing (seq_parse.rs:139-147)."""
@@ -89,10 +120,12 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "counting is exact, and the aggressive admission rule only "
             "applies to the Bloom prefilter pass (seq_parse.rs:225-258)"
         )
-    codes_list, phred_list = [], []
+    seqs, quals = [], []
     for seq, qual in _iter_reads_for_counting(args.input_files):
-        codes_list.append(encode_seq(seq))
-        phred_list.append(phred_from_ascii(qual) if qual is not None else None)
+        seqs.append(seq)
+        quals.append(qual)
+    codes_list, phred_list = _batch_encode(seqs, quals)
+    del seqs, quals
     n_reads = len(codes_list)
     if os.environ.get("SAVONT_DEVICE_KMERS"):
         # TPU path: batched (hi,lo)-plane split-kmer extraction on device
@@ -446,8 +479,11 @@ def _batched_qual_fields(quals: list[bytes | None]):
     BIT-IDENTICAL to the per-read path in _build_twin_read_from_scan: the
     error-probability powers, the per-bin mins and the QualCompact3
     quantization are elementwise, and the per-segment np.add.reduceat sums
-    match estimate_sequence_identity, which reduces sequentially too."""
+    match estimate_sequence_identity, which reduces sequentially too.
+    Uses the one-pass native kernel when available (same math, same order;
+    parity-tested in tests/test_native.py)."""
     from ..ops.encode import _ERR_PROB_LUT
+    from ..ops.kmers_native import qual_fields_batch_native
 
     n = len(quals)
     est: list[float | None] = [None] * n
@@ -463,20 +499,27 @@ def _batched_qual_fields(quals: list[bytes | None]):
         if lens.sum()
         else np.zeros(0, np.uint8)
     )
-
-    # all-equal-quality detection: min == max per segment (exact; ASCII
-    # order == phred order)
     nonempty = lens > 0
-    eq = np.zeros(len(idx), dtype=bool)
-    if nonempty.any():
-        ne_starts = starts[nonempty]
-        mins = np.minimum.reduceat(flat_q, ne_starts)
-        maxs = np.maximum.reduceat(flat_q, ne_starts)
-        eq[nonempty] = mins == maxs
 
-    # sequential per-segment sums: bit-identical to the per-read
+    off = np.concatenate((starts, [int(lens.sum())]))
+    native = qual_fields_batch_native(flat_q, off, threads=4)
+    if native is not None:
+        n_eq, n_levels, n_off = native
+        eq = n_eq.astype(bool)
+    else:
+        # all-equal-quality detection: min == max per segment (exact; ASCII
+        # order == phred order)
+        eq = np.zeros(len(idx), dtype=bool)
+        if nonempty.any():
+            ne_starts = starts[nonempty]
+            mins = np.minimum.reduceat(flat_q, ne_starts)
+            maxs = np.maximum.reduceat(flat_q, ne_starts)
+            eq[nonempty] = mins == maxs
+
+    # per-segment sums: bit-identical to the per-read
     # estimate_sequence_identity (LUT[ascii] == LUT[(phred+33)&0xFF], and
-    # both reduce sequentially)
+    # both use np.add.reduceat, i.e. the same summation order — this float
+    # half stays in NumPy even when the native integer half is used)
     flat_p = _ERR_PROB_LUT[flat_q]
     est_vals = np.full(len(idx), np.nan)
     if nonempty.any() and len(flat_p):
@@ -485,6 +528,11 @@ def _batched_qual_fields(quals: list[bytes | None]):
     for j, i in enumerate(idx):
         if not eq[j]:
             est[i] = float(est_vals[j])
+
+    if native is not None:
+        for j, i in enumerate(idx):
+            levels[i] = n_levels[n_off[j] : n_off[j + 1]]
+        return est, levels
 
     # QualCompact3: per-read padding to bin_size=4 with 255, min per bin,
     # then one quantization pass over all bins
@@ -530,8 +578,9 @@ def twin_reads_from_files(
             if len(rec.seq) < args.kmer_size:
                 continue
             recs.append(rec)
-            codes_list.append(encode_seq(rec.seq))
-            phred_list.append(phred_from_ascii(rec.qual) if rec.qual is not None else None)
+        codes_list, phred_list = _batch_encode(
+            [r.seq for r in recs], [r.qual for r in recs]
+        )
         if use_native:
             scans = syncmer_scan_native(
                 codes_list, phred_list, args.kmer_size, args.c,

@@ -758,3 +758,49 @@ def test_nm_nocoords_variant_matches_coords():
         assert (a.nm, a.score, a.strand) == (b.nm, b.score, b.strand)
         if a.strand == 1:
             assert (a.query_end, a.target_end) == (b.query_end, b.target_end)
+
+
+def test_qual_fields_native_parity():
+    """qual_fields_batch must be bit-identical to the NumPy batched path
+    (est_id is a sort key and appears in outputs)."""
+    import math
+
+    from savont_tpu.ops.kmers_native import get_scan_lib, qual_fields_batch_native
+    from savont_tpu.pipeline.stage1_kmers import _batched_qual_fields
+
+    if get_scan_lib() is None:
+        pytest.skip("native scan lib unavailable")
+    rng = np.random.default_rng(3)
+    quals: list[bytes | None] = []
+    for i in range(300):
+        n = int(rng.integers(0, 2000))
+        quals.append(bytes(rng.integers(33, 94, n).astype(np.uint8)))
+    quals.append(None)
+    quals.append(b"IIII" * 10)  # all-equal -> est None
+    quals.append(b"")
+
+    est_n, lvl_n = _batched_qual_fields(quals)
+
+    import savont_tpu.pipeline.stage1_kmers as s1
+    import savont_tpu.ops.kmers_native as kn
+
+    orig = kn.qual_fields_batch_native
+    kn.qual_fields_batch_native = lambda *a, **k: None  # force numpy path
+    try:
+        est_p, lvl_p = _batched_qual_fields(quals)
+    finally:
+        kn.qual_fields_batch_native = orig
+
+    assert len(est_n) == len(est_p)
+    for a, b in zip(est_n, est_p):
+        if a is None or b is None:
+            assert a is None and b is None
+        elif math.isnan(a) or math.isnan(b):
+            assert math.isnan(a) and math.isnan(b)
+        else:
+            assert a == b  # bit-exact doubles
+    for a, b in zip(lvl_n, lvl_p):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert np.array_equal(a, b)
