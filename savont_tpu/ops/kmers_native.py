@@ -102,11 +102,35 @@ def _ptr(a, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
 
 
+def _parent_span(arrays: list[np.ndarray]) -> np.ndarray | None:
+    """If the arrays are consecutive contiguous views into one parent buffer
+    (the _batch_encode layout), return the covering parent slice — no copy.
+    Returns None when any array breaks the pattern."""
+    if not arrays:
+        return None
+    base = arrays[0].base
+    if base is None or base.ndim != 1:
+        return None
+    item = arrays[0].itemsize
+    pos = arrays[0].__array_interface__["data"][0]
+    start = pos
+    for a in arrays:
+        if a.base is not base or a.__array_interface__["data"][0] != pos or not a.flags.c_contiguous:
+            return None
+        pos += a.nbytes
+    b0 = base.__array_interface__["data"][0]
+    lo = (start - b0) // item
+    return base[lo : lo + (pos - start) // item]
+
+
 def _concat(reads: list[np.ndarray], phreds) -> tuple:
     off = np.empty(len(reads) + 1, dtype=np.int64)
     off[0] = 0
     np.cumsum(np.fromiter((len(r) for r in reads), np.int64, len(reads)), out=off[1:])
-    if reads:
+    span = _parent_span(reads) if reads else None
+    if span is not None and span.dtype == np.uint8:
+        codes = span
+    elif reads:
         codes = np.empty(int(off[-1]), dtype=np.uint8)
         np.concatenate(reads, out=codes, casting="unsafe")
     else:
@@ -114,10 +138,15 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
     ph = None
     if phreds is not None and any(p is not None for p in phreds):
         if all(p is not None for p in phreds):
-            # one concatenate + one clip instead of a per-read loop
-            flat = np.empty(int(off[-1]), dtype=np.int64)
-            np.concatenate(phreds, out=flat, casting="unsafe")
-            ph = np.clip(flat, 0, 255).astype(np.uint8)
+            pspan = _parent_span(phreds)
+            if pspan is not None:
+                # one fused pass over the parent slice (no concatenate)
+                ph = np.clip(pspan, 0, 255).astype(np.uint8)
+            else:
+                # one concatenate + one clip instead of a per-read loop
+                flat = np.empty(int(off[-1]), dtype=np.int64)
+                np.concatenate(phreds, out=flat, casting="unsafe")
+                ph = np.clip(flat, 0, 255).astype(np.uint8)
         else:
             ph = np.empty(int(off[-1]), dtype=np.uint8)
             for i, p in enumerate(phreds):
