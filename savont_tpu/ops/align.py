@@ -225,6 +225,41 @@ class TargetIndex:
             self.h_tpos = np.zeros(0, dtype=np.int32)
             self.h_isf = np.zeros(0, dtype=bool)
 
+    @classmethod
+    def build_singletons(
+        cls, targets: list[bytes], w: int = 10, k: int = 15
+    ) -> list["TargetIndex"]:
+        """One single-target index per target, with ALL minimizer scans done
+        in one native batch call (the SoA pair planner's per-target layout;
+        field-identical to TargetIndex([t]) per target)."""
+        from .kmers_native import get_scan_lib, window_minimizers_native
+
+        raws = [
+            np.frombuffer(bytes(t), dtype=np.uint8)
+            if isinstance(t, (bytes, bytearray))
+            else np.asarray(t, dtype=np.uint8)
+            for t in targets
+        ]
+        codes = [ascii_to_align_codes(r) for r in raws]
+        if codes and get_scan_lib() is not None:
+            per_target = window_minimizers_native(codes, k, w)
+        else:
+            per_target = [_window_minimizers_numpy(tc, w, k) for tc in codes]
+        out = []
+        for raw, tc, (h, pos, isf) in zip(raws, codes, per_target):
+            idx = cls.__new__(cls)
+            idx.w, idx.k = w, k
+            idx.raw = [raw]
+            idx.targets = [tc]
+            idx.n_minis = np.array([len(h)], dtype=np.int64)
+            order = np.argsort(h, kind="stable")
+            idx.h_sorted = h[order]
+            idx.h_tid = np.zeros(len(h), dtype=np.int32)
+            idx.h_tpos = pos.astype(np.int32)[order]
+            idx.h_isf = isf[order]
+            out.append(idx)
+        return out
+
     def lookup(self, hq: np.ndarray, pq: np.ndarray, fq: np.ndarray):
         """For query minimizers (hashes, positions, strand flags) return
         flat hit arrays (q_pos, t_id, t_pos, same_strand)."""

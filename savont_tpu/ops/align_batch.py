@@ -740,8 +740,9 @@ def _align_pairs_nm_soa(
         return None  # packed anchor key field widths
 
     # one minimizer pass over unique queries; one single-target index each
+    # (all target scans batched through one native call)
     qmini = window_minimizers_cached_batch(qry_bytes, 10, 15)
-    indexes = [TargetIndex([tb]) for tb in tgt_bytes]
+    indexes = TargetIndex.build_singletons(tgt_bytes)
 
     # per-group anchor lookup -> packed sorted keys -> group bounds
     qa_parts: list[np.ndarray] = []
