@@ -105,6 +105,20 @@ void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
     const int s = k - c + 1;
     const int m = k - s + 1;
     const int mid = (k - s) / 2;
+    // conservative bitset prefilter over the SNPmer set's low key bits:
+    // almost every position misses the set, so one AND+load replaces the
+    // binary search on the common path (false positives fall through to
+    // in_sorted; results unchanged)
+    constexpr int FILT_BITS = 22;
+    std::vector<uint64_t> filt;
+    if (n_snp) {
+        filt.assign((size_t)1 << (FILT_BITS - 6), 0);
+        for (int64_t i = 0; i < n_snp; i++) {
+            const uint64_t b = snp_sorted[i] & (((uint64_t)1 << FILT_BITS) - 1);
+            filt[b >> 6] |= 1ULL << (b & 63);
+        }
+    }
+    const uint64_t* filt_p = filt.data();
 #ifdef _OPENMP
     const int nt_ = (n_threads > 0) ? n_threads : omp_get_max_threads();
 #pragma omp parallel num_threads(nt_)
@@ -175,7 +189,9 @@ void syncmer_scan_batch(const uint8_t* codes, const uint8_t* phred,
                     nm++;
                 }
 
-                if (n_snp && in_sorted(snp_sorted, n_snp, canon)) {
+                const uint64_t fb = canon & (((uint64_t)1 << FILT_BITS) - 1);
+                if (n_snp && (filt_p[fb >> 6] >> (fb & 63)) & 1 &&
+                    in_sorted(snp_sorted, n_snp, canon)) {
                     hit_masked.push_back(canon & split_mask);
                     const bool qok = !use_qual || ph[p + k / 2] > min_bq;
                     if (qok) {
@@ -904,6 +920,29 @@ void qual_fields_batch(const uint8_t* quals, const int64_t* off, int64_t n,
                                : (uint8_t)std::min<int>((m - 35) / 3 + 1, 15);
         }
         eq[i] = (mn == mx) ? 1 : 0;
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Per-segment sort + dedup of u64 values (native twin of per-read
+// np.unique): segment i of vals (off[i]..off[i+1]) lands sorted+unique at
+// out + out_off[i] with its length in cnt[i].
+void sort_unique_batch(const uint64_t* vals, const int64_t* off, int64_t n,
+                       uint64_t* out, const int64_t* out_off, int64_t* cnt,
+                       int n_threads) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64) \
+    num_threads(n_threads > 0 ? n_threads : 1)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t len = off[i + 1] - off[i];
+        uint64_t* dst = out + out_off[i];
+        std::memcpy(dst, vals + off[i], (size_t)len * sizeof(uint64_t));
+        std::sort(dst, dst + len);
+        cnt[i] = std::unique(dst, dst + len) - dst;
     }
 }
 

@@ -27,6 +27,7 @@ from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -20000
 PAIR_BLOCK = 128  # pairs per grid step (lane dimension)
+UNROLL = 4  # rows per fori_loop iteration (row count host-padded to a multiple)
 
 
 def _sub_shift_down(x, fill):
@@ -153,32 +154,51 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         nmh_n = jnp.where(use_g, nmg, nme)
         Hr = jnp.where(valid, Hr, NEG)
 
-        # reduce over the band INSIDE the row so the running best is four
-        # (1, P) rows instead of four (band, P) planes — the big carry
-        # planes spill to VMEM every iteration, and this more than halves
-        # the carried bytes.  Row winner: max value, leftmost j on ties.
-        row_v = jnp.max(Hr, axis=0, keepdims=True)
-        at_max = Hr == row_v
-        row_j = jnp.min(jnp.where(at_max, jrow, band), axis=0, keepdims=True)
-        winner = at_max & (jrow == row_j)
-        row_nm = jnp.sum(jnp.where(winner, nmh_n, 0), axis=0, keepdims=True)
-        row_te = jnp.sum(jnp.where(winner, cols + 1, 0), axis=0, keepdims=True)
-        better = row_v > best_v  # strict: earliest row wins ties
-        best_v = jnp.where(better, row_v, best_v)
+        # plane-carried running best: one compare + four selects per row
+        # instead of per-row cross-sublane reductions (max/min/sum shuffle
+        # trees); the single lexicographic reduce happens after the loop.
+        # Strict > at fixed j records the EARLIEST row hitting that plane's
+        # max, which the final (max v, min row, min j) reduce needs.
+        better = Hr > best_v
+        best_v = jnp.where(better, Hr, best_v)
         best_r = jnp.where(better, r, best_r)
-        best_j = jnp.where(better, row_te, best_j)
-        best_nm = jnp.where(better, row_nm, best_nm)
+        best_j = jnp.where(better, cols + 1, best_j)
+        best_nm = jnp.where(better, nmh_n, best_nm)
         return Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm
 
     zero = jnp.zeros((band, P), jnp.int32)
-    zrow = jnp.zeros((1, P), jnp.int32)
-    init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zrow, zrow, zrow, zrow)
-    H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = lax.fori_loop(1, n_rows + 1, body, init)
+    init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zero, zero, zero, zero)
+    # manual multi-row step (Mosaic's fori_loop cannot partially unroll):
+    # carries stay in vector registers across the UNROLL rows of one
+    # iteration instead of round-tripping through VMEM per row.  n_rows is
+    # host-padded to a multiple of UNROLL with dl=0 / qc=5 rows, which can
+    # never update the running best (strict-> update; see sw_forward_pallas).
+    def outer(i, carry):
+        base = (i - 1) * UNROLL + 1
+        for u in range(UNROLL):
+            carry = body(base + u, carry)
+        return carry
 
-    out_ref[0, :] = best_v[0, :]
-    out_ref[1, :] = best_r[0, :]
-    out_ref[2, :] = best_j[0, :]
-    out_ref[3, :] = best_nm[0, :]
+    H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = lax.fori_loop(
+        1, n_rows // UNROLL + 1, outer, init
+    )
+
+    # lexicographic winner across the band planes: max value, then earliest
+    # row, then lowest j — exactly the sequential rule (strict > per row;
+    # leftmost j within the winning row).  A value seen at row r' < r_j at
+    # plane j would have made that plane's recorded row r' instead, so
+    # min-row-among-max-value is the first row reaching the global max.
+    glob_v = jnp.max(best_v, axis=0, keepdims=True)
+    at_v = best_v == glob_v
+    big = jnp.int32(1 << 30)
+    glob_r = jnp.min(jnp.where(at_v, best_r, big), axis=0, keepdims=True)
+    at_r = at_v & (best_r == glob_r)
+    win_j = jnp.min(jnp.where(at_r, jrow, band), axis=0, keepdims=True)
+    winner = at_r & (jrow == win_j)
+    out_ref[0, :] = glob_v[0, :]
+    out_ref[1, :] = jnp.where(glob_v > 0, glob_r, 0)[0, :]
+    out_ref[2, :] = jnp.sum(jnp.where(winner, best_j, 0), axis=0)
+    out_ref[3, :] = jnp.sum(jnp.where(winner, best_nm, 0), axis=0)
 
 
 def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False):
@@ -199,6 +219,18 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
         lo = np.concatenate([lo, np.zeros((P - B, lo.shape[1]), lo.dtype)])
         tlens = np.concatenate([np.asarray(tlens), np.zeros(P - B, np.int32)])
     lo2, new_codes, init_win = _prepare_streams(q, t, lo, tlens, band)
+    # pad the row count to a multiple of UNROLL with inert rows: qc=5 never
+    # matches, dl=0 keeps the window static, and the running best cannot be
+    # updated (every padded-row H is strictly below the carried best; the
+    # update is strict >), so results are identical to the unpadded loop
+    Lq4 = ((Lq + UNROLL - 1) // UNROLL) * UNROLL
+    if Lq4 != Lq:
+        pad = Lq4 - Lq
+        q = np.concatenate([q, np.full((q.shape[0], pad), 5, q.dtype)], axis=1)
+        new_codes = np.concatenate(
+            [new_codes, np.zeros((new_codes.shape[0], pad), new_codes.dtype)], axis=1
+        )
+        lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
     out = _pallas_call(
         jnp.asarray(q.T, jnp.int32),
         jnp.asarray(new_codes.T, jnp.int32),

@@ -94,6 +94,10 @@ def get_scan_lib():
     lib.qual_fields_batch.argtypes = [
         u8p, i64p, ctypes.c_int64, u8p, u8p, i64p, ctypes.c_int,
     ]
+    lib.sort_unique_batch.restype = None
+    lib.sort_unique_batch.argtypes = [
+        u64p, i64p, ctypes.c_int64, u64p, i64p, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -343,6 +347,33 @@ def qual_fields_batch_native(
         _ptr(levels, ctypes.c_uint8), _ptr(lvl_off, ctypes.c_int64), threads,
     )
     return eq, levels, lvl_off
+
+
+def sort_unique_batch_native(
+    arrays: list[np.ndarray], threads: int = 4
+) -> list[np.ndarray] | None:
+    """Per-array np.unique (sorted dedup) for many small u64 arrays in one
+    threaded native call; None without the library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(arrays)
+    lens = np.fromiter((len(a) for a in arrays), np.int64, n)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = (
+        np.ascontiguousarray(np.concatenate(arrays), dtype=np.uint64)
+        if int(off[-1])
+        else np.zeros(0, np.uint64)
+    )
+    out = np.empty(int(off[-1]), dtype=np.uint64)
+    cnt = np.zeros(n, dtype=np.int64)
+    lib.sort_unique_batch(
+        _ptr(flat, ctypes.c_uint64), _ptr(off, ctypes.c_int64), n,
+        _ptr(out, ctypes.c_uint64), _ptr(off, ctypes.c_int64),
+        _ptr(cnt, ctypes.c_int64), threads,
+    )
+    return [out[off[i] : off[i] + cnt[i]] for i in range(n)]
 
 
 def _capacity_offsets(reads: list[np.ndarray], k: int) -> np.ndarray:

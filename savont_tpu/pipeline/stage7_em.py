@@ -103,7 +103,11 @@ def _all_snpmer_candidates(
     per_asv_unique = [np.unique(atr.minimizer_kmers()) for atr in asv_trs]
     asv_mini_sizes = np.array([len(u) for u in per_asv_unique], dtype=np.int64)
 
-    read_minis = [np.unique(tr.minimizer_kmers()) for tr in read_list]
+    from ..ops.kmers_native import sort_unique_batch_native
+
+    read_minis = sort_unique_batch_native([tr.minimizer_kmers() for tr in read_list])
+    if read_minis is None:
+        read_minis = [np.unique(tr.minimizer_kmers()) for tr in read_list]
     rm_of = np.repeat(np.arange(n_reads), [len(x) for x in read_minis])
     q_mini = np.concatenate(read_minis) if read_minis else np.zeros(0, U64)
     mm_counts = np.zeros((n_reads, n_asvs), dtype=np.int64)

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Pallas banded-SW kernel timing on the real chip (VERDICT round-1 item 4).
+
+Stage-7-like shapes: 256 pairs x Lq 1500, band 64.  First call pays the
+Mosaic compile (3-8 min through the axon remote-compile service); the
+steady number is the best of 3 subsequent calls.  Appends a JSON line to
+PALLAS_BENCH.json at the repo root."""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    print(f"devices: {jax.devices()}", flush=True)
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    jnp.zeros(8).block_until_ready()
+    print(f"warmup: {time.time() - t0:.1f}s", flush=True)
+
+    from savont_tpu.ops.align_pallas import sw_forward_pallas
+
+    rng = np.random.default_rng(7)
+    B, Lq, Lt, band = 256, 1500, 1500, 64
+    q = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    t = rng.integers(0, 4, (B, Lt)).astype(np.int32)
+    # smooth diagonal band
+    lo = np.clip(np.arange(Lq + 1)[None, :] - band // 2, 0, Lt - band).astype(np.int32) * np.ones((B, 1), np.int32)
+    tlens = np.full(B, Lt, np.int32)
+
+    t0 = time.time()
+    out = sw_forward_pallas(q, t, lo, tlens, band=band)
+    compile_s = time.time() - t0
+    print(f"compile+first: {compile_s:.1f}s", flush=True)
+    best = 9e9
+    for i in range(3):
+        t0 = time.time()
+        out = sw_forward_pallas(q, t, lo, tlens, band=band)
+        dt = time.time() - t0
+        best = min(best, dt)
+        print(f"steady {i}: {dt:.3f}s = {dt / B * 1e3:.3f} ms/pair", flush=True)
+    rec = {
+        "kernel": "sw_forward_pallas",
+        "batch": B, "len": Lq, "band": band,
+        "ms_per_pair": round(best / B * 1e3, 3),
+        "pairs_per_s": round(B / best, 1),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "unroll": 4,
+    }
+    with open(REPO / "PALLAS_BENCH.json", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
