@@ -60,8 +60,7 @@ def _prepare_streams(q, t, lo, tlens, band):
     return lo, new_codes, init_win
 
 
-@partial(jax.jit, static_argnames=("band", "interpret"))
-def _pallas_call(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, interpret: bool):
+def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, interpret: bool):
     Lq = q_rows.shape[0]
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
@@ -83,6 +82,51 @@ def _pallas_call(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, inter
         out_shape=jax.ShapeDtypeStruct((4, P_total), jnp.int32),
         interpret=interpret,
     )(q_rows, new_rows, lo_rows, tlen_row, init_win)
+
+
+_pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret"))
+
+
+def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False):
+    """Traced Pallas forward for use INSIDE jit/shard_map (the mesh stage-7
+    step): q (B, Lq) / t (B, Lt) / lo (B, Lq+1) / tlens (B,) device arrays.
+    lo must ALREADY be smooth (increments in {0,1} — mesh_stage7_tie_break
+    smooths host-side).  Returns {score, q_end, t_end, nm}, each (B,) i32 —
+    the sw_forward_meta fields the tie-break consumes, with identical values
+    on smooth bands (both kernels are tested against the host DP)."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    Lq4 = ((Lq + UNROLL - 1) // UNROLL) * UNROLL
+    if Lq4 != Lq:
+        q = jnp.pad(q, ((0, 0), (0, Lq4 - Lq)), constant_values=5)
+        lo = jnp.pad(lo, ((0, 0), (0, Lq4 - Lq)), mode="edge")
+    new_cols = jnp.minimum(lo[:, 1:] + band - 1, Lt - 1)
+    new_codes = jnp.take_along_axis(t, new_cols, axis=1)
+    iw_cols = jnp.minimum(lo[:, :1] + jnp.arange(band, dtype=lo.dtype)[None, :], Lt - 1)
+    init_win = jnp.take_along_axis(t, iw_cols, axis=1)
+    P = ((B + PAIR_BLOCK - 1) // PAIR_BLOCK) * PAIR_BLOCK
+    if P != B:
+        pad = P - B
+        q = jnp.pad(q, ((0, pad), (0, 0)), constant_values=5)
+        new_codes = jnp.pad(new_codes, ((0, pad), (0, 0)))
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        init_win = jnp.pad(init_win, ((0, pad), (0, 0)), constant_values=6)
+        tlens = jnp.pad(tlens, (0, pad))
+    out = _pallas_call_traced(
+        q.T.astype(jnp.int32),
+        new_codes.T.astype(jnp.int32),
+        lo.T.astype(jnp.int32),
+        tlens.astype(jnp.int32)[None, :],
+        init_win.T.astype(jnp.int32),
+        band=band,
+        interpret=interpret,
+    )
+    return {
+        "score": out[0, :B],
+        "q_end": out[1, :B],
+        "t_end": out[2, :B],
+        "nm": out[3, :B],
+    }
 
 
 def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows):

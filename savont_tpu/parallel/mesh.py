@@ -91,7 +91,10 @@ def sharded_align_em_step(
     return jax.jit(sharded)
 
 
-def sharded_stage7_step(mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float):
+def sharded_stage7_step(
+    mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float,
+    kernel: str = "scan",
+):
     """Build the PRODUCTION stage-7 device step: candidate-sparse banded
     alignment + per-read tie sets + the FULL EM fixed point, one jit, psum
     over the mesh (alignment.rs:1779-2003 economics).
@@ -121,13 +124,28 @@ def sharded_stage7_step(mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv:
 
     def per_shard(q, t, lo, tlens, slot_asv):
         Rl, C, Lq = q.shape
-        out = sw_forward_meta(
-            q.reshape(Rl * C, Lq),
-            t.reshape(Rl * C, -1),
-            lo.reshape(Rl * C, Lq + 1),
-            tlens.reshape(-1),
-            band=band,
-        )
+        if kernel in ("pallas", "pallas-interpret"):
+            # hand-written Mosaic kernel: ~7x the XLA scan on v5e at these
+            # shapes (PALLAS_BENCH.json); identical outputs on the smooth
+            # bands this step always uses
+            from ..ops.align_pallas import sw_forward_pallas_traced
+
+            out = sw_forward_pallas_traced(
+                q.reshape(Rl * C, Lq),
+                t.reshape(Rl * C, -1),
+                lo.reshape(Rl * C, Lq + 1),
+                tlens.reshape(-1),
+                band=band,
+                interpret=kernel == "pallas-interpret",
+            )
+        else:
+            out = sw_forward_meta(
+                q.reshape(Rl * C, Lq),
+                t.reshape(Rl * C, -1),
+                lo.reshape(Rl * C, Lq + 1),
+                tlens.reshape(-1),
+                band=band,
+            )
         nm = out["nm"].reshape(Rl, C).astype(jnp.int32)
         score = out["score"].reshape(Rl, C).astype(jnp.int32)
         valid = (slot_asv >= 0) & (score > 0)
@@ -257,7 +275,14 @@ def mesh_stage7_tie_break(
         slot_job[r, c] = ji
     lo = smooth_lo(lo.reshape(R * C, Lq + 1)).reshape(R, C, Lq + 1)
 
-    step = sharded_stage7_step(mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01)
+    import os
+
+    kernel = os.environ.get("SAVONT_MESH_KERNEL")
+    if not kernel:
+        kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
+    step = sharded_stage7_step(
+        mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01, kernel=kernel
+    )
     abund, nm, score, count = step(
         shard_reads(mesh, q),
         shard_reads(mesh, t),

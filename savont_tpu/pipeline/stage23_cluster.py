@@ -170,6 +170,9 @@ def _snpmer_subcluster(
     use_blockmers = args is not None and args.use_blockmers
     blockmer_l = args.blockmer_length if args is not None else 3
     mask = _split_mask(k)
+    # NOTE: --use-blockmers takes the Python greedy loop below (the native
+    # subcluster kernel has no blockmer-validation variant) — correctness
+    # is identical, but stage 3 is O(cluster * reps) Python at scale.
     if not use_blockmers:
         from ..ops.kmers_native import snpmer_subcluster_native
 

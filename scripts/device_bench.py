@@ -71,9 +71,13 @@ def main() -> int:
         rng = np.random.default_rng(11)
         BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
         A, L, B = 18, 1500, 256
+        # second measurement at 4x the batch: the axon tunnel costs ~1.2 s
+        # of fixed per-call round-trips, so pairs/s scales with batch until
+        # kernel time dominates — B2 shows the amortized rate
+        B2 = 1024
         asvs = [rng.choice(BASES, L).tobytes() for _ in range(A)]
         pairs, rr, ca = [], [], []
-        for r in range(B):
+        for r in range(B2):
             b = bytearray(asvs[r % A])
             for p in rng.choice(L, 20, replace=False):
                 b[p] = b"ACGT"[rng.integers(4)]
@@ -83,13 +87,18 @@ def main() -> int:
         rr, ca = np.array(rr), np.array(ca)
         mesh = make_mesh()
         t0 = time.time()
-        mesh_stage7_tie_break(pairs, rr, ca, B, A, mesh=mesh)
+        mesh_stage7_tie_break(pairs[:B], rr[:B], ca[:B], B, A, mesh=mesh)
         warm = time.time() - t0
         t0 = time.time()
-        _, abund, count = mesh_stage7_tie_break(pairs, rr, ca, B, A, mesh=mesh)
+        _, abund, count = mesh_stage7_tie_break(pairs[:B], rr[:B], ca[:B], B, A, mesh=mesh)
         steady = time.time() - t0
         assert count == B
         print(f"kernel: warm {warm:.1f}s, steady {steady:.2f}s = {B / steady:.0f} pairs/s", flush=True)
+        t0 = time.time()
+        _, _, count2 = mesh_stage7_tie_break(pairs, rr, ca, B2, A, mesh=mesh)
+        steady2 = time.time() - t0
+        assert count2 == B2
+        print(f"kernel B={B2}: steady {steady2:.2f}s = {B2 / steady2:.0f} pairs/s", flush=True)
 
         record = {
             "backend": jax.default_backend(),
@@ -100,8 +109,12 @@ def main() -> int:
             "all_nm0": ok,
             "kernel_pairs_per_s_steady": round(B / steady, 1),
             "kernel_batch": B,
+            "kernel_pairs_per_s_batch4x": round(B2 / steady2, 1),
+            "kernel_batch4x": B2,
             "kernel_len": L,
             "kernel_warm_s": round(warm, 1),
+            "mesh_kernel": os.environ.get("SAVONT_MESH_KERNEL")
+            or ("pallas" if jax.default_backend() == "tpu" else "scan"),
         }
         (REPO / "DEVICE_BENCH.json").write_text(json.dumps(record) + "\n")
         print(json.dumps(record), flush=True)
