@@ -107,7 +107,7 @@ class Mapping:
 
 
 _MINI_CACHE: dict[tuple[bytes, int, int], tuple] = {}
-_MINI_CACHE_MAX = 32768
+_MINI_CACHE_MAX = 131072
 
 
 def window_minimizers_cached(qbytes: bytes, w: int, k: int):

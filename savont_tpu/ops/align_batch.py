@@ -31,7 +31,7 @@ from .encode import revcomp_bytes
 NEG = -20000  # int16-safe sentinel
 
 _QCODE_CACHE: dict[tuple[bytes, int], np.ndarray] = {}
-_QCODE_CACHE_MAX = 65536
+_QCODE_CACHE_MAX = 262144
 
 
 def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:

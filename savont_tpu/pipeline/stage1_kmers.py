@@ -519,12 +519,21 @@ def _batched_qual_fields(quals: list[bytes | None]):
     # per-segment sums: bit-identical to the per-read
     # estimate_sequence_identity (LUT[ascii] == LUT[(phred+33)&0xFF], and
     # both use np.add.reduceat, i.e. the same summation order — this float
-    # half stays in NumPy even when the native integer half is used)
-    flat_p = _ERR_PROB_LUT[flat_q]
+    # half stays in NumPy even when the native integer half is used).
+    # Chunked at read boundaries: the f64 LUT expansion is 8x the input
+    # (1.2 GB at 100k reads) and page-faulting it dominated stage 1.5;
+    # per-read sums are unchanged because reduceat runs per segment.
     est_vals = np.full(len(idx), np.nan)
-    if nonempty.any() and len(flat_p):
-        sums = np.add.reduceat(flat_p, starts[nonempty])
-        est_vals[nonempty] = 100.0 - sums / lens[nonempty] * 100.0
+    ne_idx = np.flatnonzero(nonempty)
+    if len(ne_idx) and len(flat_q):
+        CHUNK = 2048  # reads per chunk (~24 MB of f64 at typical lengths)
+        ends = starts + lens
+        for s in range(0, len(ne_idx), CHUNK):
+            sel = ne_idx[s : s + CHUNK]
+            lo_b, hi_b = int(starts[sel[0]]), int(ends[sel[-1]])
+            flat_p = _ERR_PROB_LUT[flat_q[lo_b:hi_b]]
+            sums = np.add.reduceat(flat_p, starts[sel] - lo_b)
+            est_vals[sel] = 100.0 - sums / lens[sel] * 100.0
     for j, i in enumerate(idx):
         if not eq[j]:
             est[i] = float(est_vals[j])

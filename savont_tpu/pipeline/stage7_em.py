@@ -34,6 +34,48 @@ def _apply_depths(consensuses: list[ConsensusSequence], abund: np.ndarray, total
     return out
 
 
+def _sorted_starts(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique values, segment starts) of a SORTED index array — what
+    np.unique(return_index=True) returns, without re-sorting."""
+    if len(idx) == 0:
+        return idx[:0], np.zeros(0, np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], idx[1:] != idx[:-1])))
+    return idx[starts], starts
+
+
+def _seg_column_counts(mat: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment column sums of a (Q, A) 0/1 matrix.
+
+    Fast path: 1-D np.add.reduceat over 8-column groups viewed as u64
+    byte lanes (valid while every segment is shorter than 256 rows — no
+    byte-lane overflow).  Long segments take a cumsum-diff pass instead.
+    2-D reduceat is pathologically slow (generic per-segment per-column
+    inner loop); both paths here are tight contiguous passes."""
+    q, a = mat.shape
+    if q == 0 or len(starts) == 0:
+        return np.zeros((len(starts), a), np.int64)
+    seg_lens = np.diff(np.append(starts, q))
+    if int(seg_lens.max()) >= 256:
+        cs = np.cumsum(mat, axis=0, dtype=np.int64)
+        ends = np.append(starts[1:], q) - 1
+        out = cs[ends]
+        nz = starts > 0
+        out[nz] -= cs[starts[nz] - 1]
+        return out
+    out = np.empty((len(starts), a), np.int64)
+    m8 = mat.astype(np.uint8, copy=False)
+    for g in range(0, a, 8):
+        w = min(8, a - g)
+        if w == 8:
+            blk = np.ascontiguousarray(m8[:, g : g + 8])
+        else:
+            blk = np.zeros((q, 8), np.uint8)
+            blk[:, :w] = m8[:, g : g + w]
+        sums = np.add.reduceat(blk.reshape(-1).view(np.uint64), starts)
+        out[:, g : g + w] = sums.view(np.uint8).reshape(-1, 8)[:, :w]
+    return out
+
+
 def _expand_ranges(sorted_keys: np.ndarray, queries: np.ndarray):
     """searchsorted range expansion: for each query return flat (query_idx,
     hit_idx) pairs over matching entries in sorted_keys."""
@@ -66,7 +108,11 @@ def _all_snpmer_candidates(
     if n_asvs == 0 or n_reads == 0:
         return empty
 
-    # flat ASV snpmer table sorted by splitmer
+    # (unique splitmer) x ASV table: per ASV at most one full kmer per
+    # splitmer (DEDUP_SNPMERS holds for ASV TwinReads too), so the join is
+    # one searchsorted + a (Q, A) table gather — no (read-snpmer, asv-entry)
+    # row expansion (the expansion materialized ~25M-row index arrays at
+    # 100k reads and dominated stage 7)
     asv_sm, asv_km, asv_id = [], [], []
     for ai, atr in enumerate(asv_trs):
         _, kms = atr.snpmers_vec()
@@ -76,23 +122,53 @@ def _all_snpmer_candidates(
     asv_sm = np.concatenate(asv_sm) if asv_sm else np.zeros(0, U64)
     asv_km = np.concatenate(asv_km) if asv_km else np.zeros(0, U64)
     asv_id = np.concatenate(asv_id) if asv_id else np.zeros(0, np.int32)
-    order = np.argsort(asv_sm, kind="stable")
-    asv_sm, asv_km, asv_id = asv_sm[order], asv_km[order], asv_id[order]
+    keys_sm, pos_k = np.unique(asv_sm, return_inverse=True)
+    K = len(keys_sm)
 
     # flat read snpmer queries
     read_km = [tr.snpmer_kmers() for tr in read_list]
     read_of = np.repeat(np.arange(n_reads), [len(x) for x in read_km])
     q_km = np.concatenate(read_km) if read_km else np.zeros(0, U64)
-    qi, hi = _expand_ranges(asv_sm, q_km & mask)
-    if len(qi) == 0:
+    if len(q_km) == 0 or K == 0:
         return empty
-    r_ids = read_of[qi]
-    a_ids = asv_id[hi].astype(np.int64)
-    is_match = q_km[qi] == asv_km[hi]
-    flat = (r_ids * n_asvs + a_ids) * 2 + is_match
-    counts = np.bincount(flat, minlength=n_reads * n_asvs * 2).reshape(n_reads, n_asvs, 2)
-    mismatches = counts[:, :, 0]
-    has_hit = counts.sum(axis=2) > 0
+
+    # fast path needs at most one full kmer per (splitmer, ASV) cell —
+    # scan-time DEDUP_SNPMERS gives this for real TwinReads; synthetic
+    # inputs may violate it and take the row-expansion path below
+    cell = pos_k.astype(np.int64) * max(n_asvs, 1) + asv_id
+    if len(np.unique(cell)) == len(cell):
+        table_km = np.zeros((max(K, 1), n_asvs), dtype=U64)
+        table_present = np.zeros((max(K, 1), n_asvs), dtype=bool)
+        table_km[pos_k, asv_id] = asv_km
+        table_present[pos_k, asv_id] = True
+        q_sm = q_km & mask
+        pos = np.minimum(np.searchsorted(keys_sm, q_sm), K - 1)
+        hit_key = keys_sm[pos] == q_sm
+        pres = table_present[pos] & hit_key[:, None]  # (Q, A)
+        mism = pres & (table_km[pos] != q_km[:, None])
+        # segment-reduce per read (read_of is sorted by construction)
+        ur, ustart = _sorted_starts(read_of)
+        mm_seg = _seg_column_counts(mism, ustart)
+        hit_seg = _seg_column_counts(pres, ustart)
+        mismatches = np.zeros((n_reads, n_asvs), dtype=np.int64)
+        has_hit = np.zeros((n_reads, n_asvs), dtype=bool)
+        mismatches[ur] = mm_seg
+        has_hit[ur] = hit_seg > 0
+    else:
+        order = np.argsort(asv_sm, kind="stable")
+        asv_sm_s, asv_km_s, asv_id_s = asv_sm[order], asv_km[order], asv_id[order]
+        qi, hi = _expand_ranges(asv_sm_s, q_km & mask)
+        if len(qi) == 0:
+            return empty
+        r_ids = read_of[qi]
+        a_ids = asv_id_s[hi].astype(np.int64)
+        is_match = q_km[qi] == asv_km_s[hi]
+        flat = (r_ids * n_asvs + a_ids) * 2 + is_match
+        counts = np.bincount(flat, minlength=n_reads * n_asvs * 2).reshape(n_reads, n_asvs, 2)
+        mismatches = counts[:, :, 0]
+        has_hit = counts.sum(axis=2) > 0
+    if not has_hit.any():
+        return empty
 
     # minimizer match counts.  ASV minimizer sets are deduped, so a read/ASV
     # shared count is a set-membership count: build one sorted global key
@@ -119,11 +195,21 @@ def _all_snpmer_candidates(
         if len(q_mini) and len(keys):
             pos = np.minimum(np.searchsorted(keys, q_mini), len(keys) - 1)
             hm = np.where(keys[pos] == q_mini, masks[pos], np.uint64(0))
-            for ai in range(n_asvs):
-                w = (hm >> np.uint64(ai)) & np.uint64(1)
-                mm_counts[:, ai] = np.bincount(
-                    rm_of, weights=w, minlength=n_reads
-                ).astype(np.int64)
+            # one unpackbits per 8 ASVs + byte-lane segment sums instead of
+            # one float bincount per ASV (8 full passes over the hit stream)
+            bit_groups = []
+            for g in range((n_asvs + 7) // 8):
+                byte = ((hm >> np.uint64(8 * g)) & np.uint64(0xFF)).astype(np.uint8)
+                bit_groups.append(
+                    np.unpackbits(byte[:, None], axis=1, bitorder="little")
+                )
+            bits = (
+                np.concatenate(bit_groups, axis=1)[:, :n_asvs]
+                if len(bit_groups) > 1
+                else bit_groups[0][:, :n_asvs]
+            )
+            urm, urm_start = _sorted_starts(rm_of)
+            mm_counts[urm] = _seg_column_counts(bits, urm_start)
     else:
         amini = np.concatenate(per_asv_unique) if per_asv_unique else np.zeros(0, U64)
         amini_id = np.repeat(np.arange(n_asvs, dtype=np.int64), asv_mini_sizes)

@@ -94,3 +94,41 @@ def test_candidates_match_brute_force(n_asvs):
         got[r].append((int(a), int(mm)))
     want = _brute_force(reads, asv_trs)
     assert [sorted(g) for g in got] == [sorted(w) for w in want]
+
+
+@pytest.mark.parametrize("n_asvs", [8, 20])
+def test_candidates_fast_table_path(n_asvs):
+    """ASVs with unique splitmers per ASV (the scan-time DEDUP_SNPMERS
+    invariant) take the (splitmer x ASV) table fast path; results must
+    still match brute force."""
+    rng = np.random.default_rng(100 + n_asvs)
+    splitmer_pool = (
+        rng.integers(0, 1 << 40, size=40, dtype=np.uint64)
+        & (np.uint64(0xFFFFFFFFFFFFFFFF) ^ np.uint64(3 << (K - 1)))
+    ).astype(U64)
+    mini_pool = rng.integers(0, 1 << 40, size=120, dtype=np.uint64).astype(U64)
+
+    def mk_dedup_asv(i):
+        sp = rng.choice(splitmer_pool, size=12, replace=False)  # unique per ASV
+        mids = rng.integers(0, 4, size=12).astype(np.uint64)
+        kms = (sp | (mids << np.uint64(K - 1))).astype(U64)
+        minis = rng.choice(mini_pool, size=40, replace=True).astype(U64)
+        tr = TwinRead(
+            id=f"a{i}", base_id=f"a{i}", codes=np.zeros(64, np.uint8), k=K, l=3,
+            snp_pos=np.arange(12, dtype=np.uint32), snp_kmers_all=kms,
+            mini_kmers_all=minis,
+        )
+        tr._snp_vec_cache = (tr.snp_pos, kms)
+        return tr
+
+    asv_trs = [mk_dedup_asv(i) for i in range(n_asvs)]
+    reads = [
+        _mk_tr(rng, splitmer_pool, mini_pool, int(rng.integers(0, 10)), 30, f"r{i}")
+        for i in range(40)
+    ]
+    cr, ca, cm = _all_snpmer_candidates(reads, asv_trs, K, C_RATE)
+    got = [[] for _ in reads]
+    for r, a, mm in zip(cr, ca, cm):
+        got[r].append((int(a), int(mm)))
+    want = _brute_force(reads, asv_trs)
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
