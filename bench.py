@@ -86,10 +86,12 @@ def main() -> int:
     work = Path(tempfile.mkdtemp(prefix="savont_bench_"))
     try:
         # ── line 1: 20k synthetic steady state ────────────────────────────
+        # best of 2 (like the 902 line): hypervisor steal on this VM can
+        # inflate any single run 50%+
         synth = work / "synth20k.fq.gz"
         _gen_synth(synth)
         out20k = work / "out20k"
-        wall20k = _run_once(synth, out20k)
+        wall20k = min(_run_once(synth, out20k) for _ in range(2))
         res20k = validate_asvs(str(out20k / "final_asvs.fasta"), str(REF_ASVS))
         ok20k = len(res20k) >= 8 and all(r.nm == 0 for r in res20k)
         print(
