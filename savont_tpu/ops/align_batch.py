@@ -654,24 +654,9 @@ def align_pairs_nm(
     import os
 
     if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
-        # slabs bound the planning/DP transients (band tables, code pools)
-        # to ~100 MB at any input scale; owners never span slabs, so winner
-        # selection stays slab-local
-        slab = 8192
-        if len(pairs) > slab:
-            out_all: list[Mapping | None] = []
-            for s in range(0, len(pairs), slab):
-                part = _align_pairs_nm_soa(pairs[s : s + slab], band, coords=coords)
-                if part is None:
-                    out_all = None  # type: ignore[assignment]
-                    break
-                out_all.extend(part)
-            if out_all is not None:
-                return out_all
-        else:
-            out = _align_pairs_nm_soa(pairs, band, coords=coords)
-            if out is not None:
-                return out
+        out = _run_soa_slabs(pairs, band, traceback=False, coords=coords)
+        if out is not None:
+            return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs_nm(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)
@@ -682,6 +667,54 @@ def align_pairs_nm(
         if best[o] is None or m.score > best[o].score:
             best[o] = m
     return best
+
+
+def _run_soa_slabs(
+    pairs: list[tuple[bytes, bytes]], band: int | None,
+    traceback: bool, coords: bool = True,
+) -> list[Mapping | None] | None:
+    """Slabbed SoA alignment with a 2-deep slab pipeline.
+
+    Slabs bound the planning/DP transients (band tables, code pools) to
+    ~100 MB at any input scale; owners never span slabs, so winner
+    selection stays slab-local.  Two worker threads overlap one slab's
+    Python planning with the previous slab's native DP/scan calls (which
+    release the GIL); scan scratch is thread-local.  Returns None when the
+    SoA path is unavailable (caller falls back to the AlignJob path)."""
+    import os
+
+    slab = 8192
+    if len(pairs) <= slab:
+        return _align_pairs_nm_soa(pairs, band, traceback=traceback, coords=coords)
+    workers = int(os.environ.get("SAVONT_SLAB_WORKERS", "2"))
+    if workers <= 1:
+        out_seq: list[Mapping | None] = []
+        for s in range(0, len(pairs), slab):
+            part = _align_pairs_nm_soa(
+                pairs[s : s + slab], band, traceback=traceback, coords=coords
+            )
+            if part is None:
+                return None
+            out_seq.extend(part)
+        return out_seq
+    from concurrent.futures import ThreadPoolExecutor
+
+    spans = range(0, len(pairs), slab)
+    out_all: list[Mapping | None] = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [
+            pool.submit(
+                _align_pairs_nm_soa, pairs[s : s + slab], band,
+                traceback=traceback, coords=coords,
+            )
+            for s in spans
+        ]
+        for f in futs:
+            part = f.result()
+            if part is None:
+                return None
+            out_all.extend(part)
+    return out_all
 
 
 def _align_pairs_nm_soa(
@@ -1028,21 +1061,9 @@ def align_pairs(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> li
     objects) with the inter-pair SIMD traceback kernel; falls back to the
     AlignJob path when native libs or packed-key dims are missing.  Both
     produce identical Mappings including CIGARs (tests/test_native.py)."""
-    slab = 8192
-    if len(pairs) > slab:
-        out_all: list[Mapping | None] | None = []
-        for s in range(0, len(pairs), slab):
-            part = _align_pairs_nm_soa(pairs[s : s + slab], band, traceback=True)
-            if part is None:
-                out_all = None
-                break
-            out_all.extend(part)
-        if out_all is not None:
-            return out_all
-    else:
-        out = _align_pairs_nm_soa(pairs, band, traceback=True)
-        if out is not None:
-            return out
+    out = _run_soa_slabs(pairs, band, traceback=True)
+    if out is not None:
+        return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)

@@ -162,21 +162,27 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
     return codes, ph, off
 
 
-_SCRATCH: dict[str, np.ndarray] = {}
+import threading
+
+_SCRATCH_TLS = threading.local()  # per-thread: slab pipelining runs scan
 _CHUNK_CAP = 8 << 20  # max scratch entries per scan chunk (u64 -> 64 MB)
+# kernels concurrently (align_batch), and a shared buffer would race
 
 
 def _scratch(tag: str, n: int, dtype) -> np.ndarray:
     """Reusable scratch buffer: the scan kernels write prefix regions into
     oversized capacity buffers that never escape (outputs are compacted),
     so one warm buffer per tag avoids re-faulting hundreds of MB of fresh
-    pages on every call."""
+    pages on every call.  Thread-local: concurrent callers get their own."""
+    store = getattr(_SCRATCH_TLS, "bufs", None)
+    if store is None:
+        store = _SCRATCH_TLS.bufs = {}
     dt = np.dtype(dtype)
     need = int(n) * dt.itemsize
-    buf = _SCRATCH.get(tag)
+    buf = store.get(tag)
     if buf is None or buf.nbytes < need:
         buf = np.empty(need, dtype=np.uint8)
-        _SCRATCH[tag] = buf
+        store[tag] = buf
     return buf[:need].view(dt)
 
 
