@@ -305,9 +305,9 @@ def refine_asv_depths_with_em(
     nm_all = np.fromiter(
         (m.nm if m is not None else 0 for m in aln_results), np.int64, len(aln_results)
     )
-    rr, aa, nm = cr[ok], ca[ok], nm_all[ok]
+    rr, aa, nm, mm = cr[ok], ca[ok], nm_all[ok], _cm[ok]
     order = np.lexsort((aa, nm, rr))
-    rr, aa, nm = rr[order], aa[order], nm[order]
+    rr, aa, nm, mm = rr[order], aa[order], nm[order], mm[order]
     starts = np.flatnonzero(np.concatenate(([True], rr[1:] != rr[:-1])))
     ends = np.append(starts[1:], len(rr))
     # tied-best prefix per read (rows sorted by nm, then asv, within read)
@@ -326,9 +326,13 @@ def refine_asv_depths_with_em(
         leq_rows = in_best & np.repeat(best_nm_per <= 10, ends - starts)
         leq10 += np.bincount(aa[leq_rows], minlength=len(consensuses))
         cons_ids = [c.id for c in consensuses]
-        bi = np.flatnonzero(in_best)
+        # alignment.rs:1871-1884: up to 5 aligned candidates per read in
+        # ascending-NM order, columns = read, asv, SNPmer mismatches, NM
+        pos_in_seg = np.arange(len(rr)) - np.repeat(starts, ends - starts)
+        bi = np.flatnonzero(pos_in_seg < 5)
         mapping_lines.extend(
-            f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{nm[i]}\n" for i in bi
+            f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{mm[i]}\t{nm[i]}\n"
+            for i in bi
         )
     eq_counts: dict[bytes, int] = {}
     for s, e, bl in zip(starts, ends, best_len):
@@ -359,8 +363,10 @@ def refine_asv_depths_with_em(
 
 
 def _write_read_asv_mappings(path, lines):
-    """temp/read_to_asv_mappings.tsv (alignment.rs:1532-1601):
-    one `read\tasv:<id>\t<best_nm>` row per (read, tied-best ASV)."""
+    """temp/read_to_asv_mappings.tsv.  EM path (alignment.rs:1871-1884):
+    up to 5 aligned candidates per read in ascending-NM order,
+    `read\tasv:<id>\t<snpmer_mismatches>\t<nm>`.  Low-poly path
+    (alignment.rs:1597-1600): `read\tasv:<id>\t<best_nm>` per tied-best."""
     with open(path, "w") as f:
         f.writelines(lines)
 
