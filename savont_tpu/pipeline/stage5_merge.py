@@ -132,6 +132,17 @@ def merge_similar_consensuses(
 
     for c in consensuses:
         c.decompress()
+
+    # alignment.rs:1224-1228: post-dedup snapshot for indexing/debugging
+    from pathlib import Path
+
+    from .outputs import write_consensus_fasta
+
+    write_consensus_fasta(
+        consensuses,
+        Path(args.output_dir) / "temp" / "polished_consensuses.fasta",
+        "polished",
+    )
     index = TargetIndex([c.get_decompressed() for c in consensuses])
 
     # (b) merge low-quality consensuses in (NM <= 10); note the reference
