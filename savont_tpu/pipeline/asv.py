@@ -205,10 +205,6 @@ def _write_simple_clusters(path, clusters):
 
 
 def _write_final_snpmer_clusters(path, clusters, twin_reads):
-    with open(path, "w") as f:
-        for i, c in enumerate(clusters):
-            members = "\n".join(
-                f"{twin_reads[x].id} {twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0}"
-                for x in c
-            )
-            f.write(f"final_cluster_{i}\tsize_{len(c)}\trepresentative_{c[0]}\tmembers\n{members}\n")
+    from .stage23_cluster import write_snpmer_clusters_tsv
+
+    write_snpmer_clusters_tsv(path, clusters, twin_reads)

@@ -536,16 +536,40 @@ def _reassign_reads(
     return out, reassigned
 
 
+def _rust_f64(v) -> str:
+    """Rust f64 Display parity: shortest-roundtrip like Python repr, but
+    integral values print without the trailing .0 (100.0 -> "100")."""
+    s = repr(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+
 def write_snpmer_clusters_tsv(path, clusters, twin_reads, prefix="final_cluster"):
-    """Stage-3 cluster dump format shared by the pre-recluster snapshot and
-    the final stage-3 TSV (asv_cluster.rs debug outputs)."""
+    """Final stage-3 TSV (asv_cluster.rs:779-795): per cluster a header row
+    then one `read_id est_id` line per member."""
     with open(path, "w") as f:
         for i, c in enumerate(clusters):
             members = "\n".join(
-                f"{twin_reads[x].id} {twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0}"
+                f"{twin_reads[x].id} {_rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
                 for x in c
             )
             f.write(f"{prefix}_{i}\tsize_{len(c)}\trepresentative_{c[0]}\tmembers\n{members}\n")
+
+
+def write_prerecluster_tsv(path, groups: dict[int, list[list[int]]]):
+    """snpmer_clusters_before_reclust2.5.tsv (asv_cluster.rs:725-745):
+    header + one row per (kmer cluster, local snpmer cluster) with
+    comma-joined member indices.  The reference iterates an FxHashMap
+    (arbitrary order); we iterate kmer-cluster ids ascending for
+    determinism — row SET is identical."""
+    with open(path, "w") as f:
+        f.write("kmer_cluster_id\tsnpmer_cluster_id\tsize\trepresentative\tmembers\n")
+        for gid in sorted(groups):
+            for local_id, c in enumerate(groups[gid]):
+                if not c:
+                    continue
+                f.write(
+                    f"{gid}\t{local_id}\t{len(c)}\t{c[0]}\t{','.join(map(str, c))}\n"
+                )
 
 
 def cluster_reads_by_snpmers(
@@ -570,11 +594,8 @@ def cluster_reads_by_snpmers(
     n0 = sum(len(v) for v in groups.values())
     log.info("Stage 3 greedy: %d SNPmer clusters in %d k-mer groups", n0, len(groups))
     if temp_dir is not None:
-        pre = [c for g in sorted(groups) for c in groups[g] if c]
-        pre.sort(key=lambda c: (-len(c), c[0]))
-        write_snpmer_clusters_tsv(
-            temp_dir / "snpmer_clusters_before_reclust2.5.tsv", pre, twin_reads,
-            prefix="cluster",
+        write_prerecluster_tsv(
+            temp_dir / "snpmer_clusters_before_reclust2.5.tsv", groups
         )
 
     # iterative reclustering: merge + reassign until no merges.  Per-read
