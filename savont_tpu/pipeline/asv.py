@@ -128,7 +128,11 @@ def run_cluster(args: ClusterArgs) -> Path:
 
     log.info("=== STAGE 4: consensus + polish ===")
     consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)
-    write_consensus_fasta_hpc(consensuses, temp_dir / "consensus_sequences.fasta", "initial")
+    # alignment.rs:399-402 uses the standard writer (decompressed + N-trim
+    # + full debug header) for the initial dump too
+    write_consensus_fasta(consensuses, temp_dir / "consensus_sequences.fasta", "initial")
+    for c in consensuses:
+        c.decompressed = None  # pileups run on the HPC form; drop the cache
     pileups = pileup.generate_consensus_pileups(twin_reads, consensuses, args)
     quality_error_map = pileup.estimate_quality_error_rates(pileups, consensuses, 0.1)
     low_qual = pileup.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)
@@ -186,15 +190,6 @@ def run_cluster(args: ClusterArgs) -> Path:
     write_clusters_tsv(consensuses, twin_reads, out_dir / "final_clusters.tsv", "final")
     log.info("=== SAVONT-TPU COMPLETED in %.1f s: %d ASVs ===", time.time() - t_start, len(consensuses))
     return out_dir
-
-
-def write_consensus_fasta_hpc(consensuses, path, prefix):
-    """Pre-decompression dump of HPC consensus (stage-4 intermediate)."""
-    with open(path, "w") as f:
-        for i, c in enumerate(consensuses):
-            f.write(f">{prefix}_consensus_{i}_depth_{c.depth}\n")
-            f.write(c.sequence.tobytes().decode())
-            f.write("\n")
 
 
 def _write_simple_clusters(path, clusters):

@@ -44,13 +44,15 @@ def write_feature_table(consensuses: list[ConsensusSequence], path, sample_names
 def write_clusters_tsv(
     consensuses: list[ConsensusSequence], twin_reads: list[TwinRead], path, prefix: str
 ) -> None:
+    from .stage23_cluster import _rust_f64
+
     with open(path, "w") as f:
         for c in consensuses:
             if not c.cluster:
                 continue
             rep = c.cluster[0]
             members = "\n".join(
-                f"{twin_reads[x].id} {twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0}"
+                f"{twin_reads[x].id} {_rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
                 for x in c.cluster
             )
             f.write(f"{prefix}_cluster_{c.id}\tsize_{len(c.cluster)}\trepresentative_{rep}\tmembers\n{members}\n")
