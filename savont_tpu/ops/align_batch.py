@@ -73,7 +73,9 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
         for i, x in enumerate(miss):
             if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
                 _QCODE_CACHE.clear()
-            c = codes_cat[off[i] : off[i + 1]]
+            # copy: a view would pin the whole batch concat buffer for the
+            # cache entry's lifetime
+            c = codes_cat[off[i] : off[i + 1]].copy()
             _QCODE_CACHE[items[x]] = c
             out[x] = c
     return out

@@ -58,6 +58,23 @@ def maybe_init_from_env() -> bool:
             num_processes=int(nproc),
             process_id=int(pid),
         )
+    elif coord or nproc or pid:
+        # a partial config silently degrading to single-controller would
+        # leave the other ranks blocked in initialize (or all ranks racing
+        # on the same output dir) — fail loudly instead
+        missing = [
+            name
+            for name, v in (
+                ("SAVONT_COORDINATOR", coord),
+                ("SAVONT_NUM_PROCESSES", nproc),
+                ("SAVONT_PROCESS_ID", pid),
+            )
+            if not v
+        ]
+        raise SystemExit(
+            f"partial multi-host configuration: missing {', '.join(missing)} "
+            "(set all three, or SAVONT_DISTRIBUTED=auto)"
+        )
     else:
         return False
     _INITIALIZED = True

@@ -52,9 +52,20 @@ def run_cluster(args: ClusterArgs) -> Path:
     # short-amplicon runs fit a 64-wide DP corridor (output-identical on the
     # Zymo + 20k/100k synthetic oracles, ~2x less DP work); the operon
     # preset keeps the conservative 128.  SAVONT_DP_BAND pins either way.
+    # The narrowed band is scoped to this pipeline run (restored on exit so
+    # a later classify/validate in the same process keeps its own default).
+    from ..ops import align as _align
     from ..ops.align import set_default_band
 
+    prev_band = _align.DEFAULT_BAND
     set_default_band(64 if args.max_read_length <= 2600 else 128)
+    try:
+        return _run_cluster_inner(args)
+    finally:
+        _align.DEFAULT_BAND = prev_band
+
+
+def _run_cluster_inner(args: ClusterArgs) -> Path:
     out_dir = Path(args.output_dir)
     temp_dir = out_dir / "temp"
     temp_dir.mkdir(parents=True, exist_ok=True)

@@ -33,10 +33,14 @@ log = logging.getLogger("savont")
 # near-identical refs).  Instead refs are kept by minimizer hit count
 # relative to the best candidate: any ref tying at min NM has near-equal
 # identity to the query, so its shared-minimizer count is close to the
-# best's — a 0.5 fraction floor is generous.  MIN_CAND_HITS mirrors
-# minimap2's map-ont min chain count economics.
+# best's.  The fraction floor is deliberately LOW (0.1) — a ref sharing
+# well under half the best's minimizers can still tie at min NM when the
+# best's extra hits sit in a conserved block — and MIN_CAND_HITS mirrors
+# minimap2's map-ont min chain count (the reference's whole-DB mapping is
+# itself seed-gated: a ref with <3 shared seeds gets no minimap2 hit
+# either).  Dropped-by-floor counts are logged; no silent caps.
 MIN_CAND_HITS = 3
-CAND_HIT_FRACTION = 0.5
+CAND_HIT_FRACTION = 0.1
 
 
 class DbMinimizerTable:

@@ -102,13 +102,21 @@ def _vote_consensus(
 
         is_m = ops == 0
         tm, qm, rd = tpos[is_m], qpos[is_m], base_read[is_m]
+        # loud bounds check (the per-read walk raised IndexError on a
+        # malformed CIGAR; the flat gather would silently read a
+        # neighboring read's bases)
+        if len(qm) and bool((qm >= slen[rd]).any()):
+            raise IndexError("CIGAR M run exceeds oriented query length")
         qi = s_off[rd] + qm
         w = qual_cat[qi].astype(np.float64)
         c = code_tab[seq_cat[qi]]
         good = c >= 0
         is_d = ops == 2
         td, rdd = tpos[is_d], base_read[is_d]
-        qd = s_off[rdd] + np.minimum(qpos[is_d], slen[rdd] - 1)
+        # empty-qual reads: slen-1 == -1 would gather the previous read's
+        # last byte; pin to offset 0 (the old per-read code used a fixed
+        # 63.0 — an empty oriented read cannot reach here with M/D ops)
+        qd = s_off[rdd] + np.minimum(qpos[is_d], np.maximum(slen[rdd] - 1, 0))
         wd = qual_cat[qd].astype(np.float64)
 
         base_w.reshape(-1)[:] = np.bincount(

@@ -47,21 +47,30 @@ def _seg_column_counts(mat: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Per-segment column sums of a (Q, A) 0/1 matrix.
 
     Fast path: 1-D np.add.reduceat over 8-column groups viewed as u64
-    byte lanes (valid while every segment is shorter than 256 rows — no
-    byte-lane overflow).  Long segments take a cumsum-diff pass instead.
-    2-D reduceat is pathologically slow (generic per-segment per-column
-    inner loop); both paths here are tight contiguous passes."""
+    byte lanes (valid while a segment is shorter than 256 rows — no
+    byte-lane overflow).  Rows of longer segments are overwritten with an
+    exact per-segment sum.  2-D reduceat is pathologically slow (generic
+    per-segment per-column inner loop); this stays one contiguous pass."""
     q, a = mat.shape
     if q == 0 or len(starts) == 0:
         return np.zeros((len(starts), a), np.int64)
     seg_lens = np.diff(np.append(starts, q))
-    if int(seg_lens.max()) >= 256:
-        cs = np.cumsum(mat, axis=0, dtype=np.int64)
-        ends = np.append(starts[1:], q) - 1
-        out = cs[ends]
-        nz = starts > 0
-        out[nz] -= cs[starts[nz] - 1]
+    long_segs = np.flatnonzero(seg_lens >= 256)
+    if len(long_segs):
+        # byte lanes overflow on long segments; sum those few exactly and
+        # let the fast path fill the rest (reduceat segments are
+        # independent, so overflowed long-segment rows are just overwritten
+        # — never a matrix-wide int64 cumsum, which is an 8x blowup)
+        out = _seg_column_counts_fast(mat, starts, a)
+        ends = np.append(starts[1:], q)
+        for s in long_segs:
+            out[s] = mat[starts[s] : ends[s]].sum(axis=0, dtype=np.int64)
         return out
+    return _seg_column_counts_fast(mat, starts, a)
+
+
+def _seg_column_counts_fast(mat: np.ndarray, starts: np.ndarray, a: int) -> np.ndarray:
+    q = mat.shape[0]
     out = np.empty((len(starts), a), np.int64)
     m8 = mat.astype(np.uint8, copy=False)
     for g in range(0, a, 8):
@@ -306,6 +315,16 @@ def refine_asv_depths_with_em(
         (m.nm if m is not None else 0 for m in aln_results), np.int64, len(aln_results)
     )
     rr, aa, nm, mm = cr[ok], ca[ok], nm_all[ok], _cm[ok]
+    if len(rr) == 0:
+        # no read has an aligned candidate (possible per-sample when one
+        # file's reads all fail candidate selection); the caller guards
+        # total == 0
+        if sample_filter is None:
+            _write_read_asv_mappings(
+                Path(args.output_dir) / "temp" / "read_to_asv_mappings.tsv", []
+            )
+        log.info("Stage 7: 0 reads assigned, %d filtered, 0 eq classes", len(read_list))
+        return consensuses, eq_classes, 0
     order = np.lexsort((aa, nm, rr))
     rr, aa, nm, mm = rr[order], aa[order], nm[order], mm[order]
     starts = np.flatnonzero(np.concatenate(([True], rr[1:] != rr[:-1])))
