@@ -84,3 +84,48 @@ def test_em_jax_matches_numpy():
         )
     )
     assert np.allclose(ref, got, atol=2e-5)
+
+
+def test_refine_em_no_aligned_candidates(tmp_path):
+    """A read set where NO read has an aligned candidate (e.g. a per-sample
+    pass over a file whose reads fail SNPmer candidate selection) must
+    return total=0 instead of crashing (regression: empty-array indexing
+    in the vectorized tie-break)."""
+    import numpy as np
+
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.core import ConsensusSequence, KmerGlobalInfo, TwinRead
+    from savont_tpu.pipeline.stage7_em import refine_asv_depths_with_em
+
+    args = ClusterArgs(input_files=["x"], output_dir=str(tmp_path), threads=1)
+    (tmp_path / "temp").mkdir(parents=True, exist_ok=True)
+    # one consensus, reads with zero snpmers/minimizers -> zero candidates
+    seq = np.frombuffer(b"ACGT" * 50, np.uint8).copy()
+    cons = ConsensusSequence(
+        sequence=seq, hp_lengths=np.ones(len(seq), np.uint8),
+        depth=1, id=0, cluster=[0],
+    )
+    reads = [
+        TwinRead(
+            id=f"r{i}", base_id=f"r{i}",
+            codes=np.zeros(60, np.uint8), k=17, l=3,
+            snp_pos=np.zeros(0, np.uint32), snp_kmers_all=np.zeros(0, np.uint64),
+            mini_pos=np.zeros(0, np.uint32), mini_kmers_all=np.zeros(0, np.uint64),
+        )
+        for i in range(3)
+    ]
+    ki = KmerGlobalInfo(
+        snpmer_info=[], high_freq_kmers=np.zeros(0, np.uint64),
+        high_freq_thresh=0.0, read_files=["x"],
+    )
+
+    def build_asv_trs():
+        tr = TwinRead(
+            id="a0", base_id="a0", codes=np.zeros(60, np.uint8), k=17, l=3,
+            snp_pos=np.zeros(0, np.uint32), snp_kmers_all=np.zeros(0, np.uint64),
+            mini_pos=np.zeros(0, np.uint32), mini_kmers_all=np.zeros(0, np.uint64),
+        )
+        return [tr]
+
+    out, eq, total = refine_asv_depths_with_em(reads, [cons], ki, args, build_asv_trs)
+    assert total == 0 and eq == {}
