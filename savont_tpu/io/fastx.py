@@ -13,7 +13,7 @@ import os
 from dataclasses import dataclass
 
 
-@dataclass
+@dataclass(slots=True)
 class FastxRecord:
     id: str  # full header line without '>'/'@'
     seq: bytes

@@ -82,7 +82,7 @@ def cigar_lens_ops(cigar) -> tuple[np.ndarray, np.ndarray]:
     return (c >> np.uint32(4)).astype(np.int64), (c & np.uint32(0xF)).astype(np.int8)
 
 
-@dataclass
+@dataclass(slots=True)
 class Mapping:
     """One alignment hit (the fields the reference consumes from minimap2)."""
 

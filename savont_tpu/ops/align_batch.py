@@ -81,7 +81,7 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
     return out
 
 
-@dataclass
+@dataclass(slots=True)
 class AlignJob:
     """One planned banded alignment (post seeding/chaining)."""
 
