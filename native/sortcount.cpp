@@ -44,8 +44,13 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
     if (v > maxbare)
       maxbare = v;
   }
+  // 11-bit digits: 4 passes cover the 43-bit bare-kmer range (vs 6 with
+  // 8-bit digits) — each pass is two full passes over the data, so fewer
+  // digit passes is a direct bandwidth win
+  constexpr int RB = 11;
+  constexpr int NB = 1 << RB;
   int passes = 1;
-  while (passes < 8 && (maxbare >> (8 * passes)))
+  while (passes < (64 + RB - 1) / RB && (maxbare >> (RB * passes)))
     passes++;
 
   // chunking: fixed per-thread ranges shared by histogram + scatter
@@ -53,31 +58,31 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
   for (int t = 0; t <= threads; t++)
     lo[t] = n * t / threads;
 
-  std::vector<int64_t> hist((size_t)threads * 256);
+  std::vector<int64_t> hist((size_t)threads * NB);
   for (int p = 0; p < passes; p++) {
-    int shift = 8 * p;
+    int shift = RB * p;
     std::memset(hist.data(), 0, hist.size() * sizeof(int64_t));
 #pragma omp parallel num_threads(threads)
     {
       int t = omp_get_thread_num();
-      int64_t *h = &hist[(size_t)t * 256];
+      int64_t *h = &hist[(size_t)t * NB];
       for (int64_t i = lo[t]; i < lo[t + 1]; i++)
-        h[((src[i] & BARE_MASK) >> shift) & 255]++;
+        h[((src[i] & BARE_MASK) >> shift) & (NB - 1)]++;
     }
     // bucket-major exclusive scan: offset for (bucket, thread)
     int64_t run = 0;
-    for (int bkt = 0; bkt < 256; bkt++)
+    for (int bkt = 0; bkt < NB; bkt++)
       for (int t = 0; t < threads; t++) {
-        int64_t c = hist[(size_t)t * 256 + bkt];
-        hist[(size_t)t * 256 + bkt] = run;
+        int64_t c = hist[(size_t)t * NB + bkt];
+        hist[(size_t)t * NB + bkt] = run;
         run += c;
       }
 #pragma omp parallel num_threads(threads)
     {
       int t = omp_get_thread_num();
-      int64_t *off = &hist[(size_t)t * 256];
+      int64_t *off = &hist[(size_t)t * NB];
       for (int64_t i = lo[t]; i < lo[t + 1]; i++)
-        dst[off[((src[i] & BARE_MASK) >> shift) & 255]++] = src[i];
+        dst[off[((src[i] & BARE_MASK) >> shift) & (NB - 1)]++] = src[i];
     }
     uint64_t *tmp = src;
     src = dst;
@@ -152,37 +157,39 @@ extern "C" void radix_sort_u64(uint64_t *keys, int64_t n, int threads) {
   for (int64_t i = 0; i < n; i++)
     if (src[i] > maxv)
       maxv = src[i];
+  constexpr int RB = 11;  // 11-bit digits: ~50-bit anchor keys in 5 passes
+  constexpr int NB = 1 << RB;
   int passes = 1;
-  while (passes < 8 && (maxv >> (8 * passes)))
+  while (passes < (64 + RB - 1) / RB && (maxv >> (RB * passes)))
     passes++;
 
   std::vector<int64_t> lo(threads + 1);
   for (int t = 0; t <= threads; t++)
     lo[t] = n * t / threads;
-  std::vector<int64_t> hist((size_t)threads * 256);
+  std::vector<int64_t> hist((size_t)threads * NB);
   for (int p = 0; p < passes; p++) {
-    int shift = 8 * p;
+    int shift = RB * p;
     std::memset(hist.data(), 0, hist.size() * sizeof(int64_t));
 #pragma omp parallel num_threads(threads)
     {
       int t = omp_get_thread_num();
-      int64_t *h = &hist[(size_t)t * 256];
+      int64_t *h = &hist[(size_t)t * NB];
       for (int64_t i = lo[t]; i < lo[t + 1]; i++)
-        h[(src[i] >> shift) & 255]++;
+        h[(src[i] >> shift) & (NB - 1)]++;
     }
     int64_t run = 0;
-    for (int bkt = 0; bkt < 256; bkt++)
+    for (int bkt = 0; bkt < NB; bkt++)
       for (int t = 0; t < threads; t++) {
-        int64_t c = hist[(size_t)t * 256 + bkt];
-        hist[(size_t)t * 256 + bkt] = run;
+        int64_t c = hist[(size_t)t * NB + bkt];
+        hist[(size_t)t * NB + bkt] = run;
         run += c;
       }
 #pragma omp parallel num_threads(threads)
     {
       int t = omp_get_thread_num();
-      int64_t *off = &hist[(size_t)t * 256];
+      int64_t *off = &hist[(size_t)t * NB];
       for (int64_t i = lo[t]; i < lo[t + 1]; i++)
-        dst[off[(src[i] >> shift) & 255]++] = src[i];
+        dst[off[(src[i] >> shift) & (NB - 1)]++] = src[i];
     }
     uint64_t *tmp = src;
     src = dst;
