@@ -215,3 +215,15 @@ class ConsensusSequence:
         if self.decompressed is None:
             self.decompress()
         return self.decompressed
+
+    def peek_decompressed(self) -> np.ndarray:
+        """Decompressed sequence WITHOUT caching it on the object — for
+        writers that run mid-pipeline, before the HPC form is final (the
+        reference clones before decompressing, alignment.rs:831-832)."""
+        if self.decompressed is not None:
+            return self.decompressed
+        full = homopolymer_decompress(self.sequence, self.hp_lengths)
+        non_n = np.flatnonzero(full != ord("N"))
+        if len(non_n):
+            full = full[non_n[0] : non_n[-1] + 1]
+        return full

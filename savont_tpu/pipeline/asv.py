@@ -140,10 +140,9 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
     log.info("=== STAGE 4: consensus + polish ===")
     consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)
     # alignment.rs:399-402 uses the standard writer (decompressed + N-trim
-    # + full debug header) for the initial dump too
+    # + full debug header) for the initial dump too (the writer peeks, so
+    # the pileup stage still sees the uncached HPC form)
     write_consensus_fasta(consensuses, temp_dir / "consensus_sequences.fasta", "initial")
-    for c in consensuses:
-        c.decompressed = None  # pileups run on the HPC form; drop the cache
     pileups = pileup.generate_consensus_pileups(twin_reads, consensuses, args)
     quality_error_map = pileup.estimate_quality_error_rates(pileups, consensuses, 0.1)
     low_qual = pileup.analyze_pileup_consensuses(pileups, consensuses, quality_error_map, args)

@@ -6,6 +6,13 @@ from __future__ import annotations
 from ..core import ConsensusSequence, TwinRead
 
 
+def rust_f64(v) -> str:
+    """Rust f64 Display parity: shortest-roundtrip like Python repr, but
+    integral values print without the trailing .0 (100.0 -> "100")."""
+    s = repr(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+
 def consensus_header(prefix: str, i: int, c: ConsensusSequence) -> str:
     if c.per_sample_depths:
         depth_field = "-".join(str(d) for d in c.per_sample_depths)
@@ -23,7 +30,9 @@ def consensus_header(prefix: str, i: int, c: ConsensusSequence) -> str:
 def write_consensus_fasta(consensuses: list[ConsensusSequence], path, prefix: str) -> None:
     with open(path, "w") as f:
         for i, c in enumerate(consensuses):
-            seq = c.get_decompressed()
+            # peek: writers must not cache decompression mid-pipeline (the
+            # HPC form may still change; the reference clones first)
+            seq = c.peek_decompressed()
             f.write(f">{consensus_header(prefix, i, c)}\n")
             f.write(seq.tobytes().decode())
             f.write("\n")
@@ -44,15 +53,13 @@ def write_feature_table(consensuses: list[ConsensusSequence], path, sample_names
 def write_clusters_tsv(
     consensuses: list[ConsensusSequence], twin_reads: list[TwinRead], path, prefix: str
 ) -> None:
-    from .stage23_cluster import _rust_f64
-
     with open(path, "w") as f:
         for c in consensuses:
             if not c.cluster:
                 continue
             rep = c.cluster[0]
             members = "\n".join(
-                f"{twin_reads[x].id} {_rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
+                f"{twin_reads[x].id} {rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
                 for x in c.cluster
             )
             f.write(f"{prefix}_cluster_{c.id}\tsize_{len(c.cluster)}\trepresentative_{rep}\tmembers\n{members}\n")

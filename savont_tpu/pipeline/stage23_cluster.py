@@ -536,20 +536,15 @@ def _reassign_reads(
     return out, reassigned
 
 
-def _rust_f64(v) -> str:
-    """Rust f64 Display parity: shortest-roundtrip like Python repr, but
-    integral values print without the trailing .0 (100.0 -> "100")."""
-    s = repr(float(v))
-    return s[:-2] if s.endswith(".0") else s
-
-
 def write_snpmer_clusters_tsv(path, clusters, twin_reads, prefix="final_cluster"):
     """Final stage-3 TSV (asv_cluster.rs:779-795): per cluster a header row
     then one `read_id est_id` line per member."""
+    from .outputs import rust_f64
+
     with open(path, "w") as f:
         for i, c in enumerate(clusters):
             members = "\n".join(
-                f"{twin_reads[x].id} {_rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
+                f"{twin_reads[x].id} {rust_f64(twin_reads[x].est_id if twin_reads[x].est_id is not None else 100.0)}"
                 for x in c
             )
             f.write(f"{prefix}_{i}\tsize_{len(c)}\trepresentative_{c[0]}\tmembers\n{members}\n")

@@ -105,7 +105,7 @@ def _vote_consensus(
         # loud bounds check (the per-read walk raised IndexError on a
         # malformed CIGAR; the flat gather would silently read a
         # neighboring read's bases)
-        if len(qm) and bool((qm >= slen[rd]).any()):
+        if bool((qm >= slen[rd]).any()):
             raise IndexError("CIGAR M run exceeds oriented query length")
         qi = s_off[rd] + qm
         w = qual_cat[qi].astype(np.float64)

@@ -347,7 +347,7 @@ def refine_asv_depths_with_em(
         cons_ids = [c.id for c in consensuses]
         # alignment.rs:1871-1884: up to 5 aligned candidates per read in
         # ascending-NM order, columns = read, asv, SNPmer mismatches, NM
-        pos_in_seg = np.arange(len(rr)) - np.repeat(starts, ends - starts)
+        pos_in_seg = np.arange(len(rr)) - starts[seg_id]
         bi = np.flatnonzero(pos_in_seg < 5)
         mapping_lines.extend(
             f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{mm[i]}\t{nm[i]}\n"
