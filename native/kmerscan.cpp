@@ -553,14 +553,28 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
                 checked++;
                 const int64_t c = hc.second;
                 const std::vector<uint64_t>& rep = rep_sets[c];
-                int64_t count = 0;
-                if (!rep.empty() && !read_set.empty()) {
-                    for (uint64_t v : read_set)
-                        if (std::binary_search(rep.begin(), rep.end(), v)) count++;
-                }
                 const int64_t denom =
                     std::max((int64_t)read_set.size(), rep_vec_len[c]);
                 if (denom == 0) continue;
+                // exact upper bound on the intersection: if it cannot
+                // STRICTLY beat the running best (the update is >), skip
+                // the merge — candidates are hit-sorted, so the best is
+                // usually found first
+                const int64_t ub =
+                    std::min((int64_t)read_set.size(), (int64_t)rep.size());
+                if (ub * best_d <= best_c * denom) continue;
+                // sorted-set intersection by two-pointer merge (both sides
+                // sorted+unique): O(n+m) vs n*log m binary searches
+                int64_t count = 0;
+                {
+                    auto a = read_set.begin(), ae = read_set.end();
+                    auto b = rep.begin(), be = rep.end();
+                    while (a != ae && b != be) {
+                        if (*a < *b) ++a;
+                        else if (*b < *a) ++b;
+                        else { count++; ++a; ++b; }
+                    }
+                }
                 if (count * best_d > best_c * denom) {  // sim > best_sim
                     best_c = count;
                     best_d = denom;
