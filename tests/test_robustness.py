@@ -82,3 +82,13 @@ def test_missing_input_file_cli():
     from savont_tpu.cli import main
 
     assert main(["asv", "/nonexistent/file.fq.gz", "-o", "/tmp/x"]) == 1
+
+
+def test_markdown_help(capsys):
+    """--markdown-help prints markdown CLI docs and returns 0 (cli.rs:175,
+    the hidden clap-markdown flag)."""
+    from savont_tpu.cli import main
+
+    assert main(["--markdown-help"]) in (0, None)
+    out = capsys.readouterr().out
+    assert "# " in out and "asv" in out and "classify" in out
