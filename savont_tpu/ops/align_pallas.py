@@ -27,7 +27,7 @@ from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -20000
 PAIR_BLOCK = 128  # pairs per grid step (lane dimension)
-UNROLL = 4  # rows per fori_loop iteration (row count host-padded to a multiple)
+UNROLL = 8  # rows per fori_loop iteration (row count host-padded to a multiple)
 
 
 def _sub_shift_down(x, fill):
@@ -134,6 +134,12 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
     P = PAIR_BLOCK
     jrow = lax.broadcasted_iota(jnp.int32, (band, P), 0)
     tlen = tlen_ref[0, :][None, :]
+    # loop-invariant roll-validity masks for the E prefix scan
+    scan_masks = {}
+    shift = 1
+    while shift < band:
+        scan_masks[shift] = jrow >= shift
+        shift *= 2
 
     def body(r, carry):
         H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = carry
@@ -181,8 +187,7 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         while shift < band:
             rv = pltpu.roll(sv, shift, axis=0)
             rm = pltpu.roll(sm, shift, axis=0)
-            valid_src = jrow >= shift
-            rv = jnp.where(valid_src, rv, NEG)
+            rv = jnp.where(scan_masks[shift], rv, NEG)
             take_cur = sv >= rv
             sv = jnp.where(take_cur, sv, rv)
             sm = jnp.where(take_cur, sm, rm)

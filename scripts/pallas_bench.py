@@ -56,7 +56,7 @@ def main() -> int:
         "pairs_per_s": round(B / best, 1),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
-        "unroll": 4,
+        "unroll": 8,
     }
     with open(REPO / "PALLAS_BENCH.json", "a") as f:
         f.write(json.dumps(rec) + "\n")
