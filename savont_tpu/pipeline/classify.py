@@ -47,13 +47,21 @@ class DbMinimizerTable:
     """Flat sorted minimizer table over database sequences."""
 
     def __init__(self, seqs: list[bytes], w: int = 10, k: int = 15):
+        from ..ops.align import _window_minimizers_numpy
+        from ..ops.kmers_native import get_scan_lib, window_minimizers_native
+
         self.w, self.k = w, k
-        hashes = []
-        ids = []
-        for i, s in enumerate(seqs):
-            h, _, _ = _window_minimizers(ascii_to_align_codes(s), w, k)
-            hashes.append(h)
-            ids.append(np.full(len(h), i, dtype=np.int32))
+        # one native batch scan over the whole DB (a SILVA-scale DB is
+        # 100k+ refs; per-ref calls were 100k+ ctypes round trips).
+        # Deliberately uncached: DB refs are one-shot here and would evict
+        # the read-minimizer working set.
+        codes = [ascii_to_align_codes(s) for s in seqs]
+        if codes and get_scan_lib() is not None:
+            per_ref = window_minimizers_native(codes, k, w)
+        else:
+            per_ref = [_window_minimizers_numpy(c, w, k) for c in codes]
+        hashes = [m[0] for m in per_ref]
+        ids = [np.full(len(m[0]), i, dtype=np.int32) for i, m in enumerate(per_ref)]
         self.hashes = np.concatenate(hashes) if hashes else np.zeros(0, U64)
         self.ids = np.concatenate(ids) if ids else np.zeros(0, np.int32)
         order = np.argsort(self.hashes, kind="stable")
