@@ -11,6 +11,9 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -336,9 +339,375 @@ struct NmScratch {
     // planes [band+1][PBLK] (one slot of padding so up() at j = band-1 can
     // read a fill slot instead of branching)
     std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
-    std::vector<int16_t> Gr, nmg, qsg, tsg, tc;
+    std::vector<int16_t> nmg, qsg, tsg, tc;
     std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
 };
+
+// Fused F/G + E-prefix row pass (vertical across lanes).  G and its
+// metadata live in registers between the two halves — the Gr plane is never
+// materialized.  The E prefix (run_*) is sequential in j, so the loop keeps
+// ascending-j order; every int16 op of the original two-pass form is
+// preserved, so results stay bit-identical.
+template <bool COORDS>
+inline void fused_row_pass_scalar(
+    NmScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    int16_t* bv, int16_t* bqs, int16_t* bts,
+    int16_t* bqe, int16_t* bte, int16_t* bnm) {
+    const int stride = PBLK;
+    const int16_t* __restrict Hb = sc.H.data();
+    const int16_t* __restrict Fb = sc.F.data();
+    const int16_t* __restrict nmhb = sc.nmh.data();
+    const int16_t* __restrict qshb = sc.qsh.data();
+    const int16_t* __restrict tshb = sc.tsh.data();
+    const int16_t* __restrict nmfb = sc.nmf.data();
+    const int16_t* __restrict qsfb = sc.qsf.data();
+    const int16_t* __restrict tsfb = sc.tsf.data();
+    int16_t* __restrict nmgb = sc.nmg.data();
+    int16_t* __restrict qsgb = sc.qsg.data();
+    int16_t* __restrict tsgb = sc.tsg.data();
+    int16_t* __restrict Hnb = sc.Hn.data();
+    int16_t* __restrict Fnb = sc.Fn.data();
+    int16_t* __restrict nmfnb = sc.nmhn.data();  // temp F meta
+    int16_t* __restrict qsfnb = sc.qshn.data();
+    int16_t* __restrict tsfnb = sc.tshn.data();
+    const int16_t* __restrict tcb = sc.tc.data();
+    int16_t run_v[PBLK], run_nm[PBLK], run_qs[PBLK], run_ts[PBLK];
+    for (int p = 0; p < PBLK; p++) {
+        run_v[p] = NEG; run_nm[p] = 0; run_qs[p] = 0; run_ts[p] = 0;
+    }
+    for (int32_t j = 0; j < band; j++) {
+        const size_t o0 = (size_t)j * stride;
+        const size_t o1 = o0 + stride;
+        const size_t om = (j > 0) ? o0 - stride : 0;
+        const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int p = 0; p < PBLK; p++) {
+            // all-int16 mask arithmetic: sel(m,a,b) = b ^ ((a^b)&m)
+            const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
+            const int16_t col = (int16_t)(lrow16[p] + j);
+            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+            const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
+            const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], nmhb[o0 + p]);
+            const int16_t nmf_up = SEL16(md1, nmfb[o1 + p], nmfb[o0 + p]);
+            // diag = previous row, column j + dl - 1; at j = 0 with
+            // dl = 0, the free zero boundary applies only at col 0
+            const int16_t mdiag = (int16_t)(md1 | mjpos);
+            const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
+            const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
+            const int16_t nmd0 = SEL16(md1, nmhb[o0 + p], nmhb[om + p]);
+            const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
+            const int16_t nmd = (int16_t)(mdiag & nmd0);
+            const int16_t tcv = tcb[o0 + p];
+            const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
+            const int16_t s = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
+            // F: prefer H-origin on ties
+            const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
+            const int16_t mfh = (int16_t)-(int16_t)(hgo >= Fup);
+            int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
+            f = std::max<int16_t>(f, (int16_t)NEG);
+            const int16_t nmf_n = (int16_t)(SEL16(mfh, nmh_up, nmf_up) + 1);
+            // G: priority zero > F > diag
+            const int16_t gd = (int16_t)(Hdiag + s);
+            const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
+            const int16_t mgz = (int16_t)-(int16_t)(g == 0);
+            const int16_t mgf = (int16_t)(~mgz & (int16_t)-(int16_t)(g == f));
+            const int16_t nmdm = (int16_t)(nmd + (int16_t)(~mmatch & 1));
+            const int16_t nmg_v = (int16_t)(~mgz & SEL16(mgf, nmf_n, nmdm));
+            Fnb[o0 + p] = f;
+            nmfnb[o0 + p] = nmf_n;
+            // E prefix + H + best (same-row consumption of g/nmg_v)
+            int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
+            e = std::max<int16_t>(e, (int16_t)NEG);
+            e = SEL16(mjpos, e, (int16_t)NEG);
+            const int16_t nme = (int16_t)(mjpos & (int16_t)(run_nm[p] + j));
+            const int16_t mg = (int16_t)-(int16_t)(g >= e);
+            const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
+            const int16_t h0 = SEL16(mg, g, e);
+            const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
+            const int16_t nmh_n = SEL16(mg, nmg_v, nme);
+            Hnb[o0 + p] = h;
+            // the G meta plane holds H meta (consumed next row)
+            nmgb[o0 + p] = nmh_n;
+            // prefix update with A = G + ext*j, ties -> larger j
+            const int16_t cand = (int16_t)(g + GAP_EXT * j);
+            const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
+            run_v[p] = SEL16(mtake, cand, run_v[p]);
+            run_nm[p] = SEL16(mtake, (int16_t)(nmg_v - j), run_nm[p]);
+            // per-lane best (strict >: earliest row, lowest j wins)
+            const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
+            bv[p] = SEL16(mb, h, bv[p]);
+            bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
+            bte[p] = SEL16(mb, (int16_t)(col + 1), bte[p]);
+            bnm[p] = SEL16(mb, nmh_n, bnm[p]);
+            if constexpr (COORDS) {
+                const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
+                const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
+                const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
+                const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
+                const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
+                const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
+                const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
+                const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
+                const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
+                const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
+                const int16_t qsg_v = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
+                const int16_t tsg_v = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
+                qsfnb[o0 + p] = qsf_n;
+                tsfnb[o0 + p] = tsf_n;
+                const int16_t qse = (int16_t)(mjpos & run_qs[p]);
+                const int16_t tse = (int16_t)(mjpos & run_ts[p]);
+                const int16_t qsh_n = SEL16(mg, qsg_v, qse);
+                const int16_t tsh_n = SEL16(mg, tsg_v, tse);
+                qsgb[o0 + p] = qsh_n;
+                tsgb[o0 + p] = tsh_n;
+                run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
+                run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
+                bqs[p] = SEL16(mb, qsh_n, bqs[p]);
+                bts[p] = SEL16(mb, tsh_n, bts[p]);
+            }
+        }
+    }
+}
+
+#if defined(__AVX512BW__)
+// AVX-512BW specialization of the fused row pass.  One zmm register holds
+// all PBLK = 32 int16 lanes, masks live in k-registers (vpcmpw + vpblendmw
+// instead of materialized -1/0 int16 masks), and the j/j±1 plane rows roll
+// through registers so each plane is loaded once per iteration.  Every
+// operation maps 1:1 onto the scalar form above (same int16 wrapping
+// arithmetic, same select semantics), so results are bit-identical; the
+// scalar form remains the portable fallback and the readable reference.
+static_assert(PBLK == 32, "one zmm of int16 lanes");
+
+template <bool COORDS>
+inline void fused_row_pass_avx512(
+    NmScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    int16_t* bv, int16_t* bqs, int16_t* bts,
+    int16_t* bqe, int16_t* bte, int16_t* bnm) {
+    const int stride = PBLK;
+    const int16_t* Hb = sc.H.data();
+    const int16_t* Fb = sc.F.data();
+    const int16_t* nmhb = sc.nmh.data();
+    const int16_t* nmfb = sc.nmf.data();
+    const int16_t* qshb = sc.qsh.data();
+    const int16_t* tshb = sc.tsh.data();
+    const int16_t* qsfb = sc.qsf.data();
+    const int16_t* tsfb = sc.tsf.data();
+    int16_t* nmgb = sc.nmg.data();
+    int16_t* qsgb = sc.qsg.data();
+    int16_t* tsgb = sc.tsg.data();
+    int16_t* Hnb = sc.Hn.data();
+    int16_t* Fnb = sc.Fn.data();
+    int16_t* nmfnb = sc.nmhn.data();
+    int16_t* qsfnb = sc.qshn.data();
+    int16_t* tsfnb = sc.tshn.data();
+    const int16_t* tcb = sc.tc.data();
+
+    auto LDU = [stride](const int16_t* p, int32_t j) {
+        return _mm512_loadu_si512((const void*)(p + (size_t)j * stride));
+    };
+    auto STU = [stride](int16_t* p, int32_t j, __m512i v) {
+        _mm512_storeu_si512((void*)(p + (size_t)j * stride), v);
+    };
+
+    const __m512i vneg = _mm512_set1_epi16((short)NEG);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi16(1);
+    const __m512i vfour = _mm512_set1_epi16(4);
+    const __m512i vmatch = _mm512_set1_epi16((short)MATCH);
+    const __m512i vmism = _mm512_set1_epi16((short)MISMATCH);
+    const __m512i vgo = _mm512_set1_epi16((short)GAP_OPEN);
+    const __m512i vge = _mm512_set1_epi16((short)GAP_EXT);
+    const __m512i vr = _mm512_set1_epi16((short)r);
+    const __m512i vrm1 = _mm512_set1_epi16((short)(r - 1));
+    const __m512i vqc = _mm512_loadu_si512((const void*)qc);
+    const __m512i vdl = _mm512_loadu_si512((const void*)dl);
+    const __m512i vtlen = _mm512_loadu_si512((const void*)tlen16);
+    const __mmask32 kd1 = _mm512_cmpeq_epi16_mask(vdl, vone);
+
+    __m512i vrunv = vneg, vrunnm = vzero, vrunqs = vzero, vrunts = vzero;
+    __m512i vbv = _mm512_loadu_si512((const void*)bv);
+    __m512i vbqe = _mm512_loadu_si512((const void*)bqe);
+    __m512i vbte = _mm512_loadu_si512((const void*)bte);
+    __m512i vbnm = _mm512_loadu_si512((const void*)bnm);
+    __m512i vbqs = vzero, vbts = vzero;
+    if constexpr (COORDS) {
+        vbqs = _mm512_loadu_si512((const void*)bqs);
+        vbts = _mm512_loadu_si512((const void*)bts);
+    }
+
+    // rolling plane rows: P = j-1, C = j, N = j+1
+    __m512i hC = LDU(Hb, 0), hN = LDU(Hb, 1), hP = hC;
+    __m512i fC = LDU(Fb, 0), fN = LDU(Fb, 1);
+    __m512i nhC = LDU(nmhb, 0), nhN = LDU(nmhb, 1), nhP = nhC;
+    __m512i nfC = LDU(nmfb, 0), nfN = LDU(nmfb, 1);
+    __m512i qshC = vzero, qshN = vzero, qshP = vzero;
+    __m512i tshC = vzero, tshN = vzero, tshP = vzero;
+    __m512i qsfC = vzero, qsfN = vzero, tsfC = vzero, tsfN = vzero;
+    if constexpr (COORDS) {
+        qshC = LDU(qshb, 0); qshN = LDU(qshb, 1); qshP = qshC;
+        tshC = LDU(tshb, 0); tshN = LDU(tshb, 1); tshP = tshC;
+        qsfC = LDU(qsfb, 0); qsfN = LDU(qsfb, 1);
+        tsfC = LDU(tsfb, 0); tsfN = LDU(tsfb, 1);
+    }
+    __m512i vcol = _mm512_loadu_si512((const void*)lrow16);  // lrow + j
+    __m512i vextj = vzero;                                   // GAP_EXT * j
+    __m512i vnmj = vzero;                                    // j
+
+    for (int32_t j = 0; j < band; j++) {
+        if (j > 0) {
+            hP = hC; hC = hN; hN = LDU(Hb, j + 1);
+            nhP = nhC; nhC = nhN; nhN = LDU(nmhb, j + 1);
+            fC = fN; fN = LDU(Fb, j + 1);
+            nfC = nfN; nfN = LDU(nmfb, j + 1);
+            if constexpr (COORDS) {
+                qshP = qshC; qshC = qshN; qshN = LDU(qshb, j + 1);
+                tshP = tshC; tshC = tshN; tshN = LDU(tshb, j + 1);
+                qsfC = qsfN; qsfN = LDU(qsfb, j + 1);
+                tsfC = tsfN; tsfN = LDU(tsfb, j + 1);
+            }
+            vcol = _mm512_add_epi16(vcol, vone);
+            vextj = _mm512_add_epi16(vextj, vge);
+            vnmj = _mm512_add_epi16(vnmj, vone);
+        }
+        const __m512i vHup = _mm512_mask_blend_epi16(kd1, hC, hN);
+        const __m512i vFup = _mm512_mask_blend_epi16(kd1, fC, fN);
+        const __m512i vnmhu = _mm512_mask_blend_epi16(kd1, nhC, nhN);
+        const __m512i vnmfu = _mm512_mask_blend_epi16(kd1, nfC, nfN);
+        const __m512i vHd0 = _mm512_mask_blend_epi16(kd1, hP, hC);
+        const __m512i vnmd0 = _mm512_mask_blend_epi16(kd1, nhP, nhC);
+        __m512i vHdiag, vnmd;
+        __mmask32 kedge = 0;
+        if (j > 0) {  // mdiag = all-ones: diag reads go straight through
+            vHdiag = vHd0;
+            vnmd = vnmd0;
+        } else {  // mdiag = kd1; medge = ~kd1 & (col == 0)
+            const __mmask32 kcol0 = _mm512_cmpeq_epi16_mask(vcol, vzero);
+            kedge = _kandn_mask32(kd1, kcol0);
+            vHdiag = _mm512_mask_blend_epi16(
+                kd1, _mm512_maskz_mov_epi16(_knot_mask32(kedge), vneg), vHd0);
+            vnmd = _mm512_maskz_mov_epi16(kd1, vnmd0);
+        }
+        const __m512i vtc = LDU(tcb, j);
+        const __mmask32 kmm = _kand_mask32(
+            _mm512_cmpeq_epi16_mask(vtc, vqc),
+            _kand_mask32(_mm512_cmplt_epi16_mask(vqc, vfour),
+                         _mm512_cmplt_epi16_mask(vtc, vfour)));
+        const __m512i vs = _mm512_mask_blend_epi16(kmm, vmism, vmatch);
+        const __m512i vhgo = _mm512_sub_epi16(vHup, vgo);
+        const __mmask32 kfh =
+            _mm512_cmp_epi16_mask(vFup, vhgo, _MM_CMPINT_LE);  // hgo >= Fup
+        __m512i vf = _mm512_sub_epi16(_mm512_max_epi16(vhgo, vFup), vge);
+        vf = _mm512_max_epi16(vf, vneg);
+        const __m512i vnmfn =
+            _mm512_add_epi16(_mm512_mask_blend_epi16(kfh, vnmfu, vnmhu), vone);
+        const __m512i vgd = _mm512_add_epi16(vHdiag, vs);
+        const __m512i vg = _mm512_max_epi16(_mm512_max_epi16(vzero, vgd), vf);
+        const __mmask32 kgz = _mm512_cmpeq_epi16_mask(vg, vzero);
+        const __mmask32 kgf =
+            _kandn_mask32(kgz, _mm512_cmpeq_epi16_mask(vg, vf));
+        const __m512i vnmdm = _mm512_add_epi16(
+            vnmd, _mm512_maskz_mov_epi16(_knot_mask32(kmm), vone));
+        const __m512i vnmg = _mm512_maskz_mov_epi16(
+            _knot_mask32(kgz), _mm512_mask_blend_epi16(kgf, vnmdm, vnmfn));
+        STU(Fnb, j, vf);
+        STU(nmfnb, j, vnmfn);
+        // E prefix + H + best
+        __m512i ve, vnme;
+        if (j > 0) {
+            ve = _mm512_sub_epi16(vrunv, _mm512_add_epi16(vgo, vextj));
+            ve = _mm512_max_epi16(ve, vneg);
+            vnme = _mm512_add_epi16(vrunnm, vnmj);
+        } else {
+            ve = vneg;
+            vnme = vzero;
+        }
+        const __mmask32 kg =
+            _mm512_cmp_epi16_mask(ve, vg, _MM_CMPINT_LE);  // g >= e
+        const __mmask32 kvalid = _mm512_cmplt_epi16_mask(vcol, vtlen);
+        const __m512i vh0 = _mm512_mask_blend_epi16(kg, ve, vg);
+        const __m512i vh = _mm512_mask_blend_epi16(kvalid, vneg, vh0);
+        const __m512i vnmhn = _mm512_mask_blend_epi16(kg, vnme, vnmg);
+        STU(Hnb, j, vh);
+        STU(nmgb, j, vnmhn);
+        const __m512i vcand = _mm512_add_epi16(vg, vextj);
+        const __mmask32 ktake =
+            _mm512_cmp_epi16_mask(vrunv, vcand, _MM_CMPINT_LE);  // cand >= run_v
+        vrunv = _mm512_mask_blend_epi16(ktake, vrunv, vcand);
+        vrunnm = _mm512_mask_blend_epi16(ktake, vrunnm,
+                                         _mm512_sub_epi16(vnmg, vnmj));
+        const __mmask32 kb = _mm512_cmpgt_epi16_mask(vh, vbv);
+        vbv = _mm512_mask_blend_epi16(kb, vbv, vh);
+        vbqe = _mm512_mask_blend_epi16(kb, vbqe, vr);
+        vbte = _mm512_mask_blend_epi16(kb, vbte, _mm512_add_epi16(vcol, vone));
+        vbnm = _mm512_mask_blend_epi16(kb, vbnm, vnmhn);
+        if constexpr (COORDS) {
+            const __m512i vqshu = _mm512_mask_blend_epi16(kd1, qshC, qshN);
+            const __m512i vtshu = _mm512_mask_blend_epi16(kd1, tshC, tshN);
+            const __m512i vqsfu = _mm512_mask_blend_epi16(kd1, qsfC, qsfN);
+            const __m512i vtsfu = _mm512_mask_blend_epi16(kd1, tsfC, tsfN);
+            const __m512i vqsd0 = _mm512_mask_blend_epi16(kd1, qshP, qshC);
+            const __m512i vtsd0 = _mm512_mask_blend_epi16(kd1, tshP, tshC);
+            __m512i vqsd, vtsd;
+            if (j > 0) {
+                vqsd = vqsd0;
+                vtsd = vtsd0;
+            } else {
+                vqsd = _mm512_mask_blend_epi16(
+                    kd1, _mm512_maskz_mov_epi16(kedge, vrm1), vqsd0);
+                vtsd = _mm512_mask_blend_epi16(
+                    kd1, _mm512_maskz_mov_epi16(kedge, vcol), vtsd0);
+            }
+            const __m512i vqsfn = _mm512_mask_blend_epi16(kfh, vqsfu, vqshu);
+            const __m512i vtsfn = _mm512_mask_blend_epi16(kfh, vtsfu, vtshu);
+            const __m512i vqsg = _mm512_mask_blend_epi16(
+                kgz, _mm512_mask_blend_epi16(kgf, vqsd, vqsfn), vr);
+            const __m512i vtsg = _mm512_mask_blend_epi16(
+                kgz, _mm512_mask_blend_epi16(kgf, vtsd, vtsfn),
+                _mm512_add_epi16(vcol, vone));
+            STU(qsfnb, j, vqsfn);
+            STU(tsfnb, j, vtsfn);
+            const __m512i vqse = (j > 0) ? vrunqs : vzero;
+            const __m512i vtse = (j > 0) ? vrunts : vzero;
+            const __m512i vqshn = _mm512_mask_blend_epi16(kg, vqse, vqsg);
+            const __m512i vtshn = _mm512_mask_blend_epi16(kg, vtse, vtsg);
+            STU(qsgb, j, vqshn);
+            STU(tsgb, j, vtshn);
+            vrunqs = _mm512_mask_blend_epi16(ktake, vrunqs, vqsg);
+            vrunts = _mm512_mask_blend_epi16(ktake, vrunts, vtsg);
+            vbqs = _mm512_mask_blend_epi16(kb, vbqs, vqshn);
+            vbts = _mm512_mask_blend_epi16(kb, vbts, vtshn);
+        }
+    }
+    _mm512_storeu_si512((void*)bv, vbv);
+    _mm512_storeu_si512((void*)bqe, vbqe);
+    _mm512_storeu_si512((void*)bte, vbte);
+    _mm512_storeu_si512((void*)bnm, vbnm);
+    if constexpr (COORDS) {
+        _mm512_storeu_si512((void*)bqs, vbqs);
+        _mm512_storeu_si512((void*)bts, vbts);
+    }
+}
+#endif  // __AVX512BW__
+
+template <bool COORDS>
+inline void fused_row_pass(
+    NmScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    int16_t* bv, int16_t* bqs, int16_t* bts,
+    int16_t* bqe, int16_t* bte, int16_t* bnm) {
+#if defined(__AVX512BW__)
+    fused_row_pass_avx512<COORDS>(sc, qc, dl, lrow16, tlen16, r, band,
+                                  bv, bqs, bts, bqe, bte, bnm);
+#else
+    fused_row_pass_scalar<COORDS>(sc, qc, dl, lrow16, tlen16, r, band,
+                                  bv, bqs, bts, bqe, bte, bnm);
+#endif
+}
 
 // COORDS=false drops the (q_start, t_start) metadata planes entirely —
 // score / q_end / t_end / nm are bit-identical to the COORDS=true variant
@@ -367,7 +736,6 @@ inline void nm_block(
         sc.qsg.resize(plane); sc.tsg.resize(plane);
         sc.qshn.resize(plane); sc.tshn.resize(plane);
     }
-    sc.Gr.resize(plane);
     sc.nmg.resize(plane);
     sc.tc.resize(plane);
     sc.Hn.resize(plane); sc.Fn.resize(plane);
@@ -481,150 +849,12 @@ inline void nm_block(
             }
         }
 
-        // F / G pass with metadata (vertical across lanes).  All planes via
-        // __restrict pointers so the lane loops vectorize.
-        {
-            const int16_t* __restrict Hb = sc.H.data();
-            const int16_t* __restrict Fb = sc.F.data();
-            const int16_t* __restrict nmhb = sc.nmh.data();
-            const int16_t* __restrict qshb = sc.qsh.data();
-            const int16_t* __restrict tshb = sc.tsh.data();
-            const int16_t* __restrict nmfb = sc.nmf.data();
-            const int16_t* __restrict qsfb = sc.qsf.data();
-            const int16_t* __restrict tsfb = sc.tsf.data();
-            int16_t* __restrict Grb = sc.Gr.data();
-            int16_t* __restrict nmgb = sc.nmg.data();
-            int16_t* __restrict qsgb = sc.qsg.data();
-            int16_t* __restrict tsgb = sc.tsg.data();
-            int16_t* __restrict Fnb = sc.Fn.data();
-            int16_t* __restrict nmfnb = sc.nmhn.data();  // temp F meta
-            int16_t* __restrict qsfnb = sc.qshn.data();
-            int16_t* __restrict tsfnb = sc.tshn.data();
-            const int16_t* __restrict tcb = sc.tc.data();
-            for (int32_t j = 0; j < band; j++) {
-                const size_t o0 = (size_t)j * stride;
-                const size_t o1 = o0 + stride;
-                const size_t om = (j > 0) ? o0 - stride : 0;
-                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
-#ifdef _OPENMP
-#pragma omp simd
-#endif
-                for (int p = 0; p < PBLK; p++) {
-                    // all-int16 mask arithmetic: sel(m,a,b) = b ^ ((a^b)&m)
-                    const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
-                    const int16_t col = (int16_t)(lrow16[p] + j);
-                    const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
-                    const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
-                    const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], nmhb[o0 + p]);
-                    const int16_t nmf_up = SEL16(md1, nmfb[o1 + p], nmfb[o0 + p]);
-                    // diag = previous row, column j + dl - 1; at j = 0 with
-                    // dl = 0, the free zero boundary applies only at col 0
-                    const int16_t mdiag = (int16_t)(md1 | mjpos);
-                    const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
-                    const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
-                    const int16_t nmd0 = SEL16(md1, nmhb[o0 + p], nmhb[om + p]);
-                    const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
-                    const int16_t nmd = (int16_t)(mdiag & nmd0);
-                    const int16_t tcv = tcb[o0 + p];
-                    const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
-                    const int16_t s = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
-                    // F: prefer H-origin on ties
-                    const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
-                    const int16_t mfh = (int16_t)-(int16_t)(hgo >= Fup);
-                    int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
-                    f = std::max<int16_t>(f, (int16_t)NEG);
-                    const int16_t nmf_n = (int16_t)(SEL16(mfh, nmh_up, nmf_up) + 1);
-                    // G: priority zero > F > diag
-                    const int16_t gd = (int16_t)(Hdiag + s);
-                    const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
-                    const int16_t mgz = (int16_t)-(int16_t)(g == 0);
-                    const int16_t mgf = (int16_t)(~mgz & (int16_t)-(int16_t)(g == f));
-                    const int16_t nmdm = (int16_t)(nmd + (int16_t)(~mmatch & 1));
-                    nmgb[o0 + p] = (int16_t)(~mgz & SEL16(mgf, nmf_n, nmdm));
-                    Grb[o0 + p] = g;
-                    Fnb[o0 + p] = f;
-                    nmfnb[o0 + p] = nmf_n;
-                    if constexpr (COORDS) {
-                        const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
-                        const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
-                        const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
-                        const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
-                        const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
-                        const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
-                        const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
-                        const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
-                        const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
-                        const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
-                        qsgb[o0 + p] = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
-                        tsgb[o0 + p] = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
-                        qsfnb[o0 + p] = qsf_n;
-                        tsfnb[o0 + p] = tsf_n;
-                    }
-                }
-            }
-        }
-
-        // E prefix (sequential in j, vertical across lanes) + H + best
-        {
-            int16_t run_v[PBLK], run_nm[PBLK], run_qs[PBLK], run_ts[PBLK];
-            for (int p = 0; p < PBLK; p++) {
-                run_v[p] = NEG; run_nm[p] = 0; run_qs[p] = 0; run_ts[p] = 0;
-            }
-            int16_t* __restrict Hnb = sc.Hn.data();
-            const int16_t* __restrict Grb = sc.Gr.data();
-            int16_t* __restrict nmgb = sc.nmg.data();
-            int16_t* __restrict qsgb = sc.qsg.data();
-            int16_t* __restrict tsgb = sc.tsg.data();
-            for (int32_t j = 0; j < band; j++) {
-                const size_t o0 = (size_t)j * stride;
-                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
-#ifdef _OPENMP
-#pragma omp simd
-#endif
-                for (int p = 0; p < PBLK; p++) {
-                    const int16_t col = (int16_t)(lrow16[p] + j);
-                    int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
-                    e = std::max<int16_t>(e, (int16_t)NEG);
-                    e = SEL16(mjpos, e, (int16_t)NEG);
-                    const int16_t nme = (int16_t)(mjpos & (int16_t)(run_nm[p] + j));
-                    const int16_t g = Grb[o0 + p];
-                    const int16_t nmg_v = nmgb[o0 + p];
-                    const int16_t mg = (int16_t)-(int16_t)(g >= e);
-                    const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
-                    const int16_t h0 = SEL16(mg, g, e);
-                    const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
-                    const int16_t nmh_n = SEL16(mg, nmg_v, nme);
-                    Hnb[o0 + p] = h;
-                    // overwrite G meta planes with H meta (consumed next row)
-                    nmgb[o0 + p] = nmh_n;
-                    // prefix update with A = G + ext*j, ties -> larger j
-                    const int16_t cand = (int16_t)(g + GAP_EXT * j);
-                    const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
-                    run_v[p] = SEL16(mtake, cand, run_v[p]);
-                    run_nm[p] = SEL16(mtake, (int16_t)(nmg_v - j), run_nm[p]);
-                    // per-lane best (strict >: earliest row, lowest j wins)
-                    const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
-                    bv[p] = SEL16(mb, h, bv[p]);
-                    bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
-                    bte[p] = SEL16(mb, (int16_t)(col + 1), bte[p]);
-                    bnm[p] = SEL16(mb, nmh_n, bnm[p]);
-                    if constexpr (COORDS) {
-                        const int16_t qse = (int16_t)(mjpos & run_qs[p]);
-                        const int16_t tse = (int16_t)(mjpos & run_ts[p]);
-                        const int16_t qsg_v = qsgb[o0 + p];
-                        const int16_t tsg_v = tsgb[o0 + p];
-                        const int16_t qsh_n = SEL16(mg, qsg_v, qse);
-                        const int16_t tsh_n = SEL16(mg, tsg_v, tse);
-                        qsgb[o0 + p] = qsh_n;
-                        tsgb[o0 + p] = tsh_n;
-                        run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
-                        run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
-                        bqs[p] = SEL16(mb, qsh_n, bqs[p]);
-                        bts[p] = SEL16(mb, tsh_n, bts[p]);
-                    }
-                }
-            }
-        }
+        // Fused F/G + E-prefix row pass; the Gr plane is never
+        // materialized (G + metadata stay in registers between the two
+        // halves).  Dispatches to the AVX-512BW specialization where
+        // available, else the portable scalar form — both bit-identical.
+        fused_row_pass<COORDS>(sc, qc, dl, lrow16, tlen16, r, band,
+                               bv, bqs, bts, bqe, bte, bnm);
 
         // rotate planes: H <- Hn, H-meta <- (nmg,qsg,tsg), F <- Fn,
         // F-meta <- (nmhn,qshn,tshn which temporarily hold F meta)
