@@ -982,10 +982,226 @@ constexpr uint8_t T_E_FROM_G = 8;  // E[j] == G[j-1] - o - e
 constexpr uint8_t T_F_FROM_H = 16; // F[j] == Hprev[j+dl] - o - e
 
 struct TbScratch {
-    std::vector<int16_t> H, F, Hn, Fn, Gr, tc;  // planes [band+1][PBLK]
-    std::vector<uint8_t> dirs;                  // [m_max][band][PBLK]
+    std::vector<int16_t> H, F, Hn, Fn, tc;  // planes [band+1][PBLK]
+    std::vector<uint8_t> dirs;              // [m_max][band][PBLK]
     std::vector<uint8_t> ops;
 };
+
+// Fused F/G + E-prefix + direction-bit row pass for the traceback kernel.
+// Same structure as the NM kernel's fused_row_pass: G stays in registers
+// between the two halves (the Gr plane is gone), the E prefix keeps
+// ascending-j order, and every int16 op matches the original two-pass form
+// bit for bit.  The 32 per-lane direction bytes of each j row are packed
+// and stored in one shot.
+inline void fused_tb_row_pass_scalar(
+    TbScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    uint8_t* drow_base, int16_t* bv, int16_t* bqe, int16_t* bj) {
+    const int stride = PBLK;
+    const int16_t* __restrict Hb = sc.H.data();
+    const int16_t* __restrict Fb = sc.F.data();
+    int16_t* __restrict Hnb = sc.Hn.data();
+    int16_t* __restrict Fnb = sc.Fn.data();
+    const int16_t* __restrict tcb = sc.tc.data();
+    int16_t run_v[PBLK], gprev[PBLK];
+    for (int p = 0; p < PBLK; p++) { run_v[p] = NEG; gprev[p] = 0; }
+    for (int32_t j = 0; j < band; j++) {
+        const size_t o0 = (size_t)j * stride;
+        const size_t o1 = o0 + stride;
+        const size_t om = (j > 0) ? o0 - stride : 0;
+        const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+        uint8_t* __restrict dj = drow_base + (size_t)j * stride;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+        for (int p = 0; p < PBLK; p++) {
+            const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
+            const int16_t col = (int16_t)(lrow16[p] + j);
+            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+            const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
+            const int16_t mdiag = (int16_t)(md1 | mjpos);
+            const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
+            const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
+            const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
+            const int16_t tcv = tcb[o0 + p];
+            const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
+            const int16_t sv = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
+            const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
+            int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
+            f = std::max<int16_t>(f, (int16_t)NEG);
+            const int16_t gd = (int16_t)(Hdiag + sv);
+            const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
+            Fnb[o0 + p] = f;
+            uint8_t d = (uint8_t)(T_F_FROM_H &
+                    (uint8_t)-(int8_t)(f == (int16_t)(Hup - GAP_OPEN - GAP_EXT)));
+            // E prefix + H + remaining bits (same-row consumption of g)
+            int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
+            e = std::max<int16_t>(e, (int16_t)NEG);
+            e = SEL16(mjpos, e, (int16_t)NEG);
+            const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
+            const int16_t gpost = SEL16(mvalid, g, (int16_t)NEG);
+            const int16_t h0 = std::max<int16_t>(g, e);
+            const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
+            Hnb[o0 + p] = h;
+            d |= (uint8_t)(T_H_IS_G & (uint8_t)-(int8_t)(h == gpost));
+            d |= (uint8_t)(T_G_ZERO & (uint8_t)-(int8_t)(gpost == 0));
+            d |= (uint8_t)(T_G_IS_F & (uint8_t)-(int8_t)(gpost == f));
+            d |= (uint8_t)(T_E_FROM_G & (uint8_t)(mjpos &
+                 (int16_t)-(int16_t)(e == (int16_t)(gprev[p] - GAP_OPEN - GAP_EXT))));
+            dj[p] = d;
+            // prefix update with PRE-override g (oracle convention)
+            const int16_t cand = (int16_t)(g + GAP_EXT * j);
+            const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
+            run_v[p] = SEL16(mtake, cand, run_v[p]);
+            gprev[p] = gpost;
+            // per-lane best: strict > keeps earliest (row, j)
+            const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
+            bv[p] = SEL16(mb, h, bv[p]);
+            bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
+            bj[p] = SEL16(mb, (int16_t)j, bj[p]);
+        }
+    }
+}
+
+#if defined(__AVX512BW__)
+// AVX-512BW specialization: one zmm of 32 int16 lanes, k-mask compares,
+// rolling H/F plane rows, direction bytes built as u16 then narrowed with
+// vpmovwb into one 32-byte store per j.  Op-for-op identical to the scalar
+// form above, so results (and the stored dir bytes) are bit-identical.
+inline void fused_tb_row_pass_avx512(
+    TbScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    uint8_t* drow_base, int16_t* bv, int16_t* bqe, int16_t* bj) {
+    const int stride = PBLK;
+    const int16_t* Hb = sc.H.data();
+    const int16_t* Fb = sc.F.data();
+    int16_t* Hnb = sc.Hn.data();
+    int16_t* Fnb = sc.Fn.data();
+    const int16_t* tcb = sc.tc.data();
+    auto LDU = [stride](const int16_t* p, int32_t j) {
+        return _mm512_loadu_si512((const void*)(p + (size_t)j * stride));
+    };
+    auto STU = [stride](int16_t* p, int32_t j, __m512i v) {
+        _mm512_storeu_si512((void*)(p + (size_t)j * stride), v);
+    };
+    const __m512i vneg = _mm512_set1_epi16((short)NEG);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi16(1);
+    const __m512i vfour = _mm512_set1_epi16(4);
+    const __m512i vmatch = _mm512_set1_epi16((short)MATCH);
+    const __m512i vmism = _mm512_set1_epi16((short)MISMATCH);
+    const __m512i vgo = _mm512_set1_epi16((short)GAP_OPEN);
+    const __m512i vge = _mm512_set1_epi16((short)GAP_EXT);
+    const __m512i vgoe = _mm512_add_epi16(vgo, vge);
+    const __m512i vr = _mm512_set1_epi16((short)r);
+    const __m512i vqc = _mm512_loadu_si512((const void*)qc);
+    const __m512i vdl = _mm512_loadu_si512((const void*)dl);
+    const __m512i vtlen = _mm512_loadu_si512((const void*)tlen16);
+    const __mmask32 kd1 = _mm512_cmpeq_epi16_mask(vdl, vone);
+    const __m512i vb_fh = _mm512_set1_epi16((short)T_F_FROM_H);
+    const __m512i vb_hg = _mm512_set1_epi16((short)T_H_IS_G);
+    const __m512i vb_gz = _mm512_set1_epi16((short)T_G_ZERO);
+    const __m512i vb_gf = _mm512_set1_epi16((short)T_G_IS_F);
+    const __m512i vb_eg = _mm512_set1_epi16((short)T_E_FROM_G);
+
+    __m512i vrunv = vneg, vgprev = vzero;
+    __m512i vbv = _mm512_loadu_si512((const void*)bv);
+    __m512i vbqe = _mm512_loadu_si512((const void*)bqe);
+    __m512i vbj = _mm512_loadu_si512((const void*)bj);
+
+    __m512i hC = LDU(Hb, 0), hN = LDU(Hb, 1), hP = hC;
+    __m512i fC = LDU(Fb, 0), fN = LDU(Fb, 1);
+    __m512i vcol = _mm512_loadu_si512((const void*)lrow16);
+    __m512i vextj = vzero;  // GAP_EXT * j
+    __m512i vj = vzero;     // j
+
+    for (int32_t j = 0; j < band; j++) {
+        if (j > 0) {
+            hP = hC; hC = hN; hN = LDU(Hb, j + 1);
+            fC = fN; fN = LDU(Fb, j + 1);
+            vcol = _mm512_add_epi16(vcol, vone);
+            vextj = _mm512_add_epi16(vextj, vge);
+            vj = _mm512_add_epi16(vj, vone);
+        }
+        const __m512i vHup = _mm512_mask_blend_epi16(kd1, hC, hN);
+        const __m512i vFup = _mm512_mask_blend_epi16(kd1, fC, fN);
+        const __m512i vHd0 = _mm512_mask_blend_epi16(kd1, hP, hC);
+        __m512i vHdiag;
+        if (j > 0) {
+            vHdiag = vHd0;
+        } else {
+            const __mmask32 kcol0 = _mm512_cmpeq_epi16_mask(vcol, vzero);
+            const __mmask32 kedge = _kandn_mask32(kd1, kcol0);
+            vHdiag = _mm512_mask_blend_epi16(
+                kd1, _mm512_maskz_mov_epi16(_knot_mask32(kedge), vneg), vHd0);
+        }
+        const __m512i vtc = LDU(tcb, j);
+        const __mmask32 kmm = _kand_mask32(
+            _mm512_cmpeq_epi16_mask(vtc, vqc),
+            _kand_mask32(_mm512_cmplt_epi16_mask(vqc, vfour),
+                         _mm512_cmplt_epi16_mask(vtc, vfour)));
+        const __m512i vs = _mm512_mask_blend_epi16(kmm, vmism, vmatch);
+        const __m512i vhgo = _mm512_sub_epi16(vHup, vgo);
+        __m512i vf = _mm512_sub_epi16(_mm512_max_epi16(vhgo, vFup), vge);
+        vf = _mm512_max_epi16(vf, vneg);
+        const __m512i vgd = _mm512_add_epi16(vHdiag, vs);
+        const __m512i vg = _mm512_max_epi16(_mm512_max_epi16(vzero, vgd), vf);
+        STU(Fnb, j, vf);
+        const __mmask32 kffh =
+            _mm512_cmpeq_epi16_mask(vf, _mm512_sub_epi16(vHup, vgoe));
+        __m512i vd = _mm512_maskz_mov_epi16(kffh, vb_fh);
+        // E prefix + H + remaining bits
+        __m512i ve;
+        __mmask32 keg = 0;
+        if (j > 0) {
+            ve = _mm512_sub_epi16(vrunv, _mm512_add_epi16(vgo, vextj));
+            ve = _mm512_max_epi16(ve, vneg);
+            keg = _mm512_cmpeq_epi16_mask(ve, _mm512_sub_epi16(vgprev, vgoe));
+        } else {
+            ve = vneg;
+        }
+        const __mmask32 kvalid = _mm512_cmplt_epi16_mask(vcol, vtlen);
+        const __m512i vgpost = _mm512_mask_blend_epi16(kvalid, vneg, vg);
+        const __m512i vh0 = _mm512_max_epi16(vg, ve);
+        const __m512i vh = _mm512_mask_blend_epi16(kvalid, vneg, vh0);
+        STU(Hnb, j, vh);
+        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
+            _mm512_cmpeq_epi16_mask(vh, vgpost), vb_hg));
+        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
+            _mm512_cmpeq_epi16_mask(vgpost, vzero), vb_gz));
+        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
+            _mm512_cmpeq_epi16_mask(vgpost, vf), vb_gf));
+        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(keg, vb_eg));
+        _mm256_storeu_si256((__m256i*)(drow_base + (size_t)j * stride),
+                            _mm512_cvtepi16_epi8(vd));
+        const __m512i vcand = _mm512_add_epi16(vg, vextj);
+        const __mmask32 ktake =
+            _mm512_cmp_epi16_mask(vrunv, vcand, _MM_CMPINT_LE);
+        vrunv = _mm512_mask_blend_epi16(ktake, vrunv, vcand);
+        vgprev = vgpost;
+        const __mmask32 kb = _mm512_cmpgt_epi16_mask(vh, vbv);
+        vbv = _mm512_mask_blend_epi16(kb, vbv, vh);
+        vbqe = _mm512_mask_blend_epi16(kb, vbqe, vr);
+        vbj = _mm512_mask_blend_epi16(kb, vbj, vj);
+    }
+    _mm512_storeu_si512((void*)bv, vbv);
+    _mm512_storeu_si512((void*)bqe, vbqe);
+    _mm512_storeu_si512((void*)bj, vbj);
+}
+#endif  // __AVX512BW__
+
+inline void fused_tb_row_pass(
+    TbScratch& sc, const int16_t* qc, const int16_t* dl,
+    const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
+    uint8_t* drow_base, int16_t* bv, int16_t* bqe, int16_t* bj) {
+#if defined(__AVX512BW__)
+    fused_tb_row_pass_avx512(sc, qc, dl, lrow16, tlen16, r, band,
+                             drow_base, bv, bqe, bj);
+#else
+    fused_tb_row_pass_scalar(sc, qc, dl, lrow16, tlen16, r, band,
+                             drow_base, bv, bqe, bj);
+#endif
+}
 
 inline void tb_block(
     const uint8_t* const* q, const int32_t* qlen,
@@ -1000,7 +1216,6 @@ inline void tb_block(
     sc.F.assign(plane, NEG);
     sc.Hn.resize(plane);
     sc.Fn.resize(plane);
-    sc.Gr.resize(plane);
     sc.tc.resize(plane);
 
     int32_t m_max = 0;
@@ -1090,95 +1305,10 @@ inline void tb_block(
 
         uint8_t* __restrict drow_base = sc.dirs.data() + (size_t)(r - 1) * band * stride;
 
-        // F / G pass (+ the F-origin bit)
-        {
-            const int16_t* __restrict Hb = sc.H.data();
-            const int16_t* __restrict Fb = sc.F.data();
-            int16_t* __restrict Grb = sc.Gr.data();
-            int16_t* __restrict Fnb = sc.Fn.data();
-            const int16_t* __restrict tcb = sc.tc.data();
-            for (int32_t j = 0; j < band; j++) {
-                const size_t o0 = (size_t)j * stride;
-                const size_t o1 = o0 + stride;
-                const size_t om = (j > 0) ? o0 - stride : 0;
-                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
-                uint8_t* __restrict dj = drow_base + (size_t)j * stride;
-#ifdef _OPENMP
-#pragma omp simd
-#endif
-                for (int p = 0; p < PBLK; p++) {
-                    const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
-                    const int16_t col = (int16_t)(lrow16[p] + j);
-                    const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
-                    const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
-                    const int16_t mdiag = (int16_t)(md1 | mjpos);
-                    const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
-                    const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
-                    const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
-                    const int16_t tcv = tcb[o0 + p];
-                    const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
-                    const int16_t sv = SEL16(mmatch, (int16_t)MATCH, (int16_t)MISMATCH);
-                    const int16_t hgo = (int16_t)(Hup - GAP_OPEN);
-                    int16_t f = (int16_t)(std::max<int16_t>(hgo, Fup) - GAP_EXT);
-                    f = std::max<int16_t>(f, (int16_t)NEG);
-                    const int16_t gd = (int16_t)(Hdiag + sv);
-                    const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
-                    Grb[o0 + p] = g;
-                    Fnb[o0 + p] = f;
-                    // F-origin bit: F[j] == Hprev[j+dl] - o - e (out-of-band
-                    // Hup is the NEG fill, never equal after clamping)
-                    dj[p] = (uint8_t)(T_F_FROM_H &
-                            (uint8_t)-(int8_t)(f == (int16_t)(Hup - GAP_OPEN - GAP_EXT)));
-                }
-            }
-        }
-
-        // E prefix + H + remaining bits + per-lane best
-        {
-            int16_t run_v[PBLK], gprev[PBLK];
-            for (int p = 0; p < PBLK; p++) { run_v[p] = NEG; gprev[p] = 0; }
-            int16_t* __restrict Hnb = sc.Hn.data();
-            const int16_t* __restrict Grb = sc.Gr.data();
-            const int16_t* __restrict Fnb = sc.Fn.data();
-            for (int32_t j = 0; j < band; j++) {
-                const size_t o0 = (size_t)j * stride;
-                const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
-                uint8_t* __restrict dj = drow_base + (size_t)j * stride;
-#ifdef _OPENMP
-#pragma omp simd
-#endif
-                for (int p = 0; p < PBLK; p++) {
-                    const int16_t col = (int16_t)(lrow16[p] + j);
-                    int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
-                    e = std::max<int16_t>(e, (int16_t)NEG);
-                    e = SEL16(mjpos, e, (int16_t)NEG);
-                    const int16_t g = Grb[o0 + p];
-                    const int16_t f = Fnb[o0 + p];
-                    const int16_t mvalid = (int16_t)-(int16_t)(col < tlen16[p]);
-                    const int16_t gpost = SEL16(mvalid, g, (int16_t)NEG);
-                    const int16_t h0 = std::max<int16_t>(g, e);
-                    const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
-                    Hnb[o0 + p] = h;
-                    uint8_t d = dj[p];
-                    d |= (uint8_t)(T_H_IS_G & (uint8_t)-(int8_t)(h == gpost));
-                    d |= (uint8_t)(T_G_ZERO & (uint8_t)-(int8_t)(gpost == 0));
-                    d |= (uint8_t)(T_G_IS_F & (uint8_t)-(int8_t)(gpost == f));
-                    d |= (uint8_t)(T_E_FROM_G & (uint8_t)(mjpos &
-                         (int16_t)-(int16_t)(e == (int16_t)(gprev[p] - GAP_OPEN - GAP_EXT))));
-                    dj[p] = d;
-                    // prefix update with PRE-override g (oracle convention)
-                    const int16_t cand = (int16_t)(g + GAP_EXT * j);
-                    const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
-                    run_v[p] = SEL16(mtake, cand, run_v[p]);
-                    gprev[p] = gpost;
-                    // per-lane best: strict > keeps earliest (row, j)
-                    const int16_t mb = (int16_t)-(int16_t)(h > bv[p]);
-                    bv[p] = SEL16(mb, h, bv[p]);
-                    bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
-                    bj[p] = SEL16(mb, (int16_t)j, bj[p]);
-                }
-            }
-        }
+        // fused F/G + E-prefix + direction-bit pass (AVX-512BW where
+        // available, scalar fallback; both bit-identical)
+        fused_tb_row_pass(sc, qc, dl, lrow16, tlen16, r, band, drow_base,
+                          bv, bqe, bj);
 
         std::swap(sc.H, sc.Hn);
         std::swap(sc.F, sc.Fn);
