@@ -245,3 +245,26 @@ extern "C" int64_t anchor_pack_keys(
   }
   return w;
 }
+
+// Multi-table variant of anchor_search: query i does its range lookup in
+// table gid[i] (h_cat[tab_off[g] .. tab_off[g+1]], each slice sorted); lo
+// positions are GLOBAL into h_cat, so anchor_pack_keys can consume the
+// concatenated per-table metadata arrays directly.  Replaces a Python
+// per-target-group loop of anchor_search calls (the SoA pair planner makes
+// one call per unique target; at small N the ctypes marshalling dominated).
+extern "C" int64_t anchor_search_multi(
+    const uint64_t *h_cat, const int64_t *tab_off, const int32_t *gid,
+    const uint64_t *q, int64_t n, int64_t *lo, int64_t *cnt, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t *b = h_cat + tab_off[gid[i]];
+    const uint64_t *e = h_cat + tab_off[gid[i] + 1];
+    const uint64_t *l = std::lower_bound(b, e, q[i]);
+    const uint64_t *r = std::upper_bound(l, e, q[i]);
+    lo[i] = l - h_cat;
+    cnt[i] = r - l;
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; i++) total += cnt[i];
+  return total;
+}

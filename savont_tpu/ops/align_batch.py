@@ -750,23 +750,23 @@ def _align_pairs_nm_soa(
         return None if pairs else []
     min_anchors = 2
 
-    # unique targets (groups) and unique queries, both keyed by bytes
+    # unique targets and unique queries, both keyed by bytes; one flat
+    # "job" per input pair (job id = pair index), so every per-target-group
+    # step below collapses into ONE native call over all groups
     tgt_ids: dict[bytes, int] = {}
     qry_ids: dict[bytes, int] = {}
-    grp_pairs: list[list[int]] = []  # per target: pair indices
-    grp_queries: list[list[int]] = []  # per target: unique-query ids
-    for i, (qa, ta) in enumerate(pairs):
+    job_uq_list: list[int] = []  # per pair: unique-query id
+    job_ti_list: list[int] = []  # per pair: unique-target id
+    for qa, ta in pairs:
         tb = bytes(ta) if isinstance(ta, (bytes, bytearray)) else np.asarray(ta, dtype=np.uint8).tobytes()
         qb = bytes(qa) if isinstance(qa, (bytes, bytearray)) else np.asarray(qa, dtype=np.uint8).tobytes()
-        ti = tgt_ids.setdefault(tb, len(tgt_ids))
-        if ti == len(grp_pairs):
-            grp_pairs.append([])
-            grp_queries.append([])
-        qi = qry_ids.setdefault(qb, len(qry_ids))
-        grp_pairs[ti].append(i)
-        grp_queries[ti].append(qi)
+        job_ti_list.append(tgt_ids.setdefault(tb, len(tgt_ids)))
+        job_uq_list.append(qry_ids.setdefault(qb, len(qry_ids)))
     tgt_bytes = list(tgt_ids.keys())
     qry_bytes = list(qry_ids.keys())
+    n_pairs = len(pairs)
+    if n_pairs >= (1 << 21):
+        return None  # job id field: key bits 43..63
     if any(len(q) > 32000 for q in qry_bytes) or any(len(t) > 32000 for t in tgt_bytes):
         return None  # int16 metadata planes in sw_nm_batch
     max_qlen = max(len(q) for q in qry_bytes)
@@ -778,66 +778,63 @@ def _align_pairs_nm_soa(
     # (all target scans batched through one native call)
     qmini = window_minimizers_cached_batch(qry_bytes, 10, 15)
     indexes = TargetIndex.build_singletons(tgt_bytes)
+    from .kmers_native import anchor_search_multi_native
 
-    # per-group anchor lookup -> packed sorted keys -> group bounds
-    qa_parts: list[np.ndarray] = []
-    ta_parts: list[np.ndarray] = []
-    grp_sizes: list[np.ndarray] = []
-    meta_owner: list[np.ndarray] = []
-    meta_uq: list[np.ndarray] = []
-    meta_st: list[np.ndarray] = []
-    meta_tid: list[np.ndarray] = []
-    for ti, index in enumerate(indexes):
-        uqs = grp_queries[ti]
-        if len(index.h_sorted) == 0:
-            continue
-        if len(uqs) >= (1 << 20):
-            return None
-        minis = [qmini[u] for u in uqs]
-        all_h = np.concatenate([m[0] for m in minis])
-        if len(all_h) == 0:
-            continue
-        all_p = np.concatenate([m[1] for m in minis]).astype(np.int32)
-        all_f = np.concatenate([m[2] for m in minis])
-        lqid = np.repeat(np.arange(len(uqs)), [len(m[0]) for m in minis]).astype(np.int32)
-        qlens = np.fromiter((len(qry_bytes[u]) for u in uqs), np.int64, len(uqs))
-        left, counts, total = anchor_search_native(index.h_sorted, all_h)
-        if total == 0:
-            continue
-        keys = anchor_sorted_keys_native(
-            left, counts, all_p, all_f, lqid, qlens,
-            index.h_tid, index.h_tpos, index.h_isf, index.k, False, threads=4,
-        )
-        if keys is None or len(keys) == 0:
-            continue
-        hi_bits = keys >> np.uint64(28)
-        bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
-        sizes = np.diff(np.append(bounds, len(keys)))
-        kb = keys[bounds]
-        g_lq = (kb >> np.uint64(43)).astype(np.int64)
-        g_st = np.where((kb >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
-        qa_parts.append(((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64))
-        ta_parts.append((keys & np.uint64(0x3FFF)).astype(np.int64))
-        grp_sizes.append(sizes)
-        pair_ids = np.asarray(grp_pairs[ti], dtype=np.int64)
-        uq_arr = np.asarray(uqs, dtype=np.int64)
-        meta_owner.append(pair_ids[g_lq])
-        meta_uq.append(uq_arr[g_lq])
-        meta_st.append(g_st)
-        meta_tid.append(np.full(len(bounds), ti, dtype=np.int64))
-    if not qa_parts:
-        return [None] * len(pairs)
+    job_uq_arr = np.asarray(job_uq_list, dtype=np.int64)
+    job_ti_arr = np.asarray(job_ti_list, dtype=np.int64)
+    qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
 
-    qa_all = np.concatenate(qa_parts)
-    ta_all = np.concatenate(ta_parts)
-    sizes_all = np.concatenate(grp_sizes)
+    # concatenated per-target tables (singleton tables carry tid = 0, so the
+    # packed keys' tid field stays 0 and group identity lives in the job id)
+    tab_off = np.zeros(len(indexes) + 1, dtype=np.int64)
+    np.cumsum([len(ix.h_sorted) for ix in indexes], out=tab_off[1:])
+    h_cat = np.concatenate([ix.h_sorted for ix in indexes]) if indexes else np.zeros(0, U64)
+    tpos_cat = np.concatenate([ix.h_tpos for ix in indexes]) if indexes else np.zeros(0, np.int32)
+    isf_cat = np.concatenate([ix.h_isf for ix in indexes]) if indexes else np.zeros(0, bool)
+    tid_cat = np.zeros(len(h_cat), dtype=np.int32)
+
+    # flat query-minimizer stream over all jobs (pairs), tagged with the
+    # job's target table; lookups + key packing + ONE global radix sort.
+    # Sorted keys have the job id in the top bits, so key runs appear in
+    # ascending pair order (within a pair: strand - then +), matching the
+    # legacy plan order for tie-breaks.
+    minis = [qmini[u] for u in job_uq_list]
+    mini_counts = np.fromiter((len(m[0]) for m in minis), np.int64, n_pairs)
+    if int(mini_counts.sum()) == 0:
+        return [None] * n_pairs
+    all_h = np.concatenate([m[0] for m in minis])
+    all_p = np.concatenate([m[1] for m in minis]).astype(np.int32)
+    all_f = np.concatenate([m[2] for m in minis])
+    jid = np.repeat(np.arange(n_pairs, dtype=np.int32), mini_counts)
+    gid = np.repeat(job_ti_arr, mini_counts).astype(np.int32)
+    found = anchor_search_multi_native(h_cat, tab_off, gid, all_h)
+    if found is None:
+        return None
+    left, counts, total = found
+    if total == 0:
+        return [None] * n_pairs
+    keys = anchor_sorted_keys_native(
+        left, counts, all_p, all_f, jid, qlens_all[job_uq_arr],
+        tid_cat, tpos_cat, isf_cat, indexes[0].k if indexes else 15, False,
+        threads=4,
+    )
+    if keys is None:
+        return None
+    if len(keys) == 0:
+        return [None] * n_pairs
+    hi_bits = keys >> np.uint64(28)
+    bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
+    sizes_all = np.diff(np.append(bounds, len(keys)))
+    kb = keys[bounds]
+    g_job = (kb >> np.uint64(43)).astype(np.int64)
+    qa_all = ((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64)
+    ta_all = (keys & np.uint64(0x3FFF)).astype(np.int64)
     grp_off = np.zeros(len(sizes_all) + 1, dtype=np.int64)
     np.cumsum(sizes_all, out=grp_off[1:])
-    owner_g = np.concatenate(meta_owner)
-    uq_g = np.concatenate(meta_uq)
-    st_g = np.concatenate(meta_st)
-    tid_g = np.concatenate(meta_tid)
-    qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
+    owner_g = g_job
+    uq_g = job_uq_arr[g_job]
+    st_g = np.where((kb >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
+    tid_g = job_ti_arr[g_job]
     tlens_all = np.fromiter((len(t) for t in tgt_bytes), np.int64, len(tgt_bytes))
 
     # one chaining/band-planning pass over every (pair, strand) group

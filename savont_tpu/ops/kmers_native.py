@@ -636,6 +636,14 @@ def get_sort_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int,
         ]
+        lib.anchor_search_multi.restype = ctypes.c_int64
+        lib.anchor_search_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
         lib.anchor_pack_keys.restype = ctypes.c_int64
         lib.anchor_pack_keys.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -665,6 +673,30 @@ def anchor_search_native(
     total = lib.anchor_search(
         _ptr(np.ascontiguousarray(h_sorted, np.uint64), ctypes.c_uint64),
         len(h_sorted),
+        _ptr(np.ascontiguousarray(queries, np.uint64), ctypes.c_uint64), n,
+        _ptr(lo, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+    )
+    return lo, cnt, int(total)
+
+
+def anchor_search_multi_native(
+    h_cat: np.ndarray, tab_off: np.ndarray, gid: np.ndarray,
+    queries: np.ndarray, threads: int = 4,
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Range lookup of query hashes, each in its own sorted table slice
+    (h_cat[tab_off[g]:tab_off[g+1]] for g = gid[i]); lo positions are
+    global into h_cat.  One call replaces the per-target-group
+    anchor_search loop.  Returns (lo, cnt, total) or None."""
+    lib = get_sort_lib()
+    if lib is None:
+        return None
+    n = len(queries)
+    lo = np.empty(n, dtype=np.int64)
+    cnt = np.empty(n, dtype=np.int64)
+    total = lib.anchor_search_multi(
+        _ptr(np.ascontiguousarray(h_cat, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(tab_off, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(gid, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(queries, np.uint64), ctypes.c_uint64), n,
         _ptr(lo, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
     )
