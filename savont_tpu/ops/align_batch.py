@@ -852,11 +852,17 @@ def _align_pairs_nm_soa(
     q_lens_j = qlens_all[uq_j].astype(np.int32)
     lo_off_j = lo_off_g[kept]
 
-    # code pools: encode each used (query, strand) / target exactly once
+    # code pools: encode each used (query, strand) / target exactly once.
+    # combo ids are dense (< 2 * n_queries), so a flag + rank table gives
+    # unique/inverse in O(n + nq) instead of np.unique's sort
     combo = uq_j * 2 + (st_j == 1)
-    ucombo, inv = np.unique(combo, return_inverse=True)
+    flags = np.zeros(2 * len(qry_bytes), dtype=bool)
+    flags[combo] = True
+    ucombo = np.flatnonzero(flags)
+    rank = np.cumsum(flags) - 1
+    inv = rank[combo]
     combo_codes = _qcodes_cached_batch(
-        [(qry_bytes[int(cb) // 2], 1 if int(cb) & 1 else -1) for cb in ucombo]
+        [(qry_bytes[cb >> 1], 1 if cb & 1 else -1) for cb in ucombo.tolist()]
     )
     combo_lens = np.fromiter((len(c) for c in combo_codes), np.int64, len(combo_codes))
     combo_off = np.zeros(len(combo_codes) + 1, dtype=np.int64)
