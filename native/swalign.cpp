@@ -339,8 +339,7 @@ struct NmScratch {
     // planes [band+1][PBLK] (one slot of padding so up() at j = band-1 can
     // read a fill slot instead of branching)
     std::vector<int16_t> H, F, nmh, qsh, tsh, nmf, qsf, tsf;
-    std::vector<int16_t> nmg, qsg, tsg, tc;
-    std::vector<int16_t> Hn, Fn, nmhn, qshn, tshn;
+    std::vector<int16_t> tc;
 };
 
 // Fused F/G + E-prefix row pass (vertical across lanes).  G and its
@@ -348,6 +347,14 @@ struct NmScratch {
 // materialized.  The E prefix (run_*) is sequential in j, so the loop keeps
 // ascending-j order; every int16 op of the original two-pass form is
 // preserved, so results stay bit-identical.
+//
+// The pass updates the planes IN PLACE: row j's new values overwrite the
+// previous row's at j after all reads of them.  Old j+1 values are still
+// untouched when iteration j runs, and the j-1 values a later iteration
+// needs (the diagonal) are carried in two rotating row snapshots (scalar)
+// or the rolling registers (AVX-512).  This halves the plane count vs the
+// old double-buffered form — the whole working set now fits L1d — with
+// every int16 op unchanged.
 template <bool COORDS>
 inline void fused_row_pass_scalar(
     NmScratch& sc, const int16_t* qc, const int16_t* dl,
@@ -355,32 +362,47 @@ inline void fused_row_pass_scalar(
     int16_t* bv, int16_t* bqs, int16_t* bts,
     int16_t* bqe, int16_t* bte, int16_t* bnm) {
     const int stride = PBLK;
-    const int16_t* __restrict Hb = sc.H.data();
-    const int16_t* __restrict Fb = sc.F.data();
-    const int16_t* __restrict nmhb = sc.nmh.data();
-    const int16_t* __restrict qshb = sc.qsh.data();
-    const int16_t* __restrict tshb = sc.tsh.data();
-    const int16_t* __restrict nmfb = sc.nmf.data();
-    const int16_t* __restrict qsfb = sc.qsf.data();
-    const int16_t* __restrict tsfb = sc.tsf.data();
-    int16_t* __restrict nmgb = sc.nmg.data();
-    int16_t* __restrict qsgb = sc.qsg.data();
-    int16_t* __restrict tsgb = sc.tsg.data();
-    int16_t* __restrict Hnb = sc.Hn.data();
-    int16_t* __restrict Fnb = sc.Fn.data();
-    int16_t* __restrict nmfnb = sc.nmhn.data();  // temp F meta
-    int16_t* __restrict qsfnb = sc.qshn.data();
-    int16_t* __restrict tsfnb = sc.tshn.data();
-    const int16_t* __restrict tcb = sc.tc.data();
+    int16_t* Hb = sc.H.data();
+    int16_t* Fb = sc.F.data();
+    int16_t* nmhb = sc.nmh.data();
+    int16_t* nmfb = sc.nmf.data();
+    int16_t* qshb = sc.qsh.data();
+    int16_t* tshb = sc.tsh.data();
+    int16_t* qsfb = sc.qsf.data();
+    int16_t* tsfb = sc.tsf.data();
+    const int16_t* tcb = sc.tc.data();
     int16_t run_v[PBLK], run_nm[PBLK], run_qs[PBLK], run_ts[PBLK];
+    // rotating snapshots of the previous row's old values at j and j-1
+    // (only the planes the diagonal reads: H, nmh, and the start coords)
+    int16_t snapH[2][PBLK], snapNMH[2][PBLK];
+    int16_t snapQS[2][PBLK], snapTS[2][PBLK];
     for (int p = 0; p < PBLK; p++) {
         run_v[p] = NEG; run_nm[p] = 0; run_qs[p] = 0; run_ts[p] = 0;
     }
+    int cur = 0;
     for (int32_t j = 0; j < band; j++) {
         const size_t o0 = (size_t)j * stride;
         const size_t o1 = o0 + stride;
-        const size_t om = (j > 0) ? o0 - stride : 0;
         const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
+        // old row-j values, taken before the in-place store below
+        for (int p = 0; p < PBLK; p++) {
+            snapH[cur][p] = Hb[o0 + p];
+            snapNMH[cur][p] = nmhb[o0 + p];
+        }
+        if constexpr (COORDS) {
+            for (int p = 0; p < PBLK; p++) {
+                snapQS[cur][p] = qshb[o0 + p];
+                snapTS[cur][p] = tshb[o0 + p];
+            }
+        }
+        const int16_t* Hj = snapH[cur];
+        const int16_t* NMHj = snapNMH[cur];
+        const int16_t* Hm = (j > 0) ? snapH[cur ^ 1] : snapH[cur];
+        const int16_t* NMHm = (j > 0) ? snapNMH[cur ^ 1] : snapNMH[cur];
+        const int16_t* QSj = snapQS[cur];
+        const int16_t* TSj = snapTS[cur];
+        const int16_t* QSm = (j > 0) ? snapQS[cur ^ 1] : snapQS[cur];
+        const int16_t* TSm = (j > 0) ? snapTS[cur ^ 1] : snapTS[cur];
 #ifdef _OPENMP
 #pragma omp simd
 #endif
@@ -388,16 +410,16 @@ inline void fused_row_pass_scalar(
             // all-int16 mask arithmetic: sel(m,a,b) = b ^ ((a^b)&m)
             const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
             const int16_t col = (int16_t)(lrow16[p] + j);
-            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hj[p]);
             const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
-            const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], nmhb[o0 + p]);
+            const int16_t nmh_up = SEL16(md1, nmhb[o1 + p], NMHj[p]);
             const int16_t nmf_up = SEL16(md1, nmfb[o1 + p], nmfb[o0 + p]);
             // diag = previous row, column j + dl - 1; at j = 0 with
             // dl = 0, the free zero boundary applies only at col 0
             const int16_t mdiag = (int16_t)(md1 | mjpos);
             const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
-            const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
-            const int16_t nmd0 = SEL16(md1, nmhb[o0 + p], nmhb[om + p]);
+            const int16_t Hd0 = SEL16(md1, Hj[p], Hm[p]);
+            const int16_t nmd0 = SEL16(md1, NMHj[p], NMHm[p]);
             const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
             const int16_t nmd = (int16_t)(mdiag & nmd0);
             const int16_t tcv = tcb[o0 + p];
@@ -416,8 +438,6 @@ inline void fused_row_pass_scalar(
             const int16_t mgf = (int16_t)(~mgz & (int16_t)-(int16_t)(g == f));
             const int16_t nmdm = (int16_t)(nmd + (int16_t)(~mmatch & 1));
             const int16_t nmg_v = (int16_t)(~mgz & SEL16(mgf, nmf_n, nmdm));
-            Fnb[o0 + p] = f;
-            nmfnb[o0 + p] = nmf_n;
             // E prefix + H + best (same-row consumption of g/nmg_v)
             int16_t e = (int16_t)(run_v[p] - GAP_OPEN - GAP_EXT * j);
             e = std::max<int16_t>(e, (int16_t)NEG);
@@ -428,9 +448,11 @@ inline void fused_row_pass_scalar(
             const int16_t h0 = SEL16(mg, g, e);
             const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
             const int16_t nmh_n = SEL16(mg, nmg_v, nme);
-            Hnb[o0 + p] = h;
-            // the G meta plane holds H meta (consumed next row)
-            nmgb[o0 + p] = nmh_n;
+            // in-place stores: all reads of the old row-j values are done
+            Fb[o0 + p] = f;
+            nmfb[o0 + p] = nmf_n;
+            Hb[o0 + p] = h;
+            nmhb[o0 + p] = nmh_n;
             // prefix update with A = G + ext*j, ties -> larger j
             const int16_t cand = (int16_t)(g + GAP_EXT * j);
             const int16_t mtake = (int16_t)-(int16_t)(cand >= run_v[p]);
@@ -443,32 +465,33 @@ inline void fused_row_pass_scalar(
             bte[p] = SEL16(mb, (int16_t)(col + 1), bte[p]);
             bnm[p] = SEL16(mb, nmh_n, bnm[p]);
             if constexpr (COORDS) {
-                const int16_t qsh_up = SEL16(md1, qshb[o1 + p], qshb[o0 + p]);
-                const int16_t tsh_up = SEL16(md1, tshb[o1 + p], tshb[o0 + p]);
+                const int16_t qsh_up = SEL16(md1, qshb[o1 + p], QSj[p]);
+                const int16_t tsh_up = SEL16(md1, tshb[o1 + p], TSj[p]);
                 const int16_t qsf_up = SEL16(md1, qsfb[o1 + p], qsfb[o0 + p]);
                 const int16_t tsf_up = SEL16(md1, tsfb[o1 + p], tsfb[o0 + p]);
-                const int16_t qsd0 = SEL16(md1, qshb[o0 + p], qshb[om + p]);
-                const int16_t tsd0 = SEL16(md1, tshb[o0 + p], tshb[om + p]);
+                const int16_t qsd0 = SEL16(md1, QSj[p], QSm[p]);
+                const int16_t tsd0 = SEL16(md1, TSj[p], TSm[p]);
                 const int16_t qsd = SEL16(mdiag, qsd0, (int16_t)(medge & (int16_t)(r - 1)));
                 const int16_t tsd = SEL16(mdiag, tsd0, (int16_t)(medge & col));
                 const int16_t qsf_n = SEL16(mfh, qsh_up, qsf_up);
                 const int16_t tsf_n = SEL16(mfh, tsh_up, tsf_up);
                 const int16_t qsg_v = SEL16(mgz, (int16_t)r, SEL16(mgf, qsf_n, qsd));
                 const int16_t tsg_v = SEL16(mgz, (int16_t)(col + 1), SEL16(mgf, tsf_n, tsd));
-                qsfnb[o0 + p] = qsf_n;
-                tsfnb[o0 + p] = tsf_n;
                 const int16_t qse = (int16_t)(mjpos & run_qs[p]);
                 const int16_t tse = (int16_t)(mjpos & run_ts[p]);
                 const int16_t qsh_n = SEL16(mg, qsg_v, qse);
                 const int16_t tsh_n = SEL16(mg, tsg_v, tse);
-                qsgb[o0 + p] = qsh_n;
-                tsgb[o0 + p] = tsh_n;
+                qsfb[o0 + p] = qsf_n;
+                tsfb[o0 + p] = tsf_n;
+                qshb[o0 + p] = qsh_n;
+                tshb[o0 + p] = tsh_n;
                 run_qs[p] = SEL16(mtake, qsg_v, run_qs[p]);
                 run_ts[p] = SEL16(mtake, tsg_v, run_ts[p]);
                 bqs[p] = SEL16(mb, qsh_n, bqs[p]);
                 bts[p] = SEL16(mb, tsh_n, bts[p]);
             }
         }
+        cur ^= 1;
     }
 }
 
@@ -489,22 +512,16 @@ inline void fused_row_pass_avx512(
     int16_t* bv, int16_t* bqs, int16_t* bts,
     int16_t* bqe, int16_t* bte, int16_t* bnm) {
     const int stride = PBLK;
-    const int16_t* Hb = sc.H.data();
-    const int16_t* Fb = sc.F.data();
-    const int16_t* nmhb = sc.nmh.data();
-    const int16_t* nmfb = sc.nmf.data();
-    const int16_t* qshb = sc.qsh.data();
-    const int16_t* tshb = sc.tsh.data();
-    const int16_t* qsfb = sc.qsf.data();
-    const int16_t* tsfb = sc.tsf.data();
-    int16_t* nmgb = sc.nmg.data();
-    int16_t* qsgb = sc.qsg.data();
-    int16_t* tsgb = sc.tsg.data();
-    int16_t* Hnb = sc.Hn.data();
-    int16_t* Fnb = sc.Fn.data();
-    int16_t* nmfnb = sc.nmhn.data();
-    int16_t* qsfnb = sc.qshn.data();
-    int16_t* tsfnb = sc.tshn.data();
+    // planes are updated IN PLACE: every old value a later iteration needs
+    // (j-1 / j / j+1) is already carried in the rolling registers below
+    int16_t* Hb = sc.H.data();
+    int16_t* Fb = sc.F.data();
+    int16_t* nmhb = sc.nmh.data();
+    int16_t* nmfb = sc.nmf.data();
+    int16_t* qshb = sc.qsh.data();
+    int16_t* tshb = sc.tsh.data();
+    int16_t* qsfb = sc.qsf.data();
+    int16_t* tsfb = sc.tsf.data();
     const int16_t* tcb = sc.tc.data();
 
     auto LDU = [stride](const int16_t* p, int32_t j) {
@@ -614,8 +631,8 @@ inline void fused_row_pass_avx512(
             vnmd, _mm512_maskz_mov_epi16(_knot_mask32(kmm), vone));
         const __m512i vnmg = _mm512_maskz_mov_epi16(
             _knot_mask32(kgz), _mm512_mask_blend_epi16(kgf, vnmdm, vnmfn));
-        STU(Fnb, j, vf);
-        STU(nmfnb, j, vnmfn);
+        STU(Fb, j, vf);
+        STU(nmfb, j, vnmfn);
         // E prefix + H + best
         __m512i ve, vnme;
         if (j > 0) {
@@ -632,8 +649,8 @@ inline void fused_row_pass_avx512(
         const __m512i vh0 = _mm512_mask_blend_epi16(kg, ve, vg);
         const __m512i vh = _mm512_mask_blend_epi16(kvalid, vneg, vh0);
         const __m512i vnmhn = _mm512_mask_blend_epi16(kg, vnme, vnmg);
-        STU(Hnb, j, vh);
-        STU(nmgb, j, vnmhn);
+        STU(Hb, j, vh);
+        STU(nmhb, j, vnmhn);
         const __m512i vcand = _mm512_add_epi16(vg, vextj);
         const __mmask32 ktake =
             _mm512_cmp_epi16_mask(vrunv, vcand, _MM_CMPINT_LE);  // cand >= run_v
@@ -669,14 +686,14 @@ inline void fused_row_pass_avx512(
             const __m512i vtsg = _mm512_mask_blend_epi16(
                 kgz, _mm512_mask_blend_epi16(kgf, vtsd, vtsfn),
                 _mm512_add_epi16(vcol, vone));
-            STU(qsfnb, j, vqsfn);
-            STU(tsfnb, j, vtsfn);
+            STU(qsfb, j, vqsfn);
+            STU(tsfb, j, vtsfn);
             const __m512i vqse = (j > 0) ? vrunqs : vzero;
             const __m512i vtse = (j > 0) ? vrunts : vzero;
             const __m512i vqshn = _mm512_mask_blend_epi16(kg, vqse, vqsg);
             const __m512i vtshn = _mm512_mask_blend_epi16(kg, vtse, vtsg);
-            STU(qsgb, j, vqshn);
-            STU(tsgb, j, vtshn);
+            STU(qshb, j, vqshn);
+            STU(tshb, j, vtshn);
             vrunqs = _mm512_mask_blend_epi16(ktake, vrunqs, vqsg);
             vrunts = _mm512_mask_blend_epi16(ktake, vrunts, vtsg);
             vbqs = _mm512_mask_blend_epi16(kb, vbqs, vqshn);
@@ -733,13 +750,8 @@ inline void nm_block(
         init_plane(sc.tsh, 0);
         init_plane(sc.qsf, 0);
         init_plane(sc.tsf, 0);
-        sc.qsg.resize(plane); sc.tsg.resize(plane);
-        sc.qshn.resize(plane); sc.tshn.resize(plane);
     }
-    sc.nmg.resize(plane);
     sc.tc.resize(plane);
-    sc.Hn.resize(plane); sc.Fn.resize(plane);
-    sc.nmhn.resize(plane);
 
     int32_t m_max = 0;
     for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
@@ -855,29 +867,8 @@ inline void nm_block(
         // available, else the portable scalar form — both bit-identical.
         fused_row_pass<COORDS>(sc, qc, dl, lrow16, tlen16, r, band,
                                bv, bqs, bts, bqe, bte, bnm);
-
-        // rotate planes: H <- Hn, H-meta <- (nmg,qsg,tsg), F <- Fn,
-        // F-meta <- (nmhn,qshn,tshn which temporarily hold F meta)
-        std::swap(sc.H, sc.Hn);
-        std::swap(sc.F, sc.Fn);
-        std::swap(sc.nmh, sc.nmg);
-        std::swap(sc.nmf, sc.nmhn);
-        if constexpr (COORDS) {
-            std::swap(sc.qsh, sc.qsg);
-            std::swap(sc.tsh, sc.tsg);
-            std::swap(sc.qsf, sc.qshn);
-            std::swap(sc.tsf, sc.tshn);
-        }
-        // restore fill slots at j = band (swaps may have moved stale data in)
-        const size_t ob = (size_t)band * stride;
-        for (int p = 0; p < PBLK; p++) {
-            sc.H[ob + p] = NEG; sc.F[ob + p] = NEG;
-            sc.nmh[ob + p] = 0; sc.nmf[ob + p] = 0;
-            if constexpr (COORDS) {
-                sc.qsh[ob + p] = 0; sc.tsh[ob + p] = 0;
-                sc.qsf[ob + p] = 0; sc.tsf[ob + p] = 0;
-            }
-        }
+        // planes were updated in place; the fill slots at j = band are
+        // never written, so they keep their init values (NEG / 0)
     }
 
     for (int p = 0; p < np; p++) {
@@ -982,7 +973,7 @@ constexpr uint8_t T_E_FROM_G = 8;  // E[j] == G[j-1] - o - e
 constexpr uint8_t T_F_FROM_H = 16; // F[j] == Hprev[j+dl] - o - e
 
 struct TbScratch {
-    std::vector<int16_t> H, F, Hn, Fn, tc;  // planes [band+1][PBLK]
+    std::vector<int16_t> H, F, tc;          // planes [band+1][PBLK]
     std::vector<uint8_t> dirs;              // [m_max][band][PBLK]
     std::vector<uint8_t> ops;
 };
@@ -998,30 +989,34 @@ inline void fused_tb_row_pass_scalar(
     const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
     uint8_t* drow_base, int16_t* bv, int16_t* bqe, int16_t* bj) {
     const int stride = PBLK;
-    const int16_t* __restrict Hb = sc.H.data();
-    const int16_t* __restrict Fb = sc.F.data();
-    int16_t* __restrict Hnb = sc.Hn.data();
-    int16_t* __restrict Fnb = sc.Fn.data();
-    const int16_t* __restrict tcb = sc.tc.data();
+    int16_t* Hb = sc.H.data();
+    int16_t* Fb = sc.F.data();
+    const int16_t* tcb = sc.tc.data();
     int16_t run_v[PBLK], gprev[PBLK];
+    // rotating snapshots of the previous row's old H at j and j-1 (the
+    // diagonal read); planes are updated in place like the NM kernel
+    int16_t snapH[2][PBLK];
     for (int p = 0; p < PBLK; p++) { run_v[p] = NEG; gprev[p] = 0; }
+    int cur = 0;
     for (int32_t j = 0; j < band; j++) {
         const size_t o0 = (size_t)j * stride;
         const size_t o1 = o0 + stride;
-        const size_t om = (j > 0) ? o0 - stride : 0;
         const int16_t mjpos = (int16_t)-(int16_t)(j > 0);
         uint8_t* __restrict dj = drow_base + (size_t)j * stride;
+        for (int p = 0; p < PBLK; p++) snapH[cur][p] = Hb[o0 + p];
+        const int16_t* Hj = snapH[cur];
+        const int16_t* Hm = (j > 0) ? snapH[cur ^ 1] : snapH[cur];
 #ifdef _OPENMP
 #pragma omp simd
 #endif
         for (int p = 0; p < PBLK; p++) {
             const int16_t md1 = (int16_t)-(int16_t)(dl[p] == 1);
             const int16_t col = (int16_t)(lrow16[p] + j);
-            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hb[o0 + p]);
+            const int16_t Hup = SEL16(md1, Hb[o1 + p], Hj[p]);
             const int16_t Fup = SEL16(md1, Fb[o1 + p], Fb[o0 + p]);
             const int16_t mdiag = (int16_t)(md1 | mjpos);
             const int16_t medge = (int16_t)(~mdiag & (int16_t)-(int16_t)(col == 0));
-            const int16_t Hd0 = SEL16(md1, Hb[o0 + p], Hb[om + p]);
+            const int16_t Hd0 = SEL16(md1, Hj[p], Hm[p]);
             const int16_t Hdiag = SEL16(mdiag, Hd0, (int16_t)(~medge & (int16_t)NEG));
             const int16_t tcv = tcb[o0 + p];
             const int16_t mmatch = (int16_t)-(int16_t)((tcv == qc[p]) & (qc[p] < 4) & (tcv < 4));
@@ -1031,7 +1026,7 @@ inline void fused_tb_row_pass_scalar(
             f = std::max<int16_t>(f, (int16_t)NEG);
             const int16_t gd = (int16_t)(Hdiag + sv);
             const int16_t g = std::max<int16_t>(std::max<int16_t>(0, gd), f);
-            Fnb[o0 + p] = f;
+            Fb[o0 + p] = f;
             uint8_t d = (uint8_t)(T_F_FROM_H &
                     (uint8_t)-(int8_t)(f == (int16_t)(Hup - GAP_OPEN - GAP_EXT)));
             // E prefix + H + remaining bits (same-row consumption of g)
@@ -1042,7 +1037,7 @@ inline void fused_tb_row_pass_scalar(
             const int16_t gpost = SEL16(mvalid, g, (int16_t)NEG);
             const int16_t h0 = std::max<int16_t>(g, e);
             const int16_t h = SEL16(mvalid, h0, (int16_t)NEG);
-            Hnb[o0 + p] = h;
+            Hb[o0 + p] = h;
             d |= (uint8_t)(T_H_IS_G & (uint8_t)-(int8_t)(h == gpost));
             d |= (uint8_t)(T_G_ZERO & (uint8_t)-(int8_t)(gpost == 0));
             d |= (uint8_t)(T_G_IS_F & (uint8_t)-(int8_t)(gpost == f));
@@ -1060,6 +1055,7 @@ inline void fused_tb_row_pass_scalar(
             bqe[p] = SEL16(mb, (int16_t)r, bqe[p]);
             bj[p] = SEL16(mb, (int16_t)j, bj[p]);
         }
+        cur ^= 1;
     }
 }
 
@@ -1073,10 +1069,10 @@ inline void fused_tb_row_pass_avx512(
     const int16_t* lrow16, const int16_t* tlen16, int32_t r, int32_t band,
     uint8_t* drow_base, int16_t* bv, int16_t* bqe, int16_t* bj) {
     const int stride = PBLK;
-    const int16_t* Hb = sc.H.data();
-    const int16_t* Fb = sc.F.data();
-    int16_t* Hnb = sc.Hn.data();
-    int16_t* Fnb = sc.Fn.data();
+    // in-place plane updates; old j-1/j/j+1 values live in the rolling
+    // registers below
+    int16_t* Hb = sc.H.data();
+    int16_t* Fb = sc.F.data();
     const int16_t* tcb = sc.tc.data();
     auto LDU = [stride](const int16_t* p, int32_t j) {
         return _mm512_loadu_si512((const void*)(p + (size_t)j * stride));
@@ -1146,7 +1142,7 @@ inline void fused_tb_row_pass_avx512(
         vf = _mm512_max_epi16(vf, vneg);
         const __m512i vgd = _mm512_add_epi16(vHdiag, vs);
         const __m512i vg = _mm512_max_epi16(_mm512_max_epi16(vzero, vgd), vf);
-        STU(Fnb, j, vf);
+        STU(Fb, j, vf);
         const __mmask32 kffh =
             _mm512_cmpeq_epi16_mask(vf, _mm512_sub_epi16(vHup, vgoe));
         __m512i vd = _mm512_maskz_mov_epi16(kffh, vb_fh);
@@ -1164,7 +1160,7 @@ inline void fused_tb_row_pass_avx512(
         const __m512i vgpost = _mm512_mask_blend_epi16(kvalid, vneg, vg);
         const __m512i vh0 = _mm512_max_epi16(vg, ve);
         const __m512i vh = _mm512_mask_blend_epi16(kvalid, vneg, vh0);
-        STU(Hnb, j, vh);
+        STU(Hb, j, vh);
         vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
             _mm512_cmpeq_epi16_mask(vh, vgpost), vb_hg));
         vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
@@ -1214,8 +1210,6 @@ inline void tb_block(
     const size_t plane = (size_t)(band + 1) * stride;
     sc.H.assign(plane, 0);
     sc.F.assign(plane, NEG);
-    sc.Hn.resize(plane);
-    sc.Fn.resize(plane);
     sc.tc.resize(plane);
 
     int32_t m_max = 0;
@@ -1309,11 +1303,7 @@ inline void tb_block(
         // available, scalar fallback; both bit-identical)
         fused_tb_row_pass(sc, qc, dl, lrow16, tlen16, r, band, drow_base,
                           bv, bqe, bj);
-
-        std::swap(sc.H, sc.Hn);
-        std::swap(sc.F, sc.Fn);
-        const size_t ob = (size_t)band * stride;
-        for (int p = 0; p < PBLK; p++) { sc.H[ob + p] = NEG; sc.F[ob + p] = NEG; }
+        // in-place update; fill slots at j = band keep their init values
     }
 
     // per-pair scalar traceback over direction bytes
