@@ -1168,7 +1168,7 @@ inline void fused_tb_row_pass_avx512(
         vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
             _mm512_cmpeq_epi16_mask(vgpost, vf), vb_gf));
         vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(keg, vb_eg));
-        _mm256_storeu_si256((__m256i*)(drow_base + (size_t)j * stride),
+        _mm256_stream_si256((__m256i*)(drow_base + (size_t)j * stride),
                             _mm512_cvtepi16_epi8(vd));
         const __m512i vcand = _mm512_add_epi16(vg, vextj);
         const __mmask32 ktake =
@@ -1214,7 +1214,11 @@ inline void tb_block(
 
     int32_t m_max = 0;
     for (int p = 0; p < np; p++) m_max = std::max(m_max, qlen[p]);
-    sc.dirs.resize((size_t)m_max * band * stride);
+    // 64-byte-align the dirs base so the AVX-512 path can use streaming
+    // stores (the full matrix is written once and only a thin traceback
+    // path is read back -- NT stores skip the RFO and cache pollution)
+    sc.dirs.resize((size_t)m_max * band * stride + 64);
+    uint8_t* dirs = (uint8_t*)(((uintptr_t)sc.dirs.data() + 63) & ~(uintptr_t)63);
 
     int16_t bv[PBLK], bqe[PBLK], bj[PBLK];
     for (int p = 0; p < PBLK; p++) { bv[p] = 0; bqe[p] = 0; bj[p] = 0; }
@@ -1297,7 +1301,7 @@ inline void tb_block(
             }
         }
 
-        uint8_t* __restrict drow_base = sc.dirs.data() + (size_t)(r - 1) * band * stride;
+        uint8_t* __restrict drow_base = dirs + (size_t)(r - 1) * band * stride;
 
         // fused F/G + E-prefix + direction-bit pass (AVX-512BW where
         // available, scalar fallback; both bit-identical)
@@ -1305,6 +1309,9 @@ inline void tb_block(
                           bv, bqe, bj);
         // in-place update; fill slots at j = band keep their init values
     }
+#if defined(__AVX512BW__)
+    _mm_sfence();  // NT direction-byte stores must land before readback
+#endif
 
     // per-pair scalar traceback over direction bytes
     for (int p = 0; p < np; p++) {
@@ -1324,7 +1331,7 @@ inline void tb_block(
         int state = 0;
         while (r > 0 && j >= 0 && j < band) {
             const int32_t d_l = (int32_t)(lo_full(r) - lo_full(r - 1));
-            const uint8_t d = sc.dirs[((size_t)(r - 1) * band + j) * PBLK + p];
+            const uint8_t d = dirs[((size_t)(r - 1) * band + j) * PBLK + p];
             if (state == 0) { state = (d & T_H_IS_G) ? 1 : 2; continue; }
             if (state == 1) {
                 if (d & T_G_ZERO) break;
