@@ -719,6 +719,75 @@ def _run_soa_slabs(
     return out_all
 
 
+def align_pairs_nm_indexed(
+    queries: list[bytes], targets: list[bytes],
+    qi: np.ndarray, ti: np.ndarray,
+    band: int | None = None, coords: bool = True,
+) -> list[Mapping | None]:
+    """NM-only alignment of (queries[qi[k]], targets[ti[k]]) per job k —
+    the indexed twin of align_pairs_nm for callers that already hold
+    unique sequence pools plus index arrays (stage-7 tie-break, classify).
+    Skips the per-pair tuple materialization and bytes-keyed dedup of the
+    tuple path; results (incl. tie-breaks) are identical."""
+    import os
+
+    qi = np.asarray(qi, dtype=np.int64)
+    ti = np.asarray(ti, dtype=np.int64)
+    if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
+        out = _run_indexed_slabs(queries, targets, qi, ti, band, coords)
+        if out is not None:
+            return out
+    # fallback (device backend selected, or an SoA prerequisite missing):
+    # materialize tuples and take the standard path
+    pairs = [(queries[a], targets[b]) for a, b in zip(qi.tolist(), ti.tolist())]
+    return align_pairs_nm(pairs, band=band, coords=coords)
+
+
+def _run_indexed_slabs(
+    queries: list[bytes], targets: list[bytes],
+    qi: np.ndarray, ti: np.ndarray, band: int | None, coords: bool,
+) -> list[Mapping | None] | None:
+    """Slabbed indexed SoA alignment (same slab/threading scheme as
+    _run_soa_slabs).  Each slab's pools are restricted to the sequences it
+    references, so the per-slab minimizer scans stay proportional to slab
+    size."""
+    import os
+
+    def one_slab(s: int, e: int):
+        uq, qi2 = np.unique(qi[s:e], return_inverse=True)
+        ut, ti2 = np.unique(ti[s:e], return_inverse=True)
+        q_sub = [queries[i] for i in uq.tolist()]
+        t_sub = [targets[i] for i in ut.tolist()]
+        return _align_soa_core(q_sub, t_sub, qi2.astype(np.int64),
+                               ti2.astype(np.int64), band, False, coords)
+
+    slab = 8192
+    n = len(qi)
+    if n <= slab:
+        return one_slab(0, n)
+    workers = int(os.environ.get("SAVONT_SLAB_WORKERS", "2"))
+    spans = [(s, min(s + slab, n)) for s in range(0, n, slab)]
+    if workers <= 1:
+        out_seq: list[Mapping | None] = []
+        for s, e in spans:
+            part = one_slab(s, e)
+            if part is None:
+                return None
+            out_seq.extend(part)
+        return out_seq
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_all: list[Mapping | None] = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [pool.submit(one_slab, s, e) for s, e in spans]
+        for f in futs:
+            part = f.result()
+            if part is None:
+                return None
+            out_all.extend(part)
+    return out_all
+
+
 def _align_pairs_nm_soa(
     pairs: list[tuple[bytes, bytes]], band: int, traceback: bool = False,
     coords: bool = True,
@@ -733,26 +802,10 @@ def _align_pairs_nm_soa(
     (packed u32), serving the align_pairs consumers (stage-4 vote, pileups,
     stage-5 merge); pairs whose winning job overflows the fixed CIGAR
     buffer are re-done on the legacy per-pair path (identical results)."""
-    from .align import resolve_band, window_minimizers_cached_batch
-
-    band = resolve_band(band)
-    from .kmers_native import (
-        anchor_search_native,
-        anchor_sorted_keys_native,
-        chain_band_native,
-        get_scan_lib,
-        get_sort_lib,
-    )
-    from .native_build import get_lib
-
-    lib = get_lib()
-    if lib is None or get_scan_lib() is None or get_sort_lib() is None or not pairs:
-        return None if pairs else []
-    min_anchors = 2
-
+    if not pairs:
+        return []
     # unique targets and unique queries, both keyed by bytes; one flat
-    # "job" per input pair (job id = pair index), so every per-target-group
-    # step below collapses into ONE native call over all groups
+    # "job" per input pair (job id = pair index)
     tgt_ids: dict[bytes, int] = {}
     qry_ids: dict[bytes, int] = {}
     job_uq_list: list[int] = []  # per pair: unique-query id
@@ -762,9 +815,41 @@ def _align_pairs_nm_soa(
         qb = bytes(qa) if isinstance(qa, (bytes, bytearray)) else np.asarray(qa, dtype=np.uint8).tobytes()
         job_ti_list.append(tgt_ids.setdefault(tb, len(tgt_ids)))
         job_uq_list.append(qry_ids.setdefault(qb, len(qry_ids)))
-    tgt_bytes = list(tgt_ids.keys())
-    qry_bytes = list(qry_ids.keys())
-    n_pairs = len(pairs)
+    return _align_soa_core(
+        list(qry_ids.keys()), list(tgt_ids.keys()),
+        np.asarray(job_uq_list, dtype=np.int64),
+        np.asarray(job_ti_list, dtype=np.int64),
+        band, traceback, coords,
+    )
+
+
+def _align_soa_core(
+    qry_bytes: list[bytes], tgt_bytes: list[bytes],
+    job_uq_arr: np.ndarray, job_ti_arr: np.ndarray,
+    band: int, traceback: bool = False, coords: bool = True,
+) -> list[Mapping | None] | None:
+    """SoA planning + DP + winner selection over indexed jobs: job k aligns
+    qry_bytes[job_uq_arr[k]] against tgt_bytes[job_ti_arr[k]].  Every entry
+    of qry_bytes is minimizer-scanned, so callers should pass only used
+    sequences.  Returns one Mapping|None per job, or None when a
+    prerequisite is missing (caller falls back)."""
+    from .align import resolve_band, window_minimizers_cached_batch
+
+    band = resolve_band(band)
+    from .kmers_native import (
+        anchor_sorted_keys_native,
+        chain_band_native,
+        get_scan_lib,
+        get_sort_lib,
+    )
+    from .native_build import get_lib
+
+    lib = get_lib()
+    n_pairs = len(job_uq_arr)
+    if lib is None or get_scan_lib() is None or get_sort_lib() is None or not n_pairs:
+        return None if n_pairs else []
+    min_anchors = 2
+
     if n_pairs >= (1 << 21):
         return None  # job id field: key bits 43..63
     if any(len(q) > 32000 for q in qry_bytes) or any(len(t) > 32000 for t in tgt_bytes):
@@ -780,8 +865,7 @@ def _align_pairs_nm_soa(
     indexes = TargetIndex.build_singletons(tgt_bytes)
     from .kmers_native import anchor_search_multi_native
 
-    job_uq_arr = np.asarray(job_uq_list, dtype=np.int64)
-    job_ti_arr = np.asarray(job_ti_list, dtype=np.int64)
+    job_uq_list = job_uq_arr.tolist()
     qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
 
     # concatenated per-target tables (singleton tables carry tid = 0, so the
@@ -843,7 +927,7 @@ def _align_pairs_nm_soa(
     )
     kept = np.flatnonzero(nchain >= min_anchors)
     if len(kept) == 0:
-        return [None] * len(pairs)
+        return [None] * n_pairs
 
     owner_j = owner_g[kept]
     uq_j = uq_g[kept]
@@ -926,7 +1010,7 @@ def _align_pairs_nm_soa(
     # vectorized winner selection: per pair, max score, first job on ties
     score = meta[:, 0]
     ok = np.flatnonzero(score > 0)
-    best: list[Mapping | None] = [None] * len(pairs)
+    best: list[Mapping | None] = [None] * n_pairs
     if len(ok) == 0:
         return best
     sel = np.lexsort((ok, -score[ok], owner_j[ok]))
@@ -957,7 +1041,8 @@ def _align_pairs_nm_soa(
             target_start=t0, target_end=t1, nm=nm, cigar=cigar, score=s,
         )
     for o in sorted(redo):
-        jobs_o, owner_o = _plan_pairs([pairs[o]], band)
+        pair_o = (qry_bytes[job_uq_arr[o]], tgt_bytes[job_ti_arr[o]])
+        jobs_o, owner_o = _plan_pairs([pair_o], band)
         raw_o = run_jobs(jobs_o, band=band)
         best_o: Mapping | None = None
         for job, r in zip(jobs_o, raw_o):

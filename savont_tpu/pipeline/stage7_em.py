@@ -10,7 +10,7 @@ from ..config import ClusterArgs
 from ..constants import EM_MAX_ITERATIONS, EM_MINIMIZER_RATIO_BASE, EM_RATIO_THRESHOLD
 from ..core import ConsensusSequence, KmerGlobalInfo, TwinRead
 from ..ops.align import TargetIndex
-from ..ops.align_batch import align_pairs_nm, map_batch
+from ..ops.align_batch import align_pairs_nm, align_pairs_nm_indexed, map_batch
 from ..ops.em import em_abundances, groups_to_rows
 from ..ops.encode import U64
 
@@ -283,14 +283,11 @@ def refine_asv_depths_with_em(
     # the reference maps ASV-as-query against a read index
     # (alignment.rs:1841-1855); NM of the optimal local alignment is
     # orientation-symmetric, and read-as-query lets the ASV target
-    # indexes be cached (one per ASV instead of one per read)
-    seq_cache: list[bytes | None] = [None] * len(read_list)
-    pairs = []
-    for r, a in zip(cr, ca):
-        s = seq_cache[r]
-        if s is None:
-            s = seq_cache[r] = read_list[r].seq_bytes()
-        pairs.append((s, asv_seqs[a]))
+    # indexes be cached (one per ASV instead of one per read).
+    # Indexed form: decompress each candidate read once, keep (query,
+    # target) id arrays — the aligner plans straight off them
+    ur, qi = np.unique(cr, return_inverse=True)
+    read_seqs = [read_list[int(r)].seq_bytes() for r in ur.tolist()]
     # SAVONT_STAGE7_BACKEND=mesh: the full align + tie-set + EM step runs
     # on-device over every visible chip ((R, C) candidate panels, psum);
     # NM winners come back bit-identical to align_pairs_nm's rule and the
@@ -299,16 +296,17 @@ def refine_asv_depths_with_em(
     dev_abund = None
     import os as _os
 
-    if _os.environ.get("SAVONT_STAGE7_BACKEND") == "mesh" and pairs:
+    if _os.environ.get("SAVONT_STAGE7_BACKEND") == "mesh" and len(cr):
         from ..parallel.mesh import mesh_stage7_tie_break
 
+        pairs = [(read_seqs[q], asv_seqs[a]) for q, a in zip(qi.tolist(), ca.tolist())]
         aln_results, dev_abund, _dev_count = mesh_stage7_tie_break(
             pairs, cr, ca, len(read_list), len(consensuses)
         )
     else:
         # stage 7 reads only Mapping.nm: the no-coords DP variant drops the
         # start-coordinate metadata planes (~1/3 less DP work, same nm/winner)
-        aln_results = align_pairs_nm(pairs, coords=False)
+        aln_results = align_pairs_nm_indexed(read_seqs, asv_seqs, qi, ca, coords=False)
 
     ok = np.fromiter((m is not None for m in aln_results), bool, len(aln_results))
     nm_all = np.fromiter(

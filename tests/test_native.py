@@ -804,3 +804,45 @@ def test_qual_fields_native_parity():
             assert a is None and b is None
         else:
             assert np.array_equal(a, b)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_align_pairs_nm_indexed_matches_tuple_path():
+    """align_pairs_nm_indexed (unique pools + (qi, ti) index arrays) must
+    reproduce align_pairs_nm exactly on the materialized tuples, including
+    duplicate jobs, shared queries/targets, and the slab boundary (>8192
+    jobs forces _run_indexed_slabs to split and re-pool per slab)."""
+    from savont_tpu.ops.align_batch import align_pairs_nm, align_pairs_nm_indexed
+
+    rng = np.random.default_rng(1234)
+    targets = [rand_seq(420 + int(rng.integers(0, 120))) for _ in range(5)]
+    queries = []
+    for _ in range(40):
+        t = targets[int(rng.integers(len(targets)))]
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(rng.integers(0, 25)), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if rng.random() < 0.3:
+            del q[150 : 150 + int(rng.integers(1, 5))]
+        if rng.random() < 0.5:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        queries.append(bytes(q))
+    queries.append(rand_seq(400))  # unalignable
+
+    n_jobs = 9000  # crosses the 8192 slab boundary
+    qi = rng.integers(0, len(queries), n_jobs)
+    ti = rng.integers(0, len(targets), n_jobs)
+    qi[:3] = qi[3]  # explicit duplicates
+    ti[:3] = ti[3]
+
+    got = align_pairs_nm_indexed(queries, targets, qi, ti, coords=True)
+    pairs = [(queries[a], targets[b]) for a, b in zip(qi.tolist(), ti.tolist())]
+    want = align_pairs_nm(pairs, coords=True)
+    assert len(got) == len(want) == n_jobs
+    for g, w in zip(got, want):
+        assert (g is None) == (w is None)
+        if g is not None:
+            assert (g.score, g.nm, g.strand, g.query_start, g.query_end,
+                    g.target_start, g.target_end) == (
+                w.score, w.nm, w.strand, w.query_start, w.query_end,
+                w.target_start, w.target_end)
