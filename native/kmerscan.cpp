@@ -304,6 +304,96 @@ void window_minimizers_batch(
     }
 }
 
+// Minimizer sketch (exact twin of ops/kmers.py minimizer_sketch /
+// seeding.rs:99-187, including the UNMASKED warm-up accumulator and the
+// first-emission-is-raw-canonical quirks).  Inputs decode through
+// BYTE_TO_SEQ (types.rs:92-101), so both raw 2-bit codes and ASCII hash
+// identically.  out arrays have capacity len-k+1 per sequence at
+// out_off[si]; emissions are (value u64, global k-mer position u64).
+void minimizer_sketch_batch(
+    const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+    int w, int k,
+    uint64_t* out_vals, uint64_t* out_pos,
+    const int64_t* out_off, int64_t* out_cnt, int n_threads) {
+    // thread-safe one-time init (C++11 magic static)
+    static const uint8_t* B2S = []() {
+        static uint8_t t[256] = {0};
+        t[1] = 1; t[2] = 2; t[3] = 3;
+        t['C'] = 1; t['G'] = 2; t['T'] = 3; t['U'] = 3;
+        t['c'] = 1; t['g'] = 2; t['t'] = 3; t['u'] = 3;
+        return t;
+    }();
+#ifdef _OPENMP
+    const int nt = (n_threads > 0) ? n_threads
+                   : (n_seqs > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        std::vector<uint64_t> window((size_t)w);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t si = 0; si < n_seqs; si++) {
+            const uint8_t* seq = codes + offsets[si];
+            const int64_t len = offsets[si + 1] - offsets[si];
+            out_cnt[si] = 0;
+            if (len < (int64_t)k + w - 1) continue;
+            const uint64_t max_mask = ~0ULL >> (64 - 2 * k);
+            const uint64_t rev_mask = ~(3ULL << (2 * k - 2));
+            const int rev_shift = 2 * (k - 1);
+            uint64_t f = 0, r = 0, canonical = 0;
+            // warm-up: f is deliberately NOT masked (seeding.rs:123-141)
+            for (int64_t i = 0; i < (int64_t)k + w - 1; i++) {
+                const uint64_t c = B2S[seq[i]];
+                f = (f << 2) | c;
+                r = (r >> 2) | ((3 - c) << rev_shift);
+                if (i >= k - 1) {
+                    canonical = (f < r) ? f : r;
+                    window[i + 1 - k] = mm_hash64(canonical);
+                }
+            }
+            // position_min: ties -> LAST index (Rust max_by semantics)
+            int64_t min_pos = 0;
+            uint64_t min_val = window[0];
+            for (int j = 1; j < w; j++)
+                if (window[j] <= min_val) { min_val = window[j]; min_pos = j; }
+            uint64_t* ov = out_vals + out_off[si];
+            uint64_t* op = out_pos + out_off[si];
+            int64_t cnt = 0;
+            ov[cnt] = canonical;  // quirk: warm-up's final canonical value
+            op[cnt] = (uint64_t)min_pos;
+            cnt++;
+            for (int64_t i = (int64_t)k + w - 1; i < len; i++) {
+                const uint64_t c = B2S[seq[i]];
+                f = ((f << 2) | c) & max_mask;
+                r = ((r >> 2) & rev_mask) | ((3 - c) << rev_shift);
+                const uint64_t canon = (f < r) ? f : r;
+                const uint64_t h = mm_hash64(canon);
+                const int64_t gp = i - k + 1;
+                const int64_t slot = gp % w;
+                window[slot] = h;
+                if (h < min_val) {
+                    min_val = h;
+                    min_pos = slot;
+                    ov[cnt] = h;
+                    op[cnt] = (uint64_t)gp;
+                    cnt++;
+                } else if (min_pos == slot) {
+                    min_pos = 0;
+                    min_val = window[0];
+                    for (int j = 1; j < w; j++)
+                        if (window[j] <= min_val) { min_val = window[j]; min_pos = j; }
+                    const int64_t off = ((slot - min_pos) % w + w) % w;
+                    ov[cnt] = min_val;
+                    op[cnt] = (uint64_t)(gp - off);
+                    cnt++;
+                }
+            }
+            out_cnt[si] = cnt;
+        }
+    }
+}
+
 // Chaining + band planning for anchor groups (semantic twin of ops/align.py
 // _chain_anchors + _band_centers + the lo computation in plan_jobs_batch).
 // Anchors are pre-sorted by (group, qpos, tpos).  Per group g, writes the

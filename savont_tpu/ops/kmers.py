@@ -368,31 +368,60 @@ def kmer_at_position_batch(
 def minimizer_sketch(codes: np.ndarray, w: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Window-minimizer sketch replicating seeding.rs:99-187 exactly.
 
-    Quirk parity: the first emitted value is the CANONICAL K-MER of the last
-    k-mer in the initial window (not the minimum's hash); every subsequent
-    emission is the mm_hash64 of the window minimum.  Downstream consumers
-    (stage-5 dedup at alignment.rs:1167, export fuzzy-merge at merge.rs:220)
-    only use these values for set containment computed the same way on both
-    sides, so the mixture is harmless but must match.
+    Quirk parity (all three observable in the Rust source):
+    - Input bytes decode through BYTE_TO_SEQ (types.rs:92-101), so ASCII and
+      raw 2-bit codes hash identically (seeding.rs:124).
+    - During the k+w-1-base warm-up loop, rolling_kmer_f is NEVER masked
+      (seeding.rs:123-141: no `& max_mask`), so warm-up window hashes are
+      computed on an accumulator holding ALL bases so far (mod 2^64) — NOT
+      the clean k-mer.  The main loop masks (seeding.rs:154).
+    - The first emitted value is the warm-up's final CANONICAL accumulator
+      (not the minimum's hash, seeding.rs:145); every subsequent emission
+      is the mm_hash64 of the window minimum.
+    Downstream consumers (stage-5 dedup at alignment.rs:1167, export
+    fuzzy-merge at merge.rs:220) only use these values for set containment
+    computed the same way on both sides, so the mixture is harmless but
+    must match.
 
-    Canonicalization here is by FULL k-mer comparison (no mid-masking).
     Returns (values u64, positions u64).
     """
+    from .encode import _BYTE_TO_CODE
+    from .kmers_native import minimizer_sketch_batch_native
+
+    native = minimizer_sketch_batch_native([np.ascontiguousarray(codes)], w, k)
+    if native is not None:
+        return native[0]
+
     n = len(codes)
     if n < k + w - 1:
         return np.zeros(0, dtype=U64), np.zeros(0, dtype=U64)
-    fwd, rev = rolling_kmers(codes, k)
+    seq = _BYTE_TO_CODE[codes]
+    fwd, rev = rolling_kmers(seq, k)
     canon = np.minimum(fwd, rev)
     hashes = mm_hash64(canon)
 
+    # warm-up: UNMASKED forward accumulator (reference quirk, see above);
+    # the reverse accumulator equals rev[p] at every step, so only f needs
+    # scalar tracking.  w scalar hash calls total.
     vals: list[int] = []
     poss: list[int] = []
-    window = hashes[:w].copy()
+    window = np.empty(w, dtype=U64)
+    mask64 = (1 << 64) - 1
+    f = 0
+    canonical_last = 0
+    seq_list = seq[: k + w - 1].tolist()
+    for i in range(k + w - 1):
+        f = ((f << 2) | seq_list[i]) & mask64
+        if i >= k - 1:
+            r = int(rev[i - k + 1])
+            canonical_last = f if f < r else r
+            window[i - k + 1] = mm_hash64(canonical_last)
+
     # position_min: ties -> LAST index among minima (Rust max_by semantics)
     mn = window.min()
     min_pos = int(np.flatnonzero(window == mn)[-1])
     min_val = window[min_pos]
-    vals.append(int(canon[w - 1]))  # quirk: canonical kmer of LAST init k-mer
+    vals.append(canonical_last)  # quirk: warm-up's final canonical value
     poss.append(min_pos)
 
     for gp in range(w, len(hashes)):  # gp = global k-mer position = i - k + 1
@@ -412,6 +441,21 @@ def minimizer_sketch(codes: np.ndarray, w: int, k: int) -> tuple[np.ndarray, np.
             poss.append(gp - offset)
             vals.append(int(min_val))
     return np.array(vals, dtype=U64), np.array(poss, dtype=U64)
+
+
+def minimizer_sketch_batch(
+    seqs: list[np.ndarray], w: int, k: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched minimizer_sketch: one native call for all sequences (falls
+    back to the per-sequence Python loop, bit-identical)."""
+    from .kmers_native import minimizer_sketch_batch_native
+
+    native = minimizer_sketch_batch_native(
+        [np.ascontiguousarray(s) for s in seqs], w, k
+    )
+    if native is not None:
+        return native
+    return [minimizer_sketch(s, w, k) for s in seqs]
 
 
 def fmh_seeds(codes: np.ndarray, c: int, k: int, positions: bool = False):

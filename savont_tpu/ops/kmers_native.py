@@ -41,6 +41,11 @@ def get_scan_lib():
         u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         u64p, i64p, u8p, i64p, i64p, ctypes.c_int,
     ]
+    lib.minimizer_sketch_batch.restype = None
+    lib.minimizer_sketch_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        u64p, u64p, i64p, i64p, ctypes.c_int,
+    ]
     lib.chain_band_batch.restype = None
     lib.chain_band_batch.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
@@ -113,8 +118,8 @@ def _parent_span(arrays: list[np.ndarray]) -> np.ndarray | None:
     if not arrays:
         return None
     base = arrays[0].base
-    if base is None or base.ndim != 1:
-        return None
+    if not isinstance(base, np.ndarray) or base.ndim != 1:
+        return None  # no base, or a non-ndarray base (e.g. np.frombuffer(bytes))
     item = arrays[0].itemsize
     pos = arrays[0].__array_interface__["data"][0]
     start = pos
@@ -453,6 +458,38 @@ def window_minimizers_native(
         df = df.view(bool)
         out_all.extend(
             (dh[doff[i] : doff[i + 1]], dp[doff[i] : doff[i + 1]], df[doff[i] : doff[i + 1]])
+            for i in range(len(sub))
+        )
+    return out_all
+
+
+def minimizer_sketch_batch_native(
+    seqs: list[np.ndarray], w: int, k: int, threads: int = 0
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """Batched minimizer sketch (exact twin of ops/kmers.minimizer_sketch,
+    seeding.rs:99-187 quirks included); per sequence returns
+    (values u64, positions u64).  None without the native lib."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    out_all: list[tuple[np.ndarray, np.ndarray]] = []
+    for s, e in _chunk_spans(seqs, k):
+        sub = seqs[s:e]
+        codes, _, off = _concat(sub, None)
+        out_off = _capacity_offsets(sub, k)
+        total = int(out_off[-1])
+        ov = _scratch("msk_v", total, np.uint64)
+        op = _scratch("msk_p", total, np.uint64)
+        cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.minimizer_sketch_batch(
+            _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(sub), w, k,
+            _ptr(ov, ctypes.c_uint64), _ptr(op, ctypes.c_uint64),
+            _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+        )
+        dv, doff = _compact(ov, out_off, cnt, threads)
+        dp, _ = _compact(op, out_off, cnt, threads)
+        out_all.extend(
+            (dv[doff[i] : doff[i + 1]], dp[doff[i] : doff[i + 1]])
             for i in range(len(sub))
         )
     return out_all

@@ -102,7 +102,9 @@ def read_asv_mapping_keys(path: Path) -> list[tuple[str, str]]:
 
 
 def compute_minimizers(seq: bytes) -> np.ndarray:
-    """merge.rs:217-224 — (w=28, k=31) sketch values, sorted + deduped."""
+    """merge.rs:217-224 — (w=28, k=31) sketch values, sorted + deduped.
+    ASCII decodes through BYTE_TO_SEQ inside the sketch (seeding.rs:124),
+    exactly like the reference."""
     vals, _ = minimizer_sketch(np.frombuffer(seq, dtype=np.uint8), 28, 31)
     return np.unique(vals)
 
@@ -111,7 +113,13 @@ def fuzzy_merge_table(table: dict[str, tuple[bytes, list[int]]], hash_to_lineage
     """merge.rs:229-336 — absorb ASVs into >=-length ASVs within 10 bp that
     contain ALL of the shorter one's minimizers.  Shortest-first."""
     MAX_LEN_DIFF = 10
-    minimizers = {h: compute_minimizers(table[h][0]) for h in table}
+    from ..ops.kmers import minimizer_sketch_batch
+
+    hs = list(table)
+    batch = minimizer_sketch_batch(
+        [np.frombuffer(table[h][0], dtype=np.uint8) for h in hs], 28, 31
+    )
+    minimizers = {h: np.unique(v) for h, (v, _) in zip(hs, batch)}
     inverted: dict[int, set[str]] = {}
     for h, kms in minimizers.items():
         for km in kms:

@@ -10,7 +10,7 @@ from ..core import ConsensusSequence
 from ..ops.align import TargetIndex, ascii_to_align_codes, map_query
 from ..ops.align_batch import map_batch
 from ..ops.encode import revcomp_bytes
-from ..ops.kmers import minimizer_sketch
+from ..ops.kmers import minimizer_sketch_batch
 
 log = logging.getLogger("savont")
 
@@ -88,12 +88,14 @@ def remove_similar_seqs_kmers(consensuses: list[ConsensusSequence]) -> list[Cons
     HPC sequence is contained in a consensus with > 2x depth
     (alignment.rs:1155-1201).  Sequences shorter than 100 bp are dropped
     entirely (the reference never re-adds them)."""
+    keep_ids = [i for i, c in enumerate(consensuses) if len(c.sequence) >= 100]
+    batch = minimizer_sketch_batch(
+        [consensuses[i].sequence[25 : len(consensuses[i].sequence) - 25] for i in keep_ids],
+        10, 21,
+    )
     sketches: dict[int, np.ndarray] = {}
     kmer_index: dict[int, set[int]] = {}
-    for i, cons in enumerate(consensuses):
-        if len(cons.sequence) < 100:
-            continue
-        vals, _ = minimizer_sketch(cons.sequence[25 : len(cons.sequence) - 25], 10, 21)
+    for i, (vals, _) in zip(keep_ids, batch):
         sketches[i] = vals
         for v in vals:
             kmer_index.setdefault(int(v), set()).add(i)

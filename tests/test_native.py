@@ -846,3 +846,33 @@ def test_align_pairs_nm_indexed_matches_tuple_path():
                     g.target_start, g.target_end) == (
                 w.score, w.nm, w.strand, w.query_start, w.query_end,
                 w.target_start, w.target_end)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_minimizer_sketch_native_parity():
+    """Native minimizer_sketch_batch == the Python scalar loop, bit-exact,
+    on 2-bit codes AND raw ASCII (both decode through BYTE_TO_SEQ), across
+    edge lengths (empty, < k+w-1, == k+w-1) — including the reference's
+    UNMASKED warm-up accumulator quirk (seeding.rs:123-141)."""
+    import savont_tpu.ops.kmers_native as kn
+    from savont_tpu.ops.kmers import minimizer_sketch
+
+    rng = np.random.default_rng(77)
+    cases = []
+    for L in (0, 5, 29, 30, 31, 60, 100, 800, 1500):
+        cases.append(rng.integers(0, 4, L).astype(np.uint8))
+        cases.append(
+            rng.choice(np.frombuffer(b"ACGTN", np.uint8), L).astype(np.uint8)
+        )
+    for (w, k) in ((10, 21), (28, 31), (10, 15)):
+        nat = kn.minimizer_sketch_batch_native(cases, w, k)
+        assert nat is not None
+        real = kn.minimizer_sketch_batch_native
+        kn.minimizer_sketch_batch_native = lambda seqs, w, k, threads=0: None
+        try:
+            py = [minimizer_sketch(c, w, k) for c in cases]
+        finally:
+            kn.minimizer_sketch_batch_native = real
+        for (nv, npos), (pv, ppos) in zip(nat, py):
+            assert np.array_equal(nv, pv)
+            assert np.array_equal(npos, ppos)
