@@ -865,7 +865,6 @@ def _align_soa_core(
     indexes = TargetIndex.build_singletons(tgt_bytes)
     from .kmers_native import anchor_search_multi_native
 
-    job_uq_list = job_uq_arr.tolist()
     qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
 
     # concatenated per-target tables (singleton tables carry tid = 0, so the
@@ -882,13 +881,26 @@ def _align_soa_core(
     # Sorted keys have the job id in the top bits, so key runs appear in
     # ascending pair order (within a pair: strand - then +), matching the
     # legacy plan order for tie-breaks.
-    minis = [qmini[u] for u in job_uq_list]
-    mini_counts = np.fromiter((len(m[0]) for m in minis), np.int64, n_pairs)
-    if int(mini_counts.sum()) == 0:
+    # pool the per-UNIQUE-query minimizers once, then ragged-gather to jobs
+    # (vector ops over total minis instead of 3 concats of n_jobs small
+    # arrays — the per-job Python loop was the hot glue at small N)
+    q_mcnt = np.fromiter((len(m[0]) for m in qmini), np.int64, len(qmini))
+    mini_counts = q_mcnt[job_uq_arr]
+    total_minis = int(mini_counts.sum())
+    if total_minis == 0:
         return [None] * n_pairs
-    all_h = np.concatenate([m[0] for m in minis])
-    all_p = np.concatenate([m[1] for m in minis]).astype(np.int32)
-    all_f = np.concatenate([m[2] for m in minis])
+    q_moff = np.zeros(len(qmini) + 1, dtype=np.int64)
+    np.cumsum(q_mcnt, out=q_moff[1:])
+    pool_h = np.concatenate([m[0] for m in qmini])
+    pool_p = np.concatenate([m[1] for m in qmini])
+    pool_f = np.concatenate([m[2] for m in qmini])
+    job_off = np.zeros(n_pairs, dtype=np.int64)  # exclusive scan
+    np.cumsum(mini_counts[:-1], out=job_off[1:])
+    flat = np.repeat(q_moff[job_uq_arr] - job_off, mini_counts)
+    flat += np.arange(total_minis, dtype=np.int64)
+    all_h = pool_h[flat]
+    all_p = pool_p[flat].astype(np.int32)
+    all_f = pool_f[flat]
     jid = np.repeat(np.arange(n_pairs, dtype=np.int32), mini_counts)
     gid = np.repeat(job_ti_arr, mini_counts).astype(np.int32)
     found = anchor_search_multi_native(h_cat, tab_off, gid, all_h)
