@@ -62,6 +62,25 @@ def _cached_records(path: str):
     return recs
 
 
+_ENCODE_CACHE: dict[str, tuple[int, list, list]] = {}
+
+
+def _cached_encoded(path: str) -> tuple[list, list]:
+    """2-bit codes + phred vectors aligned with _cached_records(path),
+    computed once per parse (the counting pass and TwinRead construction
+    both encode the same reads).  Keyed by the records list identity so
+    clearing _READ_CACHE also invalidates the encodes; uncached record
+    lists (over the size limit) are re-encoded, never stored."""
+    recs = _cached_records(path)
+    hit = _ENCODE_CACHE.get(path)
+    if hit is not None and hit[0] == id(recs) and _READ_CACHE.get(path) is recs:
+        return hit[1], hit[2]
+    codes, phred = _batch_encode([r.seq for r in recs], [r.qual for r in recs])
+    if _READ_CACHE.get(path) is recs:
+        _ENCODE_CACHE[path] = (id(recs), codes, phred)
+    return codes, phred
+
+
 def _batch_encode(seqs: list[bytes], quals: list):
     """One-pass 2-bit encode + phred decode for a batch of reads: one LUT
     gather / one subtract over concatenated buffers, per-read views out.
@@ -120,12 +139,21 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "counting is exact, and the aggressive admission rule only "
             "applies to the Bloom prefilter pass (seq_parse.rs:225-258)"
         )
-    seqs, quals = [], []
-    for seq, qual in _iter_reads_for_counting(args.input_files):
-        seqs.append(seq)
-        quals.append(qual)
-    codes_list, phred_list = _batch_encode(seqs, quals)
-    del seqs, quals
+    # cached per-path encodes (stage 1.5 reuses them); 'rc'-tagged reads are
+    # re-encoded from the flipped bytes — code-level revcomp would differ on
+    # non-ACGT bytes (revcomp_bytes maps them to N=code 0, not 3-code)
+    codes_list, phred_list = [], []
+    for path in args.input_files:
+        enc_c, enc_p = _cached_encoded(path)
+        for rec, c, p in zip(_cached_records(path), enc_c, enc_p):
+            fields = rec.id.split()
+            if fields and fields[-1] == "rc":
+                seq = revcomp_bytes(rec.seq)
+                qual = rec.qual[::-1] if rec.qual is not None else None
+                c1, p1 = _batch_encode([seq], [qual])
+                c, p = c1[0], p1[0]
+            codes_list.append(c)
+            phred_list.append(p)
     n_reads = len(codes_list)
     if os.environ.get("SAVONT_DEVICE_KMERS"):
         # TPU path: batched (hi,lo)-plane split-kmer extraction on device
@@ -576,9 +604,11 @@ def twin_reads_from_files(
     n_repetitive = 0
     use_native = get_scan_lib() is not None
     for file_idx, path in enumerate(args.input_files):
-        recs, codes_list, phred_list = [], [], []
         n_file_total = n_file_removed = 0
-        for rec in _cached_records(path):
+        recs_all = _cached_records(path)
+        enc_c, enc_p = _cached_encoded(path)  # shared with the counting pass
+        keep: list[int] = []
+        for ri, rec in enumerate(recs_all):
             n_file_total += 1
             if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
                 n_len_filtered += 1
@@ -586,10 +616,10 @@ def twin_reads_from_files(
                 continue
             if len(rec.seq) < args.kmer_size:
                 continue
-            recs.append(rec)
-        codes_list, phred_list = _batch_encode(
-            [r.seq for r in recs], [r.qual for r in recs]
-        )
+            keep.append(ri)
+        recs = [recs_all[i] for i in keep]
+        codes_list = [enc_c[i] for i in keep]
+        phred_list = [enc_p[i] for i in keep]
         if use_native:
             scans = syncmer_scan_native(
                 codes_list, phred_list, args.kmer_size, args.c,
