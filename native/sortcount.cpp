@@ -8,9 +8,9 @@
 // values.  Output order (bare ascending) matches np.unique, so the NumPy
 // fallback in ops/kmers.py is bit-identical.
 //
-// LSD radix, one byte per pass, only over bytes that are actually
-// populated (k<=31 split k-mers occupy 2k <= 62 low bits; 16S k=17 needs
-// just 5 passes).  Histograms are per-thread; scatter offsets come from a
+// LSD radix with an adaptive digit width covering only the populated bits
+// (k<=31 split k-mers occupy 2k <= 62 low bits; 16S k=17 sorts in 3
+// 12-bit passes).  Histograms are per-thread; scatter offsets come from a
 // bucket-major exclusive scan so each thread writes disjoint slices.
 #include <algorithm>
 #include <cstdint>
@@ -34,24 +34,34 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
   if (threads < 1)
     threads = 1;
 
-  std::vector<uint64_t> a(keys, keys + n), b(n);
-  uint64_t *src = a.data(), *dst = b.data();
+  std::vector<uint64_t> a(n), b(n);
 
   uint64_t maxbare = 0;
 #pragma omp parallel for reduction(max : maxbare) num_threads(threads)
   for (int64_t i = 0; i < n; i++) {
-    uint64_t v = src[i] & BARE_MASK;
+    uint64_t v = keys[i] & BARE_MASK;
     if (v > maxbare)
       maxbare = v;
   }
-  // 11-bit digits: 4 passes cover the 43-bit bare-kmer range (vs 6 with
-  // 8-bit digits) — each pass is two full passes over the data, so fewer
-  // digit passes is a direct bandwidth win
-  constexpr int RB = 11;
-  constexpr int NB = 1 << RB;
+  // adaptive digit width: prefer 3 passes when <= 16-bit digits cover the
+  // populated range (split k-mers occupy 2k bits: k=17 -> 34 -> RB=12),
+  // else 4 passes with the narrowest sufficient digit.  Each pass is two
+  // full sweeps over the data, so fewer passes is a direct bandwidth win;
+  // the first pass reads `keys` in place (no upfront copy).
+  int bits = 1;
+  while (bits < 64 && (maxbare >> bits))
+    bits++;
+  int RB = (bits + 2) / 3;
+  if (RB > 16)
+    RB = (bits + 3) / 4;
+  if (RB < 8)
+    RB = 8;
+  const int NB = 1 << RB;
   int passes = 1;
-  while (passes < (64 + RB - 1) / RB && (maxbare >> (RB * passes)))
+  while (passes < (64 + RB - 1) / RB && (maxbare >> ((int64_t)RB * passes)))
     passes++;
+  const uint64_t *src = keys;
+  uint64_t *dst = a.data();
 
   // chunking: fixed per-thread ranges shared by histogram + scatter
   std::vector<int64_t> lo(threads + 1);
@@ -84,9 +94,8 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
       for (int64_t i = lo[t]; i < lo[t + 1]; i++)
         dst[off[((src[i] & BARE_MASK) >> shift) & (NB - 1)]++] = src[i];
     }
-    uint64_t *tmp = src;
     src = dst;
-    dst = tmp;
+    dst = (dst == a.data()) ? b.data() : a.data();
   }
 
   // parallel run-length count over runs of equal bare value

@@ -148,9 +148,14 @@ def _concat(reads: list[np.ndarray], phreds) -> tuple:
     if phreds is not None and any(p is not None for p in phreds):
         if all(p is not None for p in phreds):
             pspan = _parent_span(phreds)
-            if pspan is not None:
+            if pspan is not None and pspan.dtype == np.uint8:
+                ph = pspan  # zero-copy: already the uint8 parent slice
+            elif pspan is not None:
                 # one fused pass over the parent slice (no concatenate)
                 ph = np.clip(pspan, 0, 255).astype(np.uint8)
+            elif phreds[0].dtype == np.uint8:
+                ph = np.empty(int(off[-1]), dtype=np.uint8)
+                np.concatenate(phreds, out=ph)
             else:
                 # one concatenate + one clip instead of a per-read loop
                 flat = np.empty(int(off[-1]), dtype=np.int64)

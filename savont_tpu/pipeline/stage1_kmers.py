@@ -102,10 +102,14 @@ def _batch_encode(seqs: list[bytes], quals: list):
         qlens = np.fromiter((len(quals[i]) for i in qidx), np.int64, len(qidx))
         qoff = np.zeros(len(qidx) + 1, np.int64)
         np.cumsum(qlens, out=qoff[1:])
+        # phred stays uint8: ascii-33 is [0, 93] for valid quality bytes, and
+        # downstream scan kernels consume uint8 planes directly (the _concat
+        # fast path then hands the parent span over with zero copies).
+        # Sub-33 ascii wraps exactly like the reference's u8 arithmetic.
         qflat = (
-            np.frombuffer(b"".join(quals[i] for i in qidx), np.uint8).astype(np.int32) - 33
+            np.frombuffer(b"".join(quals[i] for i in qidx), np.uint8) - np.uint8(33)
             if int(qoff[-1])
-            else np.zeros(0, np.int32)
+            else np.zeros(0, np.uint8)
         )
         for j, i in enumerate(qidx):
             phred_list[i] = qflat[qoff[j] : qoff[j + 1]]
