@@ -346,20 +346,32 @@ def align_and_consensus(
     twin_reads: list[TwinRead], clusters: list[list[int]], args: ClusterArgs
 ) -> list[ConsensusSequence]:
     """alignment.rs:218-405, with alignments batched across all clusters."""
-    # per-cluster prep
+    # per-cluster prep.  Seed/candidate selection needs only lengths and
+    # binned qualities — decode (seq_bytes / expanded_qual_ascii, both
+    # memoized on the TwinRead) happens lazily for the <= MAX_SEQS_POA
+    # reads actually aligned, not every cluster member.
+    class _Lazy:
+        __slots__ = ("trs", "fn")
+
+        def __init__(self, trs, fn):
+            self.trs, self.fn = trs, fn
+
+        def __getitem__(self, i):
+            return self.fn(self.trs[i])
+
     ctx = []
     for cluster in clusters:
-        seqs, quals = [], []
-        for rid in cluster:
-            s, q = _read_seq_and_qual(twin_reads[rid])
-            seqs.append(s)
-            quals.append(q)
-        avgq = _avg_qual_batch([twin_reads[rid] for rid in cluster])
-        lengths_i = sorted((len(s), i) for i, s in enumerate(seqs))
+        trs = [twin_reads[rid] for rid in cluster]
+        avgq = _avg_qual_batch(trs)
+        lengths_i = sorted((len(tr.codes), i) for i, tr in enumerate(trs))
         seed_idx = lengths_i[int(len(lengths_i) * 0.9)][1]
-        order = sorted(range(len(seqs)), key=lambda i: -avgq[i])[:MAX_SEQS_POA]
+        order = sorted(range(len(trs)), key=lambda i: -avgq[i])[:MAX_SEQS_POA]
         cands = sorted(i for i in order if i != seed_idx)
-        ctx.append({"seqs": seqs, "quals": quals, "seed": seed_idx, "cands": cands})
+        ctx.append({
+            "seqs": _Lazy(trs, lambda tr: tr.seq_bytes()),
+            "quals": _Lazy(trs, lambda tr: tr.expanded_qual_ascii()),
+            "seed": seed_idx, "cands": cands,
+        })
 
     # round 1: align candidates to seed, batched over all clusters
     pairs, owners = [], []
