@@ -7,6 +7,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
@@ -461,6 +464,11 @@ void chain_band_batch(
             int64_t* lo = out_lo + out_off[g];
             int64_t run_c = INT64_MIN, run_lo = 0;
             int64_t j = 0;  // interval index into chain
+            // slope hoisted per interval: recomputed only when j advances
+            // (same double expression, so nearbyint ties-to-even rounding
+            // is bit-identical to the per-x form)
+            double slope = (nc > 1)
+                ? (double)(ct[1] - ct[0]) / (double)(cq[1] - cq[0]) : 0.0;
             for (int64_t x = 0; x < m; x++) {
                 int64_t c;
                 if (x < cq[0]) {
@@ -468,12 +476,15 @@ void chain_band_batch(
                 } else if (x > cq[nc - 1]) {
                     c = ct[nc - 1] + (x - cq[nc - 1]);
                 } else {
-                    while (j + 1 < nc && cq[j + 1] <= x) j++;
+                    while (j + 1 < nc && cq[j + 1] <= x) {
+                        j++;
+                        if (j + 1 < nc)
+                            slope = (double)(ct[j + 1] - ct[j]) /
+                                    (double)(cq[j + 1] - cq[j]);
+                    }
                     if (cq[j] == x || j == nc - 1) {
                         c = ct[j];
                     } else {
-                        const double slope =
-                            (double)(ct[j + 1] - ct[j]) / (double)(cq[j + 1] - cq[j]);
                         c = (int64_t)std::nearbyint(slope * (double)(x - cq[j]) + (double)ct[j]);
                     }
                 }
@@ -483,9 +494,19 @@ void chain_band_batch(
                 if (l > lo_max) l = lo_max;
                 if (l > run_lo) run_lo = l;
                 if (x == 0) run_lo = l;
+                // NT store: lo planes are written once here and read much
+                // later (after all groups) by the DP kernel — no reuse to
+                // cache, and the write volume is ~qlen*8B per kept group
+#if defined(__x86_64__)
+                _mm_stream_si64((long long*)&lo[x], (long long)run_lo);
+#else
                 lo[x] = run_lo;
+#endif
             }
         }
+#if defined(__x86_64__)
+        _mm_sfence();  // NT stores must land before the caller's DP reads
+#endif
     }
 }
 
