@@ -267,3 +267,25 @@ def test_aggressive_bloom_admission_order_dependent():
     # (2,1) with the rc in the middle: admitted
     got3 = aggressive_bloom_admitted([np.array([a | F, a, a | F])])
     assert got3.tolist() == [42]
+
+
+def test_cached_encoded_invalidates_with_read_cache():
+    """_cached_encoded memoizes per parse: same records list -> same encode
+    objects; clearing _READ_CACHE (what bench.py does between runs) must
+    invalidate the encodes too, so no stale arrays cross runs."""
+    from savont_tpu.pipeline import stage1_kmers as s1
+
+    path = "/root/reference/tests/data/ont_zymo_1000.trimmed.fq.gz"
+    s1._READ_CACHE.clear()
+    c1, p1 = s1._cached_encoded(path)
+    c2, p2 = s1._cached_encoded(path)
+    assert c1 is c2 and p1 is p2  # memoized for one parse
+    recs = s1._cached_records(path)
+    assert len(c1) == len(recs)
+    # values match the per-read encoder
+    from savont_tpu.ops.encode import encode_seq
+
+    assert np.array_equal(c1[5], encode_seq(recs[5].seq))
+    s1._READ_CACHE.clear()
+    c3, _ = s1._cached_encoded(path)
+    assert c3 is not c1  # fresh parse -> fresh encode
