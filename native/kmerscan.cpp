@@ -510,6 +510,38 @@ void chain_band_batch(
     }
 }
 
+// Minimizer bitmask join (exact twin of the n_asvs<=64 branch in
+// stage7_em._all_snpmer_candidates): per read, count how many of its
+// (unique, sorted) minimizers appear in each ASV's unique minimizer set.
+// keys is the sorted union of all ASV minimizers, masks[i] has bit a set
+// iff ASV a contains keys[i].  out is (n_reads, n_asvs) int64, zeroed by
+// the caller.
+void mini_mask_join(const uint64_t* keys, const uint64_t* masks, int64_t nk,
+                    const uint64_t* qm, const int64_t* q_start,
+                    const int64_t* q_cnt, int64_t n_reads,
+                    int n_asvs, int64_t* out, int n_threads) {
+    if (nk == 0) return;
+#ifdef _OPENMP
+    const int nt = (n_threads > 0) ? n_threads
+                   : (n_reads > 1 ? omp_get_max_threads() : 1);
+#pragma omp parallel for schedule(static) num_threads(nt)
+#endif
+    for (int64_t r = 0; r < n_reads; r++) {
+        int64_t* row = out + (size_t)r * n_asvs;
+        for (int64_t i = q_start[r]; i < q_start[r] + q_cnt[r]; i++) {
+            const uint64_t v = qm[i];
+            const uint64_t* p = std::lower_bound(keys, keys + nk, v);
+            if (p == keys + nk || *p != v) continue;
+            uint64_t m = masks[p - keys];
+            while (m) {
+                const int a = __builtin_ctzll(m);
+                row[a]++;
+                m &= m - 1;
+            }
+        }
+    }
+}
+
 // Solid-filter masks (kmer_comp.rs:163-208; exact twin of the numpy body
 // of stage1_kmers._apply_solid_filters): per read, a minimizer is solid
 // iff its within-read multiplicity is <= max_count and it is not in the

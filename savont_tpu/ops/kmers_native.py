@@ -103,6 +103,11 @@ def get_scan_lib():
     lib.sort_unique_batch.argtypes = [
         u64p, i64p, ctypes.c_int64, u64p, i64p, i64p, ctypes.c_int,
     ]
+    lib.mini_mask_join.restype = None
+    lib.mini_mask_join.argtypes = [
+        u64p, u64p, ctypes.c_int64, u64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int, i64p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -365,11 +370,12 @@ def qual_fields_batch_native(
     return eq, levels, lvl_off
 
 
-def sort_unique_batch_native(
+def sort_unique_batch_flat_native(
     arrays: list[np.ndarray], threads: int = 4
-) -> list[np.ndarray] | None:
-    """Per-array np.unique (sorted dedup) for many small u64 arrays in one
-    threaded native call; None without the library."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Per-array np.unique for many small u64 arrays in one threaded native
+    call, flat form: array i's uniques live at flat[start[i] : start[i] +
+    cnt[i]].  None without the library."""
     lib = get_scan_lib()
     if lib is None:
         return None
@@ -389,7 +395,46 @@ def sort_unique_batch_native(
         _ptr(out, ctypes.c_uint64), _ptr(off, ctypes.c_int64),
         _ptr(cnt, ctypes.c_int64), threads,
     )
-    return [out[off[i] : off[i] + cnt[i]] for i in range(n)]
+    return out, off[:-1], cnt
+
+
+def sort_unique_batch_native(
+    arrays: list[np.ndarray], threads: int = 4
+) -> list[np.ndarray] | None:
+    """Per-array np.unique (sorted dedup) for many small u64 arrays in one
+    threaded native call; None without the library."""
+    res = sort_unique_batch_flat_native(arrays, threads)
+    if res is None:
+        return None
+    out, start, cnt = res
+    return [out[s : s + c] for s, c in zip(start.tolist(), cnt.tolist())]
+
+
+def mini_mask_join_native(
+    keys: np.ndarray, masks: np.ndarray,
+    q_flat: np.ndarray, q_start: np.ndarray, q_cnt: np.ndarray,
+    n_asvs: int, threads: int = 0,
+) -> np.ndarray | None:
+    """Per-read shared-minimizer counts against <=64 ASV sets via one
+    threaded bitmask join (exact twin of the unpackbits + segment-sum
+    numpy formulation in stage7_em._all_snpmer_candidates).  Returns
+    (n_reads, n_asvs) int64 counts, or None without the library."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n_reads = len(q_start)
+    out = np.zeros((n_reads, n_asvs), dtype=np.int64)
+    if len(keys) and n_reads:
+        lib.mini_mask_join(
+            _ptr(np.ascontiguousarray(keys, dtype=np.uint64), ctypes.c_uint64),
+            _ptr(np.ascontiguousarray(masks, dtype=np.uint64), ctypes.c_uint64),
+            len(keys),
+            _ptr(q_flat, ctypes.c_uint64),
+            _ptr(np.ascontiguousarray(q_start, dtype=np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(q_cnt, dtype=np.int64), ctypes.c_int64),
+            n_reads, n_asvs, _ptr(out, ctypes.c_int64), threads,
+        )
+    return out
 
 
 def _capacity_offsets(reads: list[np.ndarray], k: int) -> np.ndarray:

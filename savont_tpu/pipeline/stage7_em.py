@@ -100,6 +100,30 @@ def _expand_ranges(sorted_keys: np.ndarray, queries: np.ndarray):
     return qi, starts + within
 
 
+def _numpy_mask_join(
+    keys: np.ndarray, masks: np.ndarray, q_mini: np.ndarray,
+    rm_of: np.ndarray, n_asvs: int, mm_counts: np.ndarray,
+) -> None:
+    """NumPy fallback of the native mini_mask_join: one searchsorted over
+    the query stream, one unpackbits per 8 ASVs, byte-lane segment sums.
+    Writes into mm_counts in place (same counts as the native kernel)."""
+    if not (len(q_mini) and len(keys)):
+        return
+    pos = np.minimum(np.searchsorted(keys, q_mini), len(keys) - 1)
+    hm = np.where(keys[pos] == q_mini, masks[pos], np.uint64(0))
+    bit_groups = []
+    for g in range((n_asvs + 7) // 8):
+        byte = ((hm >> np.uint64(8 * g)) & np.uint64(0xFF)).astype(np.uint8)
+        bit_groups.append(np.unpackbits(byte[:, None], axis=1, bitorder="little"))
+    bits = (
+        np.concatenate(bit_groups, axis=1)[:, :n_asvs]
+        if len(bit_groups) > 1
+        else bit_groups[0][:, :n_asvs]
+    )
+    urm, urm_start = _sorted_starts(rm_of)
+    mm_counts[urm] = _seg_column_counts(bits, urm_start)
+
+
 def _all_snpmer_candidates(
     read_list: list[TwinRead],
     asv_trs: list[TwinRead],
@@ -188,48 +212,48 @@ def _all_snpmer_candidates(
     per_asv_unique = [np.unique(atr.minimizer_kmers()) for atr in asv_trs]
     asv_mini_sizes = np.array([len(u) for u in per_asv_unique], dtype=np.int64)
 
-    from ..ops.kmers_native import sort_unique_batch_native
+    from ..ops.kmers_native import (
+        mini_mask_join_native,
+        sort_unique_batch_flat_native,
+    )
 
-    read_minis = sort_unique_batch_native([tr.minimizer_kmers() for tr in read_list])
-    if read_minis is None:
-        read_minis = [np.unique(tr.minimizer_kmers()) for tr in read_list]
-    rm_of = np.repeat(np.arange(n_reads), [len(x) for x in read_minis])
-    q_mini = np.concatenate(read_minis) if read_minis else np.zeros(0, U64)
-    mm_counts = np.zeros((n_reads, n_asvs), dtype=np.int64)
+    flat_res = sort_unique_batch_flat_native([tr.minimizer_kmers() for tr in read_list])
+    mm_counts = None
     if n_asvs <= 64:
         keys = np.unique(np.concatenate(per_asv_unique)) if per_asv_unique else np.zeros(0, U64)
         masks = np.zeros(len(keys), dtype=U64)
         for ai, u in enumerate(per_asv_unique):
             masks[np.searchsorted(keys, u)] |= np.uint64(1 << ai)
-        if len(q_mini) and len(keys):
-            pos = np.minimum(np.searchsorted(keys, q_mini), len(keys) - 1)
-            hm = np.where(keys[pos] == q_mini, masks[pos], np.uint64(0))
-            # one unpackbits per 8 ASVs + byte-lane segment sums instead of
-            # one float bincount per ASV (8 full passes over the hit stream)
-            bit_groups = []
-            for g in range((n_asvs + 7) // 8):
-                byte = ((hm >> np.uint64(8 * g)) & np.uint64(0xFF)).astype(np.uint8)
-                bit_groups.append(
-                    np.unpackbits(byte[:, None], axis=1, bitorder="little")
-                )
-            bits = (
-                np.concatenate(bit_groups, axis=1)[:, :n_asvs]
-                if len(bit_groups) > 1
-                else bit_groups[0][:, :n_asvs]
-            )
-            urm, urm_start = _sorted_starts(rm_of)
-            mm_counts[urm] = _seg_column_counts(bits, urm_start)
+    if flat_res is not None and n_asvs <= 64:
+        # one threaded native bitmask join; read_minis never materialized
+        q_flat, q_start, q_cnt = flat_res
+        mm_counts = mini_mask_join_native(keys, masks, q_flat, q_start, q_cnt, n_asvs)
+    if mm_counts is not None:
+        read_mini_sizes = q_cnt.astype(np.int64)
     else:
-        amini = np.concatenate(per_asv_unique) if per_asv_unique else np.zeros(0, U64)
-        amini_id = np.repeat(np.arange(n_asvs, dtype=np.int64), asv_mini_sizes)
-        order = np.argsort(amini, kind="stable")
-        amini, amini_id = amini[order], amini_id[order]
-        qi2, hi2 = _expand_ranges(amini, q_mini)
-        if len(qi2):
-            flat2 = rm_of[qi2] * n_asvs + amini_id[hi2]
-            mm_counts += np.bincount(flat2, minlength=n_reads * n_asvs).reshape(n_reads, n_asvs)
+        if flat_res is not None:
+            q_flat, q_start, q_cnt = flat_res
+            read_minis = [
+                q_flat[s : s + c] for s, c in zip(q_start.tolist(), q_cnt.tolist())
+            ]
+        else:
+            read_minis = [np.unique(tr.minimizer_kmers()) for tr in read_list]
+        read_mini_sizes = np.fromiter((len(x) for x in read_minis), np.int64, n_reads)
+        rm_of = np.repeat(np.arange(n_reads), read_mini_sizes)
+        q_mini = np.concatenate(read_minis) if read_minis else np.zeros(0, U64)
+        mm_counts = np.zeros((n_reads, n_asvs), dtype=np.int64)
+        if n_asvs <= 64:
+            _numpy_mask_join(keys, masks, q_mini, rm_of, n_asvs, mm_counts)
+        else:
+            amini = np.concatenate(per_asv_unique) if per_asv_unique else np.zeros(0, U64)
+            amini_id = np.repeat(np.arange(n_asvs, dtype=np.int64), asv_mini_sizes)
+            order = np.argsort(amini, kind="stable")
+            amini, amini_id = amini[order], amini_id[order]
+            qi2, hi2 = _expand_ranges(amini, q_mini)
+            if len(qi2):
+                flat2 = rm_of[qi2] * n_asvs + amini_id[hi2]
+                mm_counts += np.bincount(flat2, minlength=n_reads * n_asvs).reshape(n_reads, n_asvs)
 
-    read_mini_sizes = np.array([len(x) for x in read_minis], dtype=np.int64)
     min_ratio = EM_MINIMIZER_RATIO_BASE ** k
     denom = np.minimum(read_mini_sizes[:, None], asv_mini_sizes[None, :])
     with np.errstate(divide="ignore", invalid="ignore"):
