@@ -743,10 +743,33 @@ def align_pairs_nm_indexed(
     return align_pairs_nm(pairs, band=band, coords=coords)
 
 
+def align_pairs_nm_values_indexed(
+    queries: list[bytes], targets: list[bytes],
+    qi: np.ndarray, ti: np.ndarray, band: int | None = None,
+) -> np.ndarray:
+    """NM of the best alignment per indexed job as a flat int64 array
+    (-1 = no alignment).  Same winners/tie-breaks as align_pairs_nm_indexed
+    but with zero per-job Python: no Mapping objects, vectorized winner
+    scatter.  For NM-only consumers (stage-7 tie-break)."""
+    import os
+
+    qi = np.asarray(qi, dtype=np.int64)
+    ti = np.asarray(ti, dtype=np.int64)
+    if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
+        out = _run_indexed_slabs(queries, targets, qi, ti, band, False, nm_values=True)
+        if out is not None:
+            return out
+    maps = align_pairs_nm_indexed(queries, targets, qi, ti, band=band, coords=False)
+    return np.fromiter(
+        (m.nm if m is not None else -1 for m in maps), np.int64, len(maps)
+    )
+
+
 def _run_indexed_slabs(
     queries: list[bytes], targets: list[bytes],
     qi: np.ndarray, ti: np.ndarray, band: int | None, coords: bool,
-) -> list[Mapping | None] | None:
+    nm_values: bool = False,
+) -> list[Mapping | None] | np.ndarray | None:
     """Slabbed indexed SoA alignment (same slab/threading scheme as
     _run_soa_slabs).  Each slab's pools are restricted to the sequences it
     references, so the per-slab minimizer scans stay proportional to slab
@@ -759,7 +782,11 @@ def _run_indexed_slabs(
         q_sub = [queries[i] for i in uq.tolist()]
         t_sub = [targets[i] for i in ut.tolist()]
         return _align_soa_core(q_sub, t_sub, qi2.astype(np.int64),
-                               ti2.astype(np.int64), band, False, coords)
+                               ti2.astype(np.int64), band, False, coords,
+                               nm_values=nm_values)
+
+    def join(parts):
+        return np.concatenate(parts) if nm_values else [m for p in parts for m in p]
 
     slab = 8192
     n = len(qi)
@@ -768,24 +795,24 @@ def _run_indexed_slabs(
     workers = int(os.environ.get("SAVONT_SLAB_WORKERS", "2"))
     spans = [(s, min(s + slab, n)) for s in range(0, n, slab)]
     if workers <= 1:
-        out_seq: list[Mapping | None] = []
+        parts = []
         for s, e in spans:
             part = one_slab(s, e)
             if part is None:
                 return None
-            out_seq.extend(part)
-        return out_seq
+            parts.append(part)
+        return join(parts)
     from concurrent.futures import ThreadPoolExecutor
 
-    out_all: list[Mapping | None] = []
+    parts = []
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = [pool.submit(one_slab, s, e) for s, e in spans]
         for f in futs:
             part = f.result()
             if part is None:
                 return None
-            out_all.extend(part)
-    return out_all
+            parts.append(part)
+    return join(parts)
 
 
 def _align_pairs_nm_soa(
@@ -827,12 +854,17 @@ def _align_soa_core(
     qry_bytes: list[bytes], tgt_bytes: list[bytes],
     job_uq_arr: np.ndarray, job_ti_arr: np.ndarray,
     band: int, traceback: bool = False, coords: bool = True,
-) -> list[Mapping | None] | None:
+    nm_values: bool = False,
+) -> list[Mapping | None] | np.ndarray | None:
     """SoA planning + DP + winner selection over indexed jobs: job k aligns
     qry_bytes[job_uq_arr[k]] against tgt_bytes[job_ti_arr[k]].  Every entry
     of qry_bytes is minimizer-scanned, so callers should pass only used
-    sequences.  Returns one Mapping|None per job, or None when a
-    prerequisite is missing (caller falls back)."""
+    sequences.  Returns one Mapping|None per job (or, with nm_values=True,
+    one flat int64 NM array with -1 = unaligned — no Mapping objects), or
+    None when a prerequisite is missing (caller falls back)."""
+    if nm_values:
+        assert not traceback
+        _miss = np.full(len(job_uq_arr), -1, dtype=np.int64)
     from .align import resolve_band, window_minimizers_cached_batch
 
     band = resolve_band(band)
@@ -847,6 +879,8 @@ def _align_soa_core(
     lib = get_lib()
     n_pairs = len(job_uq_arr)
     if lib is None or get_scan_lib() is None or get_sort_lib() is None or not n_pairs:
+        if nm_values:
+            return None if n_pairs else _miss
         return None if n_pairs else []
     min_anchors = 2
 
@@ -888,7 +922,7 @@ def _align_soa_core(
     mini_counts = q_mcnt[job_uq_arr]
     total_minis = int(mini_counts.sum())
     if total_minis == 0:
-        return [None] * n_pairs
+        return _miss if nm_values else [None] * n_pairs
     q_moff = np.zeros(len(qmini) + 1, dtype=np.int64)
     np.cumsum(q_mcnt, out=q_moff[1:])
     pool_h = np.concatenate([m[0] for m in qmini])
@@ -908,7 +942,7 @@ def _align_soa_core(
         return None
     left, counts, total = found
     if total == 0:
-        return [None] * n_pairs
+        return _miss if nm_values else [None] * n_pairs
     keys = anchor_sorted_keys_native(
         left, counts, all_p, all_f, jid, qlens_all[job_uq_arr],
         tid_cat, tpos_cat, isf_cat, indexes[0].k if indexes else 15, False,
@@ -917,7 +951,7 @@ def _align_soa_core(
     if keys is None:
         return None
     if len(keys) == 0:
-        return [None] * n_pairs
+        return _miss if nm_values else [None] * n_pairs
     hi_bits = keys >> np.uint64(28)
     bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
     sizes_all = np.diff(np.append(bounds, len(keys)))
@@ -939,7 +973,7 @@ def _align_soa_core(
     )
     kept = np.flatnonzero(nchain >= min_anchors)
     if len(kept) == 0:
-        return [None] * n_pairs
+        return _miss if nm_values else [None] * n_pairs
 
     owner_j = owner_g[kept]
     uq_j = uq_g[kept]
@@ -1024,7 +1058,7 @@ def _align_soa_core(
     ok = np.flatnonzero(score > 0)
     best: list[Mapping | None] = [None] * n_pairs
     if len(ok) == 0:
-        return best
+        return _miss if nm_values else best
     sel = np.lexsort((ok, -score[ok], owner_j[ok]))
     ow = owner_j[ok][sel]
     first = sel[np.flatnonzero(np.concatenate(([True], ow[1:] != ow[:-1])))]
@@ -1035,6 +1069,11 @@ def _align_soa_core(
         for j in np.flatnonzero(meta[:, 7] > 0):
             redo.add(int(owner_j[j]))
     jj = ok[first]
+    if nm_values:
+        # flat NM winners, fully vectorized (no Mapping objects; the nm
+        # path never sets redo — CIGAR overflow is traceback-only)
+        _miss[owner_j[jj]] = meta[jj, 5].astype(np.int64)
+        return _miss
     rows = meta[jj].tolist()  # python ints in one pass (no per-scalar int())
     owners_w = owner_j[jj].tolist()
     sts_w = st_j[jj].tolist()

@@ -10,7 +10,11 @@ from ..config import ClusterArgs
 from ..constants import EM_MAX_ITERATIONS, EM_MINIMIZER_RATIO_BASE, EM_RATIO_THRESHOLD
 from ..core import ConsensusSequence, KmerGlobalInfo, TwinRead
 from ..ops.align import TargetIndex
-from ..ops.align_batch import align_pairs_nm, align_pairs_nm_indexed, map_batch
+from ..ops.align_batch import (
+    align_pairs_nm,
+    align_pairs_nm_values_indexed,
+    map_batch,
+)
 from ..ops.em import em_abundances, groups_to_rows
 from ..ops.encode import U64
 
@@ -327,15 +331,18 @@ def refine_asv_depths_with_em(
         aln_results, dev_abund, _dev_count = mesh_stage7_tie_break(
             pairs, cr, ca, len(read_list), len(consensuses)
         )
+        nm_vals = np.fromiter(
+            (m.nm if m is not None else -1 for m in aln_results),
+            np.int64, len(aln_results),
+        )
     else:
-        # stage 7 reads only Mapping.nm: the no-coords DP variant drops the
-        # start-coordinate metadata planes (~1/3 less DP work, same nm/winner)
-        aln_results = align_pairs_nm_indexed(read_seqs, asv_seqs, qi, ca, coords=False)
+        # stage 7 reads only NM: the values API returns one flat int64 array
+        # (-1 = unaligned) with no Mapping objects, on the no-coords DP
+        # variant (~1/3 less DP work, same nm/winner)
+        nm_vals = align_pairs_nm_values_indexed(read_seqs, asv_seqs, qi, ca)
 
-    ok = np.fromiter((m is not None for m in aln_results), bool, len(aln_results))
-    nm_all = np.fromiter(
-        (m.nm if m is not None else 0 for m in aln_results), np.int64, len(aln_results)
-    )
+    ok = nm_vals >= 0
+    nm_all = np.where(ok, nm_vals, 0)
     rr, aa, nm, mm = cr[ok], ca[ok], nm_all[ok], _cm[ok]
     if len(rr) == 0:
         # no read has an aligned candidate (possible per-sample when one

@@ -876,3 +876,39 @@ def test_minimizer_sketch_native_parity():
         for (nv, npos), (pv, ppos) in zip(nat, py):
             assert np.array_equal(nv, pv)
             assert np.array_equal(npos, ppos)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
+def test_align_pairs_nm_values_matches_mapping_path():
+    """The flat NM-array variant must agree with the Mapping-returning
+    indexed path on winners and NM (incl. -1 for unaligned jobs), across
+    the slab boundary."""
+    from savont_tpu.ops.align_batch import (
+        align_pairs_nm_indexed,
+        align_pairs_nm_values_indexed,
+    )
+
+    rng = np.random.default_rng(4321)
+    targets = [rand_seq(420 + int(rng.integers(0, 120))) for _ in range(4)]
+    queries = []
+    for _ in range(30):
+        t = targets[int(rng.integers(len(targets)))]
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(rng.integers(0, 25)), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if rng.random() < 0.5:
+            q = bytearray(revcomp_bytes(bytes(q)))
+        queries.append(bytes(q))
+    queries.append(rand_seq(400))  # unalignable
+
+    n_jobs = 9000
+    qi = rng.integers(0, len(queries), n_jobs)
+    ti = rng.integers(0, len(targets), n_jobs)
+    vals = align_pairs_nm_values_indexed(queries, targets, qi, ti)
+    maps = align_pairs_nm_indexed(queries, targets, qi, ti, coords=False)
+    assert len(vals) == n_jobs
+    for v, m in zip(vals.tolist(), maps):
+        if m is None:
+            assert v == -1
+        else:
+            assert v == m.nm
