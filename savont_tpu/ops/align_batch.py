@@ -1024,11 +1024,14 @@ def _align_soa_core(
     t_off_s = np.ascontiguousarray(t_off_j[order])
     t_lens_s = np.ascontiguousarray(t_lens_j[order])
     lo_off_s = np.ascontiguousarray(lo_off_j[order])
-    cig = None
+    cig = cig_row = None
     if traceback:
         max_cigar = 512
         out_meta = np.zeros((B, 8), dtype=np.int32)
-        out_cigar = np.zeros((B, max_cigar), dtype=np.uint32)
+        # empty, not zeros: the kernel writes exactly clen entries per row
+        # and readers slice [:clen]; winners read through the inverse
+        # permutation instead of scattering the whole (B, 512) matrix back
+        out_cigar = np.empty((B, max_cigar), dtype=np.uint32)
         lib.sw_tb_batch(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
@@ -1039,8 +1042,9 @@ def _align_soa_core(
         )
         meta = np.empty_like(out_meta)
         meta[order] = out_meta
-        cig = np.empty_like(out_cigar)
-        cig[order] = out_cigar
+        cig = out_cigar
+        cig_row = np.empty(B, dtype=np.int64)
+        cig_row[order] = np.arange(B, dtype=np.int64)
     else:
         nm_fn = lib.sw_nm_batch if coords else lib.sw_nm_batch_nc
         nm_fn(
@@ -1086,7 +1090,7 @@ def _align_soa_core(
         st = sts_w[x]
         fql = fqls_w[x]
         fq0, fq1 = (q0, q1) if st == 1 else (fql - q1, fql - q0)
-        cigar = cig[j, : rows[x][6]].copy() if traceback else []
+        cigar = cig[cig_row[j], : rows[x][6]].copy() if traceback else []
         best[o] = Mapping(
             target_id=0, strand=st, query_start=fq0, query_end=fq1,
             target_start=t0, target_end=t1, nm=nm, cigar=cigar, score=s,
