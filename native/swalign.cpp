@@ -1161,13 +1161,17 @@ inline void fused_tb_row_pass_avx512(
         const __m512i vh0 = _mm512_max_epi16(vg, ve);
         const __m512i vh = _mm512_mask_blend_epi16(kvalid, vneg, vh0);
         STU(Hb, j, vh);
-        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
-            _mm512_cmpeq_epi16_mask(vh, vgpost), vb_hg));
-        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
-            _mm512_cmpeq_epi16_mask(vgpost, vzero), vb_gz));
-        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(
-            _mm512_cmpeq_epi16_mask(vgpost, vf), vb_gf));
-        vd = _mm512_or_si512(vd, _mm512_maskz_mov_epi16(keg, vb_eg));
+        // fused masked adds: the direction bits are disjoint powers of two
+        // and each is set at most once, so a masked vpaddw == the or — one
+        // instruction per bit instead of maskz-mov + or (AVX-512BW has no
+        // 16-bit-masked OR)
+        vd = _mm512_mask_add_epi16(vd,
+            _mm512_cmpeq_epi16_mask(vh, vgpost), vd, vb_hg);
+        vd = _mm512_mask_add_epi16(vd,
+            _mm512_cmpeq_epi16_mask(vgpost, vzero), vd, vb_gz);
+        vd = _mm512_mask_add_epi16(vd,
+            _mm512_cmpeq_epi16_mask(vgpost, vf), vd, vb_gf);
+        vd = _mm512_mask_add_epi16(vd, keg, vd, vb_eg);
         _mm256_stream_si256((__m256i*)(drow_base + (size_t)j * stride),
                             _mm512_cvtepi16_epi8(vd));
         const __m512i vcand = _mm512_add_epi16(vg, vextj);
