@@ -912,3 +912,23 @@ def test_align_pairs_nm_values_matches_mapping_path():
             assert v == -1
         else:
             assert v == m.nm
+
+
+def test_count_flagged_adaptive_digits_parity():
+    """count_flagged_u64's adaptive radix digit selection must stay exact
+    across populated bit widths (1 to 62 bits + the strand flag bit)."""
+    from savont_tpu.ops.kmers_native import count_flagged_native
+
+    if count_flagged_native(np.zeros(1, np.uint64), 4) is None:
+        pytest.skip("no native sortcount library")
+    rng = np.random.default_rng(3)
+    for bits in (1, 8, 20, 34, 43, 55, 62):
+        v = rng.integers(0, 1 << bits, 200_000, dtype=np.uint64) | (
+            rng.integers(0, 2, 200_000, dtype=np.uint64) << np.uint64(63)
+        )
+        u, c = count_flagged_native(v, 4)
+        bare = v & np.uint64((1 << 63) - 1)
+        eu, inv = np.unique(bare, return_inverse=True)
+        ec = np.zeros((len(eu), 2), np.uint32)
+        np.add.at(ec, (inv, (v >> np.uint64(63)).astype(int)), 1)
+        assert np.array_equal(u, eu) and np.array_equal(c, ec), bits
