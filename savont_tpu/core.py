@@ -98,6 +98,25 @@ class TwinRead:
             self._seq_bytes_cache = b
         return b
 
+    @staticmethod
+    def warm_seq_bytes(trs: list["TwinRead"]) -> None:
+        """Batch-fill the seq_bytes memo for many reads: one concatenated
+        LUT gather + per-read bytes slices instead of a decode_seq call per
+        read (identical bytes; the per-call numpy overhead dominates at
+        tens of thousands of reads)."""
+        from .ops.encode import _CODE_TO_BYTE
+
+        miss = [t for t in trs if getattr(t, "_seq_bytes_cache", None) is None]
+        if not miss:
+            return
+        lens = np.fromiter((len(t.codes) for t in miss), np.int64, len(miss))
+        off = np.zeros(len(miss) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        buf = _CODE_TO_BYTE[np.concatenate([t.codes for t in miss])].tobytes()
+        offs = off.tolist()
+        for i, t in enumerate(miss):
+            t._seq_bytes_cache = buf[offs[i] : offs[i + 1]]
+
     def expanded_qual_ascii(self) -> np.ndarray:
         """Per-base ASCII qualities from the binned codec (alignment.rs:233-258).
         Memoized like seq_bytes; treat the returned array as read-only."""

@@ -370,8 +370,14 @@ def align_and_consensus(
         ctx.append({
             "seqs": _Lazy(trs, lambda tr: tr.seq_bytes()),
             "quals": _Lazy(trs, lambda tr: tr.expanded_qual_ascii()),
-            "seed": seed_idx, "cands": cands,
+            "trs": trs, "seed": seed_idx, "cands": cands,
         })
+    # one batched decode for every read that will actually align
+    sel: list = []
+    for c in ctx:
+        sel.append(c["trs"][c["seed"]])
+        sel.extend(c["trs"][i] for i in c["cands"])
+    TwinRead.warm_seq_bytes(sel)
 
     # round 1: align candidates to seed, batched over all clusters
     pairs, owners = [], []

@@ -315,7 +315,9 @@ def refine_asv_depths_with_em(
     # Indexed form: decompress each candidate read once, keep (query,
     # target) id arrays — the aligner plans straight off them
     ur, qi = np.unique(cr, return_inverse=True)
-    read_seqs = [read_list[int(r)].seq_bytes() for r in ur.tolist()]
+    cand_trs = [read_list[int(r)] for r in ur.tolist()]
+    TwinRead.warm_seq_bytes(cand_trs)  # one batched decode for all misses
+    read_seqs = [tr.seq_bytes() for tr in cand_trs]
     # SAVONT_STAGE7_BACKEND=mesh: the full align + tie-set + EM step runs
     # on-device over every visible chip ((R, C) candidate panels, psum);
     # NM winners come back bit-identical to align_pairs_nm's rule and the
