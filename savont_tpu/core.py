@@ -117,6 +117,42 @@ class TwinRead:
         for i, t in enumerate(miss):
             t._seq_bytes_cache = buf[offs[i] : offs[i + 1]]
 
+    @staticmethod
+    def warm_qual_ascii(trs: list["TwinRead"]) -> None:
+        """Batch-fill the expanded_qual_ascii memo: one concatenated
+        level->ascii map + np.repeat for all misses (bit-identical to
+        expand_binned_qualities per read, incl. the tail-padding rule)."""
+        miss = [t for t in trs if getattr(t, "_qual_ascii_cache", None) is None]
+        if not miss:
+            return
+        lvls, idx = [], []
+        for t in miss:
+            if t.qual_levels is None:
+                t._qual_ascii_cache = np.full(len(t.codes), 33, dtype=np.uint8)
+            else:
+                idx.append(t)
+                lvls.append(t.qual_levels)
+        if not idx:
+            return
+        q = (np.concatenate(lvls).astype(np.int32) * 3 + 33).astype(np.uint8)
+        exp = np.repeat(q, 4)  # QUALITY_SEQ_BIN
+        off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((4 * len(v) for v in lvls), np.int64, len(lvls)), out=off[1:]
+        )
+        offs = off.tolist()
+        for i, t in enumerate(idx):
+            e = exp[offs[i] : offs[i + 1]]
+            n = len(t.codes)
+            if len(e) >= n:
+                t._qual_ascii_cache = e[:n]
+            elif len(e):
+                t._qual_ascii_cache = np.concatenate(
+                    [e, np.full(n - len(e), e[-1], dtype=np.uint8)]
+                )
+            else:
+                t._qual_ascii_cache = np.full(n, 33, dtype=np.uint8)
+
     def expanded_qual_ascii(self) -> np.ndarray:
         """Per-base ASCII qualities from the binned codec (alignment.rs:233-258).
         Memoized like seq_bytes; treat the returned array as read-only."""

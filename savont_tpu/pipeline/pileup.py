@@ -345,6 +345,15 @@ def generate_consensus_pileups(
     twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
 ) -> list[PileupMatrix]:
     """alignment.rs:409-652 on the matrix representation."""
+    from ..core import TwinRead
+
+    used = [
+        twin_reads[cons.cluster[i]]
+        for cons in consensuses
+        for i in range(min(len(cons.cluster), MAX_SEQS_CONSENSUS))
+    ]
+    TwinRead.warm_seq_bytes(used)
+    TwinRead.warm_qual_ascii(used)
     pairs, owners, payload = [], [], []
     for ci, cons in enumerate(consensuses):
         cseq = cons.sequence.tobytes()

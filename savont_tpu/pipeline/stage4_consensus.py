@@ -372,12 +372,13 @@ def align_and_consensus(
             "quals": _Lazy(trs, lambda tr: tr.expanded_qual_ascii()),
             "trs": trs, "seed": seed_idx, "cands": cands,
         })
-    # one batched decode for every read that will actually align
+    # one batched decode + qual expansion for every read that will align
     sel: list = []
     for c in ctx:
         sel.append(c["trs"][c["seed"]])
         sel.extend(c["trs"][i] for i in c["cands"])
     TwinRead.warm_seq_bytes(sel)
+    TwinRead.warm_qual_ascii(sel)
 
     # round 1: align candidates to seed, batched over all clusters
     pairs, owners = [], []
