@@ -136,6 +136,7 @@ class TwinRead:
             return
         q = (np.concatenate(lvls).astype(np.int32) * 3 + 33).astype(np.uint8)
         exp = np.repeat(q, 4)  # QUALITY_SEQ_BIN
+        exp.setflags(write=False)  # cached views share this buffer
         off = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(
             np.fromiter((4 * len(v) for v in lvls), np.int64, len(lvls)), out=off[1:]

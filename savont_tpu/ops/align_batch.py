@@ -759,7 +759,11 @@ def align_pairs_nm_values_indexed(
         out = _run_indexed_slabs(queries, targets, qi, ti, band, False, nm_values=True)
         if out is not None:
             return out
-    maps = align_pairs_nm_indexed(queries, targets, qi, ti, band=band, coords=False)
+    # fallback (device backend, or an SoA prerequisite missing): materialize
+    # tuples straight into align_pairs_nm — going through the indexed
+    # wrapper would re-run the same gated slab machinery a second time
+    pairs = [(queries[a], targets[b]) for a, b in zip(qi.tolist(), ti.tolist())]
+    maps = align_pairs_nm(pairs, band=band, coords=False)
     return np.fromiter(
         (m.nm if m is not None else -1 for m in maps), np.int64, len(maps)
     )

@@ -62,22 +62,29 @@ def _cached_records(path: str):
     return recs
 
 
-_ENCODE_CACHE: dict[str, tuple[int, list, list]] = {}
+_ENCODE_CACHE: dict[str, tuple[list, list, list]] = {}
+_ENCODE_CACHE_MAX_PATHS = 8
 
 
 def _cached_encoded(path: str) -> tuple[list, list]:
     """2-bit codes + phred vectors aligned with _cached_records(path),
     computed once per parse (the counting pass and TwinRead construction
-    both encode the same reads).  Keyed by the records list identity so
-    clearing _READ_CACHE also invalidates the encodes; uncached record
+    both encode the same reads).  The entry holds the records list itself
+    and validates with `is` (an id() key could be recycled after
+    _READ_CACHE.clear() frees the old list); stale entries are dropped
+    eagerly so cleared parses release their encodes too.  Uncached record
     lists (over the size limit) are re-encoded, never stored."""
     recs = _cached_records(path)
     hit = _ENCODE_CACHE.get(path)
-    if hit is not None and hit[0] == id(recs) and _READ_CACHE.get(path) is recs:
-        return hit[1], hit[2]
+    if hit is not None:
+        if hit[0] is recs and _READ_CACHE.get(path) is recs:
+            return hit[1], hit[2]
+        del _ENCODE_CACHE[path]  # stale parse: free the old encodes
     codes, phred = _batch_encode([r.seq for r in recs], [r.qual for r in recs])
     if _READ_CACHE.get(path) is recs:
-        _ENCODE_CACHE[path] = (id(recs), codes, phred)
+        if len(_ENCODE_CACHE) >= _ENCODE_CACHE_MAX_PATHS:
+            _ENCODE_CACHE.clear()
+        _ENCODE_CACHE[path] = (recs, codes, phred)
     return codes, phred
 
 
