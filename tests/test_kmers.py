@@ -289,3 +289,28 @@ def test_cached_encoded_invalidates_with_read_cache():
     s1._READ_CACHE.clear()
     c3, _ = s1._cached_encoded(path)
     assert c3 is not c1  # fresh parse -> fresh encode
+
+
+def test_pipeline_with_uncached_records(tmp_path, monkeypatch):
+    """With the read cache disabled (file over the size limit), every parse
+    re-streams and _cached_encoded must re-encode without storing; the
+    pipeline output is unchanged."""
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.pipeline import stage1_kmers as s1
+    from savont_tpu.pipeline.asv import run_cluster
+    from savont_tpu.validate import validate_asvs
+
+    monkeypatch.setattr(s1, "_READ_CACHE_LIMIT", 0)
+    s1._READ_CACHE.clear()
+    s1._ENCODE_CACHE.clear()
+    out = tmp_path / "out"
+    run_cluster(ClusterArgs(
+        input_files=["/root/reference/tests/data/ont_zymo_1000.trimmed.fq.gz"],
+        output_dir=str(out), threads=4,
+    ))
+    assert not s1._ENCODE_CACHE  # nothing stored for uncached parses
+    res = validate_asvs(
+        str(out / "final_asvs.fasta"),
+        "/root/reference/tests/data/zymo_ref_asvs.fa.gz",
+    )
+    assert len(res) == 18 and all(r.nm == 0 for r in res)
