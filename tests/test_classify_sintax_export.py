@@ -255,3 +255,48 @@ def test_classify_keeps_all_min_nm_ties_beyond_50(tmp_path):
     rows = (in_dir / "asv_mappings.tsv").read_text().splitlines()[1:]
     tie_rows = [r for r in rows if r.startswith("final_consensus_0")]
     assert len(tie_rows) == n_ties
+
+
+def test_export_joins_classify_taxonomy(tmp_path, mini_emu_db):
+    """merge_with_classify (integration_test.rs:374): export after classify
+    joins the run's asv_mappings.tsv lineage into merged_asv_taxonomy.tsv
+    and the taxon counts."""
+    db_dir, seqs = mini_emu_db
+    in_dir = _write_asv_dir(tmp_path, "run_cls", [(seqs["101"], 64)])
+    from savont_tpu.db.registry import load_database
+
+    db = load_database(db_dir)
+    classify(ClassifyArgs(input_dir=str(in_dir), db=str(db_dir)), db)
+    out = tmp_path / "merged_cls"
+    export(ExportArgs(input_dirs=[str(in_dir)], output_dir=str(out)))
+
+    tax_lines = (out / "merged_asv_taxonomy.tsv").read_text().splitlines()
+    h = seq_hash(seqs["101"])
+    row = next(l for l in tax_lines if l.startswith(h))
+    assert "Listeria" in row and "Unclassified" not in row
+    counts = (out / "merged_taxon_counts.tsv").read_text()
+    assert "Listeria" in counts
+
+
+def test_pooled_classify_wide_tables(tmp_path, mini_emu_db):
+    """pooled_samples_classify (integration_test.rs): a multi-column
+    feature table makes classify emit per-sample wide abundance tables."""
+    db_dir, seqs = mini_emu_db
+    d = tmp_path / "pooledrun"
+    d.mkdir()
+    with open(d / "final_asvs.fasta", "w") as f:
+        f.write(f">final_consensus_0_depth_90\n{seqs['101'].decode()}\n")
+        f.write(f">final_consensus_1_depth_30\n{seqs['103'].decode()}\n")
+    with open(d / "feature-table.tsv", "w") as f:
+        f.write("#OTU ID\tsampleA\tsampleB\n")
+        f.write("final_consensus_0_depth_90\t60\t30\n")
+        f.write("final_consensus_1_depth_30\t10\t20\n")
+    from savont_tpu.db.registry import load_database
+
+    db = load_database(db_dir)
+    classify(ClassifyArgs(input_dir=str(d), db=str(db_dir)), db)
+    sp = (d / "species_abundance.tsv").read_text().splitlines()
+    header = sp[0].split("\t")
+    assert "sampleA" in header and "sampleB" in header
+    lis = next(l for l in sp[1:] if "Listeria" in l)
+    assert len(lis.split("\t")) == len(header)
