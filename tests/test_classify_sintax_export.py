@@ -300,3 +300,21 @@ def test_pooled_classify_wide_tables(tmp_path, mini_emu_db):
     assert "sampleA" in header and "sampleB" in header
     lis = next(l for l in sp[1:] if "Listeria" in l)
     assert len(lis.split("\t")) == len(header)
+
+
+def test_export_joins_sintax_taxonomy(tmp_path, mini_emu_db):
+    """merge_with_sintax (integration_test.rs:424): export after sintax
+    joins the bootstrap-format asv_mappings.tsv lineage (genus-level,
+    species UNCLASSIFIED) into the merged taxonomy."""
+    db_dir, seqs = mini_emu_db
+    in_dir = _write_asv_dir(tmp_path, "run_sx", [(seqs["103"], 41)])
+    from savont_tpu.db.registry import load_database
+
+    db = load_database(db_dir)
+    sintax(SintaxArgs(input_dir=str(in_dir), db=str(db_dir)), db)
+    out = tmp_path / "merged_sx"
+    export(ExportArgs(input_dirs=[str(in_dir)], output_dir=str(out)))
+    tax_lines = (out / "merged_asv_taxonomy.tsv").read_text().splitlines()
+    h = seq_hash(seqs["103"])
+    row = next(l for l in tax_lines if l.startswith(h))
+    assert "Escherichia" in row
