@@ -234,8 +234,11 @@ def _sortcount_available() -> bool:
 
 
 def _count_chunked_native(
-    codes_list, phred_list, args: ClusterArgs, chunk: int = 16384
+    codes_list, phred_list, args: ClusterArgs, chunk: int = 32768
 ) -> tuple[np.ndarray, np.ndarray]:
+    # chunk=32768 keeps the per-chunk k-mer stream + radix ping-pong around
+    # ~1.1 GB transient (measured 13% faster than 16384 at 20k, identical
+    # output; the unchunked flat path allocated multi-GB streams)
     from ..ops.kmers import merge_counted
     from ..ops.kmers_native import count_flagged_native, split_kmers_flat_native
 
