@@ -166,10 +166,19 @@ extern "C" void radix_sort_u64(uint64_t *keys, int64_t n, int threads) {
   for (int64_t i = 0; i < n; i++)
     if (src[i] > maxv)
       maxv = src[i];
-  constexpr int RB = 11;  // 11-bit digits: ~50-bit anchor keys in 5 passes
-  constexpr int NB = 1 << RB;
+  // adaptive digit width (same scheme as count_flagged_u64): 60-bit
+  // anchor keys sort in 4 15-bit passes instead of 6 11-bit ones
+  int bits = 1;
+  while (bits < 64 && (maxv >> bits))
+    bits++;
+  int RB = (bits + 2) / 3;
+  if (RB > 16)
+    RB = (bits + 3) / 4;
+  if (RB < 8)
+    RB = 8;
+  const int NB = 1 << RB;
   int passes = 1;
-  while (passes < (64 + RB - 1) / RB && (maxv >> (RB * passes)))
+  while (passes < (64 + RB - 1) / RB && (maxv >> ((int64_t)RB * passes)))
     passes++;
 
   std::vector<int64_t> lo(threads + 1);
