@@ -41,17 +41,28 @@ _ACC_LUT = 1.0 - np.power(10.0, -(np.arange(64, dtype=np.float64) * 3.0) / 10.0)
 
 def _avg_qual_batch(trs: list[TwinRead]) -> np.ndarray:
     """Mean per-BIN accuracy for many reads in one LUT gather + segmented
-    sums (alignment.rs:239-245).  Reads without qualities -> 1.0."""
+    sums (alignment.rs:239-245).  Reads without qualities -> 1.0.
+    Per-read values are memoized on the TwinRead (they do not depend on
+    the cluster), so repeated per-cluster calls only gather floats."""
     out = np.ones(len(trs), dtype=np.float64)
-    idx = [i for i, tr in enumerate(trs) if tr.qual_levels is not None and len(tr.qual_levels)]
-    if not idx:
-        return out
-    lens = np.fromiter((len(trs[i].qual_levels) for i in idx), np.int64, len(idx))
-    starts = np.zeros(len(idx), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    flat = np.concatenate([trs[i].qual_levels for i in idx])
-    acc = _ACC_LUT[flat]
-    out[idx] = np.add.reduceat(acc, starts) / lens
+    miss = [
+        i for i, tr in enumerate(trs)
+        if getattr(tr, "_avg_qual_cache", None) is None
+        and tr.qual_levels is not None and len(tr.qual_levels)
+    ]
+    if miss:
+        lens = np.fromiter((len(trs[i].qual_levels) for i in miss), np.int64, len(miss))
+        starts = np.zeros(len(miss), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate([trs[i].qual_levels for i in miss])
+        acc = _ACC_LUT[flat]
+        vals = np.add.reduceat(acc, starts) / lens
+        for i, v in zip(miss, vals.tolist()):
+            trs[i]._avg_qual_cache = v
+    for i, tr in enumerate(trs):
+        v = getattr(tr, "_avg_qual_cache", None)
+        if v is not None:
+            out[i] = v
     return out
 
 
@@ -359,6 +370,9 @@ def align_and_consensus(
         def __getitem__(self, i):
             return self.fn(self.trs[i])
 
+    # warm the per-read accuracy memos for every cluster member in ONE
+    # vector pass; the per-cluster calls below then only gather floats
+    _avg_qual_batch([twin_reads[rid] for cluster in clusters for rid in cluster])
     ctx = []
     for cluster in clusters:
         trs = [twin_reads[rid] for rid in cluster]
