@@ -154,17 +154,24 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
     # re-encoded from the flipped bytes — code-level revcomp would differ on
     # non-ACGT bytes (revcomp_bytes maps them to N=code 0, not 3-code)
     codes_list, phred_list = [], []
+    rc_rows: list[int] = []
+    rc_seqs: list[bytes] = []
+    rc_quals: list = []
     for path in args.input_files:
         enc_c, enc_p = _cached_encoded(path)
         for rec, c, p in zip(_cached_records(path), enc_c, enc_p):
             fields = rec.id.split()
             if fields and fields[-1] == "rc":
-                seq = revcomp_bytes(rec.seq)
-                qual = rec.qual[::-1] if rec.qual is not None else None
-                c1, p1 = _batch_encode([seq], [qual])
-                c, p = c1[0], p1[0]
+                rc_rows.append(len(codes_list))
+                rc_seqs.append(revcomp_bytes(rec.seq))
+                rc_quals.append(rec.qual[::-1] if rec.qual is not None else None)
             codes_list.append(c)
             phred_list.append(p)
+    if rc_rows:  # one batched re-encode for every 'rc'-tagged read
+        rc_c, rc_p = _batch_encode(rc_seqs, rc_quals)
+        for i, c, p in zip(rc_rows, rc_c, rc_p):
+            codes_list[i] = c
+            phred_list[i] = p
     n_reads = len(codes_list)
     if os.environ.get("SAVONT_DEVICE_KMERS"):
         # TPU path: batched (hi,lo)-plane split-kmer extraction on device
