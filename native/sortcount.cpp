@@ -270,9 +270,83 @@ extern "C" int64_t anchor_pack_keys(
 // concatenated per-table metadata arrays directly.  Replaces a Python
 // per-target-group loop of anchor_search calls (the SoA pair planner makes
 // one call per unique target; at small N the ctypes marshalling dominated).
+//
+// When lookups dwarf the table sizes (every read's minimizers probing a
+// handful of tiny consensus tables — the stage-4/7 SoA shape), the binary
+// searches are replaced by per-table open-addressing maps over the
+// distinct-key runs (key -> (global lo, run length)).  Build is one O(n_h)
+// sweep; lookups become 1-2 probes.  Results are bit-identical: the map
+// stores exactly the (lower_bound, range length) pair the search returns,
+// and misses report cnt = 0 (lo is never read when cnt == 0).
 extern "C" int64_t anchor_search_multi(
-    const uint64_t *h_cat, const int64_t *tab_off, const int32_t *gid,
-    const uint64_t *q, int64_t n, int64_t *lo, int64_t *cnt, int threads) {
+    const uint64_t *h_cat, const int64_t *tab_off, int64_t n_tables,
+    const int32_t *gid, const uint64_t *q, int64_t n, int64_t *lo,
+    int64_t *cnt, int threads) {
+  const int64_t n_h = n_tables > 0 ? tab_off[n_tables] : 0;
+  int64_t total = 0;
+  if (n_tables > 0 && n >= 4096 && n >= 4 * n_h) {
+    // power-of-two capacity >= 2x slice length per table, shared arena
+    std::vector<int64_t> cap_off(n_tables + 1, 0);
+    std::vector<int> shift(n_tables, 64);
+    for (int64_t g = 0; g < n_tables; g++) {
+      const int64_t len = tab_off[g + 1] - tab_off[g];
+      int64_t c = 0;
+      if (len > 0) {
+        c = 16;
+        int lg = 4;
+        while (c < 2 * len) {
+          c <<= 1;
+          lg++;
+        }
+        shift[g] = 64 - lg;
+      }
+      cap_off[g + 1] = cap_off[g] + c;
+    }
+    std::vector<uint64_t> hkey(cap_off[n_tables]);
+    std::vector<int64_t> hlo(cap_off[n_tables]);
+    std::vector<int64_t> hcnt(cap_off[n_tables], 0); // 0 = empty slot
+    const uint64_t MUL = 0x9E3779B97F4A7C15ULL;
+    for (int64_t g = 0; g < n_tables; g++) {
+      uint64_t *kk = hkey.data() + cap_off[g];
+      int64_t *ll = hlo.data() + cap_off[g];
+      int64_t *cc = hcnt.data() + cap_off[g];
+      const uint64_t mask = (uint64_t)(cap_off[g + 1] - cap_off[g]) - 1;
+      int64_t i = tab_off[g];
+      while (i < tab_off[g + 1]) {
+        int64_t j = i + 1;
+        while (j < tab_off[g + 1] && h_cat[j] == h_cat[i])
+          j++;
+        uint64_t s = (h_cat[i] * MUL) >> shift[g];
+        while (cc[s])
+          s = (s + 1) & mask;
+        kk[s] = h_cat[i];
+        ll[s] = i;
+        cc[s] = j - i;
+        i = j;
+      }
+    }
+#pragma omp parallel for schedule(static) reduction(+ : total)                \
+    num_threads(threads > 0 ? threads : 1)
+    for (int64_t i = 0; i < n; i++) {
+      const int64_t g = gid[i];
+      if (cap_off[g + 1] == cap_off[g]) {
+        lo[i] = tab_off[g];
+        cnt[i] = 0;
+        continue;
+      }
+      const uint64_t *kk = hkey.data() + cap_off[g];
+      const int64_t *ll = hlo.data() + cap_off[g];
+      const int64_t *cc = hcnt.data() + cap_off[g];
+      const uint64_t mask = (uint64_t)(cap_off[g + 1] - cap_off[g]) - 1;
+      uint64_t s = (q[i] * MUL) >> shift[g];
+      while (cc[s] && kk[s] != q[i])
+        s = (s + 1) & mask;
+      lo[i] = cc[s] ? ll[s] : tab_off[g];
+      cnt[i] = cc[s];
+      total += cnt[i];
+    }
+    return total;
+  }
 #pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
   for (int64_t i = 0; i < n; i++) {
     const uint64_t *b = h_cat + tab_off[gid[i]];
@@ -282,7 +356,6 @@ extern "C" int64_t anchor_search_multi(
     lo[i] = l - h_cat;
     cnt[i] = r - l;
   }
-  int64_t total = 0;
   for (int64_t i = 0; i < n; i++) total += cnt[i];
   return total;
 }

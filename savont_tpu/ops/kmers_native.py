@@ -726,7 +726,7 @@ def get_sort_lib():
         lib.anchor_search_multi.restype = ctypes.c_int64
         lib.anchor_search_multi.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int,
@@ -783,6 +783,7 @@ def anchor_search_multi_native(
     total = lib.anchor_search_multi(
         _ptr(np.ascontiguousarray(h_cat, np.uint64), ctypes.c_uint64),
         _ptr(np.ascontiguousarray(tab_off, np.int64), ctypes.c_int64),
+        len(tab_off) - 1,
         _ptr(np.ascontiguousarray(gid, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(queries, np.uint64), ctypes.c_uint64), n,
         _ptr(lo, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
