@@ -240,17 +240,21 @@ extern "C" int64_t anchor_search(const uint64_t *h_sorted, int64_t n_h,
   return total;
 }
 
+// jid_shift: bit position of the query/job id field.  43 for the general
+// (tid-carrying) planner; 29 when every table is a singleton (tid == 0), so
+// the key collapses to jid|same|qp|tpos and the adaptive radix sort covers
+// it in one fewer pass.  Sort order is unchanged (tid was constant 0).
 extern "C" int64_t anchor_pack_keys(
     const int64_t *lo, const int64_t *cnt, int64_t n_minis,
     const int32_t *all_p, const uint8_t *all_f, const int32_t *qid,
     const int64_t *qlens, const int32_t *h_tid, const int32_t *h_tpos,
-    const uint8_t *h_isf, int k, int no_diag, uint64_t *keys) {
+    const uint8_t *h_isf, int k, int no_diag, int jid_shift, uint64_t *keys) {
   int64_t w = 0;
   for (int64_t m = 0; m < n_minis; m++) {
     const int64_t q = qid[m];
     const int64_t qp_f = all_p[m];
     const int64_t qp_r = qlens[q] - k - qp_f;
-    const uint64_t base = (uint64_t)q << 43;
+    const uint64_t base = (uint64_t)q << jid_shift;
     for (int64_t j = lo[m]; j < lo[m] + cnt[m]; j++) {
       const int64_t tid = h_tid[j];
       if (no_diag && tid == q)
@@ -262,6 +266,49 @@ extern "C" int64_t anchor_pack_keys(
     }
   }
   return w;
+}
+
+// Sorted-emission variant of anchor_pack_keys for the singleton-table
+// planner (jid_shift = 29, tid == 0, no_diag unused): minis arrive grouped
+// by job with strictly ascending query positions, and each table's
+// equal-hash runs are tpos-ascending (stable argsort over an ascending
+// scan), so emitting per job the strand- hits in REVERSE mini order
+// (qp_r = qlen-k-qp_f ascends) followed by the strand+ hits forward
+// produces keys already in ascending (jid, strand, qp, tpos) order.
+// Bit-identical to anchor_pack_keys(jid_shift=29) + radix_sort_u64 (equal
+// keys are fully identical, so stability is unobservable); parallel over
+// jobs via per-job output offsets.
+extern "C" int64_t anchor_pack_keys_sorted(
+    const int64_t *lo, const int64_t *cnt, const int64_t *job_moff,
+    int64_t n_jobs, const int32_t *all_p, const uint8_t *all_f,
+    const int64_t *qlens_j, const int32_t *h_tpos, const uint8_t *h_isf,
+    int k, uint64_t *keys, int threads) {
+  std::vector<int64_t> out_off(n_jobs + 1, 0);
+  for (int64_t j = 0; j < n_jobs; j++) {
+    int64_t t = 0;
+    for (int64_t m = job_moff[j]; m < job_moff[j + 1]; m++)
+      t += cnt[m];
+    out_off[j + 1] = out_off[j] + t;
+  }
+#pragma omp parallel for schedule(dynamic, 64)                                 \
+    num_threads(threads > 0 ? threads : 1)
+  for (int64_t jb = 0; jb < n_jobs; jb++) {
+    const uint64_t base = (uint64_t)jb << 29;
+    uint64_t *w = keys + out_off[jb];
+    for (int64_t m = job_moff[jb + 1] - 1; m >= job_moff[jb]; m--) {
+      const uint64_t qp_r = (uint64_t)(qlens_j[jb] - k - all_p[m]);
+      for (int64_t t = lo[m]; t < lo[m] + cnt[m]; t++)
+        if (h_isf[t] != all_f[m])
+          *w++ = base | (qp_r << 14) | (uint64_t)h_tpos[t];
+    }
+    for (int64_t m = job_moff[jb]; m < job_moff[jb + 1]; m++) {
+      const uint64_t qp_f = (uint64_t)all_p[m];
+      for (int64_t t = lo[m]; t < lo[m] + cnt[m]; t++)
+        if (h_isf[t] == all_f[m])
+          *w++ = base | (1ULL << 28) | (qp_f << 14) | (uint64_t)h_tpos[t];
+    }
+  }
+  return out_off[n_jobs];
 }
 
 // Multi-table variant of anchor_search: query i does its range lookup in

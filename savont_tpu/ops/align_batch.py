@@ -873,7 +873,6 @@ def _align_soa_core(
 
     band = resolve_band(band)
     from .kmers_native import (
-        anchor_sorted_keys_native,
         chain_band_native,
         get_scan_lib,
         get_sort_lib,
@@ -932,8 +931,9 @@ def _align_soa_core(
     pool_h = np.concatenate([m[0] for m in qmini])
     pool_p = np.concatenate([m[1] for m in qmini])
     pool_f = np.concatenate([m[2] for m in qmini])
-    job_off = np.zeros(n_pairs, dtype=np.int64)  # exclusive scan
-    np.cumsum(mini_counts[:-1], out=job_off[1:])
+    job_moff = np.zeros(n_pairs + 1, dtype=np.int64)  # per-job mini ranges
+    np.cumsum(mini_counts, out=job_moff[1:])
+    job_off = job_moff[:-1]  # exclusive scan
     flat = np.repeat(q_moff[job_uq_arr] - job_off, mini_counts)
     flat += np.arange(total_minis, dtype=np.int64)
     all_h = pool_h[flat]
@@ -947,10 +947,16 @@ def _align_soa_core(
     left, counts, total = found
     if total == 0:
         return _miss if nm_values else [None] * n_pairs
-    keys = anchor_sorted_keys_native(
-        left, counts, all_p, all_f, jid, qlens_all[job_uq_arr],
-        tid_cat, tpos_cat, isf_cat, indexes[0].k if indexes else 15, False,
-        threads=4,
+    # singleton tables: tid bits are constant 0, so keys collapse to
+    # (jid << 29 | strand | qp | tpos) and the planner emits them directly
+    # in sorted order (strand- reverse-mini, strand+ forward) — no radix
+    # sort.  Bit-identical to anchor_sorted_keys_native(jid_shift=29);
+    # parity pinned by tests/test_native.py.
+    from .kmers_native import anchor_sorted_keys_singleton_native
+
+    keys = anchor_sorted_keys_singleton_native(
+        left, counts, job_moff, all_p, all_f, qlens_all[job_uq_arr],
+        tpos_cat, isf_cat, indexes[0].k if indexes else 15, threads=4,
     )
     if keys is None:
         return None
@@ -960,7 +966,7 @@ def _align_soa_core(
     bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
     sizes_all = np.diff(np.append(bounds, len(keys)))
     kb = keys[bounds]
-    g_job = (kb >> np.uint64(43)).astype(np.int64)
+    g_job = (kb >> np.uint64(29)).astype(np.int64)
     qa_all = ((keys >> np.uint64(14)) & np.uint64(0x3FFF)).astype(np.int64)
     ta_all = (keys & np.uint64(0x3FFF)).astype(np.int64)
     grp_off = np.zeros(len(sizes_all) + 1, dtype=np.int64)

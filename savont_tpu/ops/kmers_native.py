@@ -739,7 +739,16 @@ def get_sort_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.anchor_pack_keys_sorted.restype = ctypes.c_int64
+        lib.anchor_pack_keys_sorted.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ]
         lib._anchor_ready = True
     return lib
@@ -795,10 +804,14 @@ def anchor_sorted_keys_native(
     lo: np.ndarray, cnt: np.ndarray, all_p: np.ndarray, all_f: np.ndarray,
     qid: np.ndarray, qlens: np.ndarray, h_tid: np.ndarray, h_tpos: np.ndarray,
     h_isf: np.ndarray, k: int, no_diag: bool, threads: int,
+    jid_shift: int = 43,
 ) -> np.ndarray | None:
     """Expand minimizer-hit ranges into packed anchor keys and radix-sort
     them (native twin of plan_jobs_batch's expand + argsort).  Caller
-    decodes (qid, tid, strand, qpos, tpos) from the sorted key bits."""
+    decodes (qid, tid, strand, qpos, tpos) from the sorted key bits.
+    jid_shift=29 packs the job id right above the strand bit for
+    singleton-table callers (tid is always 0 there): identical sort order,
+    ~14 fewer populated key bits, one fewer radix pass."""
     lib = get_sort_lib()
     if lib is None:
         return None
@@ -815,11 +828,41 @@ def anchor_sorted_keys_native(
         _ptr(np.ascontiguousarray(h_tid, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(h_tpos, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(h_isf, np.uint8), ctypes.c_uint8),
-        k, int(no_diag), _ptr(keys, ctypes.c_uint64),
+        k, int(no_diag), jid_shift, _ptr(keys, ctypes.c_uint64),
     )
     keys = keys[:n]
     lib.radix_sort_u64(_ptr(keys, ctypes.c_uint64), n, threads)
     return keys
+
+
+def anchor_sorted_keys_singleton_native(
+    lo: np.ndarray, cnt: np.ndarray, job_moff: np.ndarray,
+    all_p: np.ndarray, all_f: np.ndarray, qlens_j: np.ndarray,
+    h_tpos: np.ndarray, h_isf: np.ndarray, k: int, threads: int,
+) -> np.ndarray | None:
+    """Singleton-table twin of anchor_sorted_keys_native(jid_shift=29):
+    direct sorted emission (per job: strand- hits in reverse mini order,
+    then strand+ forward) — no radix sort.  Bit-identical keys; parity is
+    enforced by tests/test_native.py.  job_moff[j]:job_moff[j+1] is job j's
+    mini range; qlens_j is per JOB (already gathered)."""
+    lib = get_sort_lib()
+    if lib is None:
+        return None
+    total = int(cnt.sum())
+    keys = np.empty(total, dtype=np.uint64)
+    n = lib.anchor_pack_keys_sorted(
+        _ptr(np.ascontiguousarray(lo, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(cnt, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(job_moff, np.int64), ctypes.c_int64),
+        len(job_moff) - 1,
+        _ptr(np.ascontiguousarray(all_p, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(all_f, np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(qlens_j, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(h_tpos, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(h_isf, np.uint8), ctypes.c_uint8),
+        k, _ptr(keys, ctypes.c_uint64), threads,
+    )
+    return keys[:n]
 
 
 def snpmer_join_count_native(

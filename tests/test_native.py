@@ -932,3 +932,72 @@ def test_count_flagged_adaptive_digits_parity():
         ec = np.zeros((len(eu), 2), np.uint32)
         np.add.at(ec, (inv, (v >> np.uint64(63)).astype(int)), 1)
         assert np.array_equal(u, eu) and np.array_equal(c, ec), bits
+
+
+def test_anchor_keys_sorted_emission_matches_radix_sort():
+    """anchor_pack_keys_sorted (direct sorted emission, singleton tables)
+    must be bit-identical to anchor_pack_keys(jid_shift=29) + radix sort on
+    realistic planner inputs (pool-gathered minis, build_singletons tie
+    order)."""
+    from savont_tpu.ops.align import TargetIndex, window_minimizers_cached_batch
+    from savont_tpu.ops.kmers_native import (
+        anchor_search_multi_native,
+        anchor_sorted_keys_native,
+        anchor_sorted_keys_singleton_native,
+        get_sort_lib,
+    )
+
+    if get_sort_lib() is None:
+        return
+    rng = np.random.default_rng(97)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    targets = [rng.choice(bases, int(rng.integers(400, 1600))).tobytes() for _ in range(6)]
+    queries = []
+    for i in range(40):
+        t = bytearray(targets[i % len(targets)])
+        for p in rng.choice(len(t), 25, replace=False):
+            t[p] = b"ACGT"[rng.integers(4)]
+        q = bytes(t)
+        if i % 2 == 0:
+            from savont_tpu.ops.encode import revcomp_bytes
+
+            q = revcomp_bytes(q)
+        queries.append(q)
+    job_uq = rng.integers(0, len(queries), 120).astype(np.int64)
+    job_ti = rng.integers(0, len(targets), 120).astype(np.int64)
+
+    qmini = window_minimizers_cached_batch(queries, 10, 15)
+    indexes = TargetIndex.build_singletons(targets)
+    tab_off = np.zeros(len(indexes) + 1, dtype=np.int64)
+    np.cumsum([len(ix.h_sorted) for ix in indexes], out=tab_off[1:])
+    h_cat = np.concatenate([ix.h_sorted for ix in indexes])
+    tpos_cat = np.concatenate([ix.h_tpos for ix in indexes])
+    isf_cat = np.concatenate([ix.h_isf for ix in indexes])
+    tid_cat = np.zeros(len(h_cat), dtype=np.int32)
+
+    q_mcnt = np.fromiter((len(m[0]) for m in qmini), np.int64, len(qmini))
+    mini_counts = q_mcnt[job_uq]
+    q_moff = np.zeros(len(qmini) + 1, dtype=np.int64)
+    np.cumsum(q_mcnt, out=q_moff[1:])
+    job_moff = np.zeros(len(job_uq) + 1, dtype=np.int64)
+    np.cumsum(mini_counts, out=job_moff[1:])
+    flat = np.repeat(q_moff[job_uq] - job_moff[:-1], mini_counts)
+    flat += np.arange(int(mini_counts.sum()), dtype=np.int64)
+    all_h = np.concatenate([m[0] for m in qmini])[flat]
+    all_p = np.concatenate([m[1] for m in qmini])[flat].astype(np.int32)
+    all_f = np.concatenate([m[2] for m in qmini])[flat]
+    jid = np.repeat(np.arange(len(job_uq), dtype=np.int32), mini_counts)
+    gid = np.repeat(job_ti, mini_counts).astype(np.int32)
+    qlens_all = np.fromiter((len(q) for q in queries), np.int64, len(queries))
+
+    left, counts, total = anchor_search_multi_native(h_cat, tab_off, gid, all_h)
+    assert total > 0
+    ref = anchor_sorted_keys_native(
+        left, counts, all_p, all_f, jid, qlens_all[job_uq],
+        tid_cat, tpos_cat, isf_cat, 15, False, threads=4, jid_shift=29,
+    )
+    got = anchor_sorted_keys_singleton_native(
+        left, counts, job_moff, all_p, all_f, qlens_all[job_uq],
+        tpos_cat, isf_cat, 15, threads=4,
+    )
+    assert np.array_equal(ref, got) and len(got) == total
