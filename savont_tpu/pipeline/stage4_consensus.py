@@ -370,17 +370,27 @@ def align_and_consensus(
         def __getitem__(self, i):
             return self.fn(self.trs[i])
 
-    # warm the per-read accuracy memos for every cluster member in ONE
-    # vector pass; the per-cluster calls below then only gather floats
-    _avg_qual_batch([twin_reads[rid] for cluster in clusters for rid in cluster])
+    # per-read accuracies for every cluster member in ONE vector pass,
+    # sliced per cluster below (the per-cluster _avg_qual_batch calls were
+    # 3 Python loops over every member each)
+    members = [twin_reads[rid] for cluster in clusters for rid in cluster]
+    all_avgq = _avg_qual_batch(members)
+    all_len = np.fromiter((len(tr.codes) for tr in members), np.int64, len(members))
+    c_off = np.zeros(len(clusters) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clusters], out=c_off[1:])
     ctx = []
-    for cluster in clusters:
-        trs = [twin_reads[rid] for rid in cluster]
-        avgq = _avg_qual_batch(trs)
-        lengths_i = sorted((len(tr.codes), i) for i, tr in enumerate(trs))
-        seed_idx = lengths_i[int(len(lengths_i) * 0.9)][1]
-        order = sorted(range(len(trs)), key=lambda i: -avgq[i])[:MAX_SEQS_POA]
-        cands = sorted(i for i in order if i != seed_idx)
+    for ci, cluster in enumerate(clusters):
+        trs = members[c_off[ci] : c_off[ci + 1]]
+        avgq = all_avgq[c_off[ci] : c_off[ci + 1]]
+        lens = all_len[c_off[ci] : c_off[ci + 1]]
+        # seed: sorted((len, i)) picked at the 90th percentile — lexsort by
+        # (len, index) is the same stable (len, i) order
+        by_len = np.lexsort((np.arange(len(trs)), lens))
+        seed_idx = int(by_len[int(len(trs) * 0.9)])
+        # order: stable sort by descending accuracy (ties keep index order,
+        # matching sorted(key=-avgq[i]))
+        order = np.argsort(-avgq, kind="stable")[:MAX_SEQS_POA]
+        cands = sorted(int(i) for i in order if i != seed_idx)
         ctx.append({
             "seqs": _Lazy(trs, lambda tr: tr.seq_bytes()),
             "quals": _Lazy(trs, lambda tr: tr.expanded_qual_ascii()),
