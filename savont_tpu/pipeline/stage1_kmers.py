@@ -650,7 +650,7 @@ def twin_reads_from_files(
             trs = [
                 TwinRead(
                     id=rec.id,
-                    base_id=rec.id.split()[0] if rec.id.split() else rec.id,
+                    base_id=(rec.id.split() or [rec.id])[0],
                     codes=codes,
                     k=args.kmer_size,
                     l=args.blockmer_length,
@@ -687,7 +687,7 @@ def twin_reads_from_files(
         for li, tr in enumerate(live):
             if masks is not None:
                 solid, solid_snp = masks[0][li], masks[1][li]
-                if int(solid.sum()) < tr.base_length // args.c // 20:
+                if int(masks[2][li]) < tr.base_length // args.c // 20:
                     n_repetitive += 1
                     continue
                 tr.mini_pos = tr.mini_pos[solid]

@@ -414,6 +414,8 @@ def test_solid_filter_batch_native_matches_python():
         if len(s):
             hj = np.clip(np.searchsorted(hf, s), 0, len(hf) - 1)
             assert np.array_equal(gs, hf[hj] != s)
+    # third element: per-read solid-minimizer counts (vectorized .sum())
+    assert np.array_equal(got[2], np.array([int(m.sum()) for m in got[0]]))
 
 
 @pytest.mark.skipif(get_lib() is None, reason="no C++ compiler / native kernel")
