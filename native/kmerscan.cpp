@@ -415,7 +415,7 @@ void chain_band_batch(
 #pragma omp parallel num_threads(nt)
 #endif
     {
-        std::vector<int64_t> tails, tails_vals, parent, cq, ct;
+        std::vector<int64_t> tails, tails_vals, parent, cq, ct, cbuf;
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
@@ -457,37 +457,50 @@ void chain_band_batch(
             // duplicated x returns the LAST duplicate's value), diagonal
             // extrapolation outside, ties-to-even rounding, running max;
             // then lo = cummax(clip(centers - b/2, 0, max(tlen-b, 0)))
+            //
+            // Two passes: (1) branch-free per-interval center fill — the
+            // nearbyint expression is IDENTICAL to the former per-x loop
+            // (ties-to-even, same slope hoist), just grouped by interval so
+            // the compiler can vectorize it; (2) scalar cummax/clip/store
+            // sweep (trivial ALU, store-bandwidth-bound).
             const int64_t m = qlen[g];
             const int64_t tl = tlen[g];
             const int64_t b = std::min<int64_t>(band, std::max<int64_t>(8, tl));
             const int64_t lo_max = std::max<int64_t>(tl - b, 0);
             int64_t* lo = out_lo + out_off[g];
+            cbuf.resize(m);
+            int64_t* cb = cbuf.data();
+            // head: x < cq[0], diagonal extrapolation
+            const int64_t head = std::min<int64_t>(std::max<int64_t>(cq[0], 0), m);
+            for (int64_t x = 0; x < head; x++)
+                cb[x] = ct[0] - (cq[0] - x);
+            // interior intervals [cq[j], min(cq[j+1], m)): exact hit at the
+            // interval start (handles duplicated x via empty intervals —
+            // the LAST duplicate owns the point), interpolation after
+            for (int64_t j = 0; j + 1 < nc; j++) {
+                const int64_t xs = std::max<int64_t>(cq[j], 0);
+                const int64_t xe = std::min<int64_t>(cq[j + 1], m);
+                if (xs >= xe) continue;
+                const double slope = (double)(ct[j + 1] - ct[j]) /
+                                     (double)(cq[j + 1] - cq[j]);
+                const double base = (double)ct[j];
+                const int64_t x0 = cq[j];
+                if (cq[j] >= 0 && cq[j] < m) cb[cq[j]] = ct[j];
+                // rint == nearbyint value-wise (nearest-even under the
+                // default FP mode, which nothing here changes); gcc refuses
+                // to vectorize nearbyint (inexact-flag semantics) but emits
+                // vrndscalepd for rint
+                for (int64_t x = std::max<int64_t>(xs, x0 + 1); x < xe; x++)
+                    cb[x] = (int64_t)std::rint(slope * (double)(x - x0) + base);
+            }
+            // tail: x >= cq[nc-1] — exact value at the last anchor, then
+            // diagonal extrapolation
+            if (cq[nc - 1] >= 0 && cq[nc - 1] < m) cb[cq[nc - 1]] = ct[nc - 1];
+            for (int64_t x = std::max<int64_t>(cq[nc - 1] + 1, 0); x < m; x++)
+                cb[x] = ct[nc - 1] + (x - cq[nc - 1]);
             int64_t run_c = INT64_MIN, run_lo = 0;
-            int64_t j = 0;  // interval index into chain
-            // slope hoisted per interval: recomputed only when j advances
-            // (same double expression, so nearbyint ties-to-even rounding
-            // is bit-identical to the per-x form)
-            double slope = (nc > 1)
-                ? (double)(ct[1] - ct[0]) / (double)(cq[1] - cq[0]) : 0.0;
             for (int64_t x = 0; x < m; x++) {
-                int64_t c;
-                if (x < cq[0]) {
-                    c = ct[0] - (cq[0] - x);
-                } else if (x > cq[nc - 1]) {
-                    c = ct[nc - 1] + (x - cq[nc - 1]);
-                } else {
-                    while (j + 1 < nc && cq[j + 1] <= x) {
-                        j++;
-                        if (j + 1 < nc)
-                            slope = (double)(ct[j + 1] - ct[j]) /
-                                    (double)(cq[j + 1] - cq[j]);
-                    }
-                    if (cq[j] == x || j == nc - 1) {
-                        c = ct[j];
-                    } else {
-                        c = (int64_t)std::nearbyint(slope * (double)(x - cq[j]) + (double)ct[j]);
-                    }
-                }
+                const int64_t c = cb[x];
                 if (c > run_c) run_c = c;
                 int64_t l = run_c - b / 2;
                 if (l < 0) l = 0;

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #ifdef _OPENMP
@@ -34,7 +35,10 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
   if (threads < 1)
     threads = 1;
 
-  std::vector<uint64_t> a(n), b(n);
+  // uninitialized ping-pong buffers: std::vector value-init memset ~0.5 GB
+  // per 30M-kmer chunk before the sort even started; every page is fully
+  // written by the scatter passes, so default-init is safe
+  std::unique_ptr<uint64_t[]> a(new uint64_t[n]), b(new uint64_t[n]);
 
   uint64_t maxbare = 0;
 #pragma omp parallel for reduction(max : maxbare) num_threads(threads)
@@ -61,7 +65,7 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
   while (passes < (64 + RB - 1) / RB && (maxbare >> ((int64_t)RB * passes)))
     passes++;
   const uint64_t *src = keys;
-  uint64_t *dst = a.data();
+  uint64_t *dst = a.get();
 
   // chunking: fixed per-thread ranges shared by histogram + scatter
   std::vector<int64_t> lo(threads + 1);
@@ -95,7 +99,7 @@ extern "C" int64_t count_flagged_u64(const uint64_t *keys, int64_t n,
         dst[off[((src[i] & BARE_MASK) >> shift) & (NB - 1)]++] = src[i];
     }
     src = dst;
-    dst = (dst == a.data()) ? b.data() : a.data();
+    dst = (dst == a.get()) ? b.get() : a.get();
   }
 
   // parallel run-length count over runs of equal bare value
@@ -158,8 +162,8 @@ extern "C" void radix_sort_u64(uint64_t *keys, int64_t n, int threads) {
     return;
   if (threads < 1)
     threads = 1;
-  std::vector<uint64_t> buf(n);
-  uint64_t *src = keys, *dst = buf.data();
+  std::unique_ptr<uint64_t[]> buf(new uint64_t[n]); // uninit: fully scattered
+  uint64_t *src = keys, *dst = buf.get();
 
   uint64_t maxv = 0;
 #pragma omp parallel for reduction(max : maxv) num_threads(threads)
