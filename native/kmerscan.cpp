@@ -431,6 +431,15 @@ void chain_band_batch(
             parent.assign(n, -1);
             for (int64_t i = 0; i < n; i++) {
                 const int64_t v = ta[s + i];
+                // collinear fast path: most anchors extend the chain, so
+                // probe the append case before the O(log) search (same
+                // pos as lower_bound returning end())
+                if (!tails_vals.empty() && v > tails_vals.back()) {
+                    parent[i] = tails.back();
+                    tails.push_back(i);
+                    tails_vals.push_back(v);
+                    continue;
+                }
                 const int64_t pos = std::lower_bound(tails_vals.begin(), tails_vals.end(), v)
                                     - tails_vals.begin();
                 if (pos > 0) parent[i] = tails[pos - 1];
