@@ -677,13 +677,25 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
                         int n_tables, const uint64_t* minis,
                         const int64_t* mini_off, int64_t n_reads,
                         double thresh_pow_k, int top_n, int64_t* assignment) {
+    // parallel pre-pass: sorted-unique mini set per read, in place in one
+    // flat buffer (order-independent, so it can run ahead of the greedy
+    // loop); the serial loop then does zero per-read sorting, and a read
+    // that becomes a representative serves its span directly
+    std::vector<uint64_t> ubuf(minis, minis + mini_off[n_reads]);
+    std::vector<int64_t> ulen(n_reads);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
+    for (int64_t r = 0; r < n_reads; r++) {
+        uint64_t* b = ubuf.data() + mini_off[r];
+        uint64_t* e = ubuf.data() + mini_off[r + 1];
+        std::sort(b, e);
+        ulen[r] = std::unique(b, e) - b;
+    }
+
     std::vector<std::unordered_map<uint64_t, std::vector<int64_t>>> buckets(n_tables);
-    // representative storage: sorted unique k-mer sets + raw vector lengths
-    std::unordered_map<int64_t, std::vector<uint64_t>> rep_sets;
-    std::unordered_map<int64_t, int64_t> rep_vec_len;
     std::unordered_map<int64_t, int64_t> hits;
     std::vector<std::pair<int64_t, int64_t>> cand;  // (hits, read_id)
-    std::vector<uint64_t> read_set;
 
     for (int64_t r = 0; r < n_reads; r++) {
         hits.clear();
@@ -706,10 +718,8 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
                       });
             const int64_t max_hits = cand[0].first;
 
-            read_set.assign(minis + mini_off[r], minis + mini_off[r + 1]);
-            std::sort(read_set.begin(), read_set.end());
-            read_set.erase(std::unique(read_set.begin(), read_set.end()),
-                           read_set.end());
+            const uint64_t* rs = ubuf.data() + mini_off[r];
+            const int64_t rs_n = ulen[r];
 
             int64_t best_c = 0, best_d = 1;  // best ratio as exact rational
             int64_t checked = 0;
@@ -717,23 +727,25 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
                 if (!(hc.first == max_hits || checked < top_n)) break;
                 checked++;
                 const int64_t c = hc.second;
-                const std::vector<uint64_t>& rep = rep_sets[c];
+                const uint64_t* rep = ubuf.data() + mini_off[c];
+                const int64_t rep_n = ulen[c];
+                // denom quirk: UNIQUE count for the current read vs RAW
+                // vector length for the representative (asv_cluster.rs)
                 const int64_t denom =
-                    std::max((int64_t)read_set.size(), rep_vec_len[c]);
+                    std::max(rs_n, mini_off[c + 1] - mini_off[c]);
                 if (denom == 0) continue;
                 // exact upper bound on the intersection: if it cannot
                 // STRICTLY beat the running best (the update is >), skip
                 // the merge — candidates are hit-sorted, so the best is
                 // usually found first
-                const int64_t ub =
-                    std::min((int64_t)read_set.size(), (int64_t)rep.size());
+                const int64_t ub = std::min(rs_n, rep_n);
                 if (ub * best_d <= best_c * denom) continue;
                 // sorted-set intersection by two-pointer merge (both sides
                 // sorted+unique): O(n+m) vs n*log m binary searches
                 int64_t count = 0;
                 {
-                    auto a = read_set.begin(), ae = read_set.end();
-                    auto b = rep.begin(), be = rep.end();
+                    const uint64_t *a = rs, *ae = rs + rs_n;
+                    const uint64_t *b = rep, *be = rep + rep_n;
                     while (a != ae && b != be) {
                         if (*a < *b) ++a;
                         else if (*b < *a) ++b;
@@ -756,11 +768,6 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
                 if (sig_valid[r * n_tables + t])
                     buckets[t][sigs[r * n_tables + t]].push_back(r);
             assignment[r] = r;
-            std::vector<uint64_t> s(minis + mini_off[r], minis + mini_off[r + 1]);
-            rep_vec_len[r] = (int64_t)s.size();
-            std::sort(s.begin(), s.end());
-            s.erase(std::unique(s.begin(), s.end()), s.end());
-            rep_sets[r] = std::move(s);
         }
     }
 }
