@@ -772,7 +772,7 @@ def align_pairs_nm_values_indexed(
 def _run_indexed_slabs(
     queries: list[bytes], targets: list[bytes],
     qi: np.ndarray, ti: np.ndarray, band: int | None, coords: bool,
-    nm_values: bool = False,
+    nm_values: bool = False, traceback: bool = False,
 ) -> list[Mapping | None] | np.ndarray | None:
     """Slabbed indexed SoA alignment (same slab/threading scheme as
     _run_soa_slabs).  Each slab's pools are restricted to the sequences it
@@ -786,7 +786,7 @@ def _run_indexed_slabs(
         q_sub = [queries[i] for i in uq.tolist()]
         t_sub = [targets[i] for i in ut.tolist()]
         return _align_soa_core(q_sub, t_sub, qi2.astype(np.int64),
-                               ti2.astype(np.int64), band, False, coords,
+                               ti2.astype(np.int64), band, traceback, coords,
                                nm_values=nm_values)
 
     def join(parts):
@@ -1206,6 +1206,28 @@ def _plan_pairs(pairs: list[tuple[bytes, bytes]], band: int) -> tuple[list[Align
         all_jobs.extend(jobs)
         owner.extend(pair_ids[o] for o in owners_local)
     return all_jobs, owner
+
+
+def align_pairs_indexed(
+    queries: list[bytes], targets: list[bytes],
+    qi: np.ndarray, ti: np.ndarray, band: int | None = None,
+) -> list[Mapping | None]:
+    """Traceback alignment of (queries[qi[k]], targets[ti[k]]) per job k —
+    the indexed twin of align_pairs for callers that already hold unique
+    sequence pools plus index arrays (stage-4 vote rounds, pileups).  Skips
+    the per-pair tuple materialization and bytes-keyed dedup of the tuple
+    path; results (incl. CIGARs and tie-breaks) are identical."""
+    import os
+
+    qi = np.asarray(qi, dtype=np.int64)
+    ti = np.asarray(ti, dtype=np.int64)
+    if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
+        out = _run_indexed_slabs(queries, targets, qi, ti, band, True,
+                                 traceback=True)
+        if out is not None:
+            return out
+    pairs = [(queries[a], targets[b]) for a, b in zip(qi.tolist(), ti.tolist())]
+    return align_pairs(pairs, band=band)
 
 
 def align_pairs(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> list[Mapping | None]:

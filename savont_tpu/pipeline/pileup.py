@@ -22,7 +22,6 @@ import numpy as np
 from ..config import ClusterArgs
 from ..constants import DEFAULT_ERR_RATE, MAX_SEQS_CONSENSUS
 from ..core import ConsensusSequence, TwinRead
-from ..ops.align_batch import align_pairs
 from ..ops.encode import homopolymer_compress, revcomp_bytes
 
 log = logging.getLogger("savont")
@@ -356,7 +355,6 @@ def generate_consensus_pileups(
     TwinRead.warm_qual_ascii(used)
     pairs, owners, payload = [], [], []
     for ci, cons in enumerate(consensuses):
-        cseq = cons.sequence.tobytes()
         for i in range(min(len(cons.cluster), MAX_SEQS_CONSENSUS)):
             tr = twin_reads[cons.cluster[i]]
             seq = tr.seq_bytes()
@@ -370,10 +368,17 @@ def generate_consensus_pileups(
                 seq, qual, hp = hpc_seq.tobytes(), hq, hp_lens
             else:
                 hp = None
-            pairs.append((seq, cseq))
+            pairs.append(seq)
             owners.append(ci)
             payload.append((seq, qual, hp))
-    results = align_pairs(pairs)
+    # indexed form: consensuses are the target pool (deduped by id), reads
+    # their own queries — no per-pair tuples; identical results
+    from ..ops.align_batch import align_pairs_indexed
+
+    tgt_pool = [cons.sequence.tobytes() for cons in consensuses]
+    results = align_pairs_indexed(
+        pairs, tgt_pool, np.arange(len(pairs)), np.asarray(owners, np.int64)
+    )
 
     # count matrices are contiguous views into flat per-type buffers, so the
     # native scatter kernel can write all consensuses through one pointer

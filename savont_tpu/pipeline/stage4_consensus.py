@@ -405,13 +405,20 @@ def align_and_consensus(
     TwinRead.warm_qual_ascii(sel)
 
     # round 1: align candidates to seed, batched over all clusters
-    pairs, owners = [], []
+    # (indexed form: seeds pool per cluster, reads as their own queries —
+    # no per-pair tuples or bytes-keyed dedup; identical results)
+    from ..ops.align_batch import align_pairs_indexed
+
+    queries, owners, ti_list = [], [], []
+    seeds = [c["seqs"][c["seed"]] for c in ctx]
     for cid, c in enumerate(ctx):
-        seed_seq = c["seqs"][c["seed"]]
         for i in c["cands"]:
-            pairs.append((c["seqs"][i], seed_seq))
+            queries.append(c["seqs"][i])
+            ti_list.append(cid)
             owners.append((cid, i))
-    res = align_pairs(pairs)
+    res = align_pairs_indexed(
+        queries, seeds, np.arange(len(queries)), np.asarray(ti_list, np.int64)
+    )
 
     oriented_by_cluster: dict[int, list[tuple[bytes, np.ndarray]]] = {}
     mappings_by_cluster: dict[int, list[Mapping]] = {}
@@ -442,12 +449,16 @@ def align_and_consensus(
         templates[cid] = t
 
     # round 2: re-align oriented reads to round-1 templates, batched
-    pairs2, owners2 = [], []
+    queries2, owners2, ti2 = [], [], []
+    templates_list = [templates[cid] for cid in range(len(ctx))]
     for cid in range(len(ctx)):
         for slot, (oseq, _) in enumerate(oriented_by_cluster.get(cid, [])):
-            pairs2.append((oseq, templates[cid]))
+            queries2.append(oseq)
+            ti2.append(cid)
             owners2.append((cid, slot))
-    res2 = align_pairs(pairs2)
+    res2 = align_pairs_indexed(
+        queries2, templates_list, np.arange(len(queries2)), np.asarray(ti2, np.int64)
+    )
     ori2: dict[int, list] = {}
     mps2: dict[int, list] = {}
     for (cid, slot), m in zip(owners2, res2):
