@@ -83,6 +83,98 @@ def calculate_adjusted_errors(
     return errors
 
 
+def calculate_adjusted_errors_batch(
+    cigars: list, q_arrs: list[np.ndarray], t_arrs: list[np.ndarray],
+    q_starts, t_starts,
+) -> np.ndarray:
+    """Batched twin of calculate_adjusted_errors: ONE concatenated CIGAR-run
+    pass drives the vectorized M-run mismatch counts for every job (the
+    per-call numpy glue was ~1k dispatch rounds in the stage-5 all-vs-all);
+    indel runs (rare) keep the scalar homopolymer-context checks.
+    Bit-identical totals (tests/test_classify_sintax_export.py)."""
+    from ..ops.align import cigar_lens_ops
+
+    n = len(cigars)
+    errors = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return errors
+    buffer = 35
+    n_runs = np.fromiter((len(c) for c in cigars), np.int64, n)
+    if int(n_runs.sum()) == 0:
+        return errors
+    cg = np.concatenate([np.asarray(c, np.uint32) for c in cigars])
+    run_job = np.repeat(np.arange(n), n_runs)
+    lens, ops = cigar_lens_ops(cg)
+    q_adv = np.where(ops != 2, lens, 0)
+    t_adv = np.where(ops != 1, lens, 0)
+    Eq = np.cumsum(q_adv) - q_adv
+    Et = np.cumsum(t_adv) - t_adv
+    first_run = np.cumsum(n_runs) - n_runs
+    has = n_runs > 0
+    q_base = np.zeros(n, np.int64)
+    t_base = np.zeros(n, np.int64)
+    q_base[has] = Eq[first_run[has]]
+    t_base[has] = Et[first_run[has]]
+    qs = np.asarray(q_starts, np.int64)
+    ts = np.asarray(t_starts, np.int64)
+    qp_run = qs[run_job] + Eq - q_base[run_job]
+    tp_run = ts[run_job] + Et - t_base[run_job]
+
+    # sequence pools, deduped by object identity (fwd consensuses repeat
+    # across jobs; rc variants are cached by the caller)
+    def _pool(arrs):
+        ids: dict[int, int] = {}
+        idx = np.empty(n, np.int64)
+        uniq: list[np.ndarray] = []
+        for i, a in enumerate(arrs):
+            j = ids.get(id(a))
+            if j is None:
+                j = ids[id(a)] = len(uniq)
+                uniq.append(a)
+            idx[i] = j
+        plens = np.fromiter((len(a) for a in uniq), np.int64, len(uniq))
+        off = np.zeros(len(uniq) + 1, np.int64)
+        np.cumsum(plens, out=off[1:])
+        cat = np.concatenate(uniq) if uniq else np.zeros(0, np.uint8)
+        return cat, off[:-1][idx], plens[idx]
+
+    q_cat, q_off_j, q_len_j = _pool(q_arrs)
+    t_cat, t_off_j, t_len_j = _pool(t_arrs)
+
+    is_m = ops == 0
+    if is_m.any():
+        ml = lens[is_m]
+        mj = run_job[is_m]
+        within = np.arange(int(ml.sum())) - np.repeat(np.cumsum(ml) - ml, ml)
+        ej = np.repeat(mj, ml)
+        qpos = np.repeat(qp_run[is_m], ml) + within
+        tpos = np.repeat(tp_run[is_m], ml) + within
+        ok = (qpos < q_len_j[ej]) & (tpos < t_len_j[ej])
+        qpo, tpo, ejo = qpos[ok], tpos[ok], ej[ok]
+        qb = q_cat[q_off_j[ejo] + qpo]
+        tb = t_cat[t_off_j[ejo] + tpo]
+        n_char = ord("N")
+        cond = (
+            (qb != tb) & (qb != n_char) & (tb != n_char)
+            & (qpo > buffer) & (qpo + buffer < q_len_j[ejo])
+        )
+        if cond.any():
+            errors += np.bincount(ejo[cond], minlength=n)
+    for r in np.flatnonzero(~is_m).tolist():
+        j = int(run_job[r])
+        op, length = int(ops[r]), int(lens[r])
+        qp, tp = int(qp_run[r]), int(tp_run[r])
+        qseq, tseq = q_arrs[j], t_arrs[j]
+        in_hp = _has_homopolymer_context(qseq, qp, 2) or _has_homopolymer_context(tseq, tp, 2)
+        if op == 1:
+            if not in_hp and qp > buffer and qp + length + buffer < len(qseq):
+                errors[j] += 1 if length < 10 else length
+        else:
+            if not in_hp and tp > buffer and tp + length + buffer < len(tseq):
+                errors[j] += 1 if length < 10 else length
+    return errors
+
+
 def remove_similar_seqs_kmers(consensuses: list[ConsensusSequence]) -> list[ConsensusSequence]:
     """Drop consensuses whose full (w=10,k=21) sketch over [25, len-25] of the
     HPC sequence is contained in a consensus with > 2x depth
@@ -162,6 +254,9 @@ def merge_similar_consensuses(
     all_hits = map_batch(
         index, [c.get_decompressed() for c in consensuses], max_hits=75, no_diag=True
     )
+    jobs: list[tuple[int, Mapping]] = []  # type: ignore[name-defined]
+    q_arrs_j, t_arrs_j, qs_j, ts_j, cigs = [], [], [], [], []
+    rc_cache: dict[int, np.ndarray] = {}
     for qi, cons in enumerate(consensuses):
         qseq = cons.get_decompressed()
         for m in all_hits[qi]:
@@ -169,12 +264,24 @@ def merge_similar_consensuses(
                 continue
             tseq = consensuses[m.target_id].get_decompressed()
             if m.strand == -1:
-                rq = np.frombuffer(revcomp_bytes(qseq.tobytes()), dtype=np.uint8)
-                adj = calculate_adjusted_errors(m.cigar, rq, tseq, len(qseq) - m.query_end, m.target_start)
+                rq = rc_cache.get(qi)
+                if rq is None:
+                    rq = rc_cache[qi] = np.frombuffer(
+                        revcomp_bytes(qseq.tobytes()), dtype=np.uint8
+                    )
+                q_arrs_j.append(rq)
+                qs_j.append(len(qseq) - m.query_end)
             else:
-                adj = calculate_adjusted_errors(m.cigar, qseq, tseq, m.query_start, m.target_start)
-            adj = min(adj, m.nm)
-            mappings.append((qi, m.target_id, adj, consensuses[m.target_id].depth))
+                q_arrs_j.append(qseq)
+                qs_j.append(m.query_start)
+            t_arrs_j.append(tseq)
+            ts_j.append(m.target_start)
+            cigs.append(m.cigar)
+            jobs.append((qi, m))
+    adjs = calculate_adjusted_errors_batch(cigs, q_arrs_j, t_arrs_j, qs_j, ts_j)
+    for (qi, m), adj in zip(jobs, adjs.tolist()):
+        adj = min(int(adj), m.nm)
+        mappings.append((qi, m.target_id, adj, consensuses[m.target_id].depth))
 
     # merge decisions (alignment.rs:1364-1444)
     merge_map: dict[int, int] = {}

@@ -1003,3 +1003,54 @@ def test_anchor_keys_sorted_emission_matches_radix_sort():
         tpos_cat, isf_cat, 15, threads=4,
     )
     assert np.array_equal(ref, got) and len(got) == total
+
+
+def test_adjusted_errors_batch_matches_per_call():
+    """calculate_adjusted_errors_batch must equal the per-call function on
+    real alignments (incl. rc queries, indel runs, homopolymer contexts)."""
+    from savont_tpu.ops.align_batch import align_pairs
+    from savont_tpu.ops.encode import revcomp_bytes
+    from savont_tpu.pipeline.stage5_merge import (
+        calculate_adjusted_errors,
+        calculate_adjusted_errors_batch,
+    )
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    targets = [rng.choice(bases, int(rng.integers(500, 1500))).tobytes() for _ in range(5)]
+    pairs, metas = [], []
+    for i in range(30):
+        t = bytearray(targets[i % len(targets)])
+        for p in rng.choice(len(t) - 10, 20, replace=False):
+            r = rng.integers(3)
+            if r == 0:
+                t[p] = b"ACGT"[rng.integers(4)]
+            elif r == 1:
+                del t[p]
+            else:
+                t.insert(p, b"ACGT"[rng.integers(4)])
+        q = bytes(t)
+        if i % 2 == 0:
+            q = revcomp_bytes(q)
+        pairs.append((q, targets[i % len(targets)]))
+    res = align_pairs(pairs)
+    cigs, q_arrs, t_arrs, qs, ts, expected = [], [], [], [], [], []
+    for (q, t), m in zip(pairs, res):
+        if m is None:
+            continue
+        qarr = np.frombuffer(q, dtype=np.uint8)
+        tarr = np.frombuffer(t, dtype=np.uint8)
+        if m.strand == -1:
+            qarr = np.frombuffer(revcomp_bytes(q), dtype=np.uint8)
+            q0 = len(q) - m.query_end
+        else:
+            q0 = m.query_start
+        cigs.append(m.cigar)
+        q_arrs.append(qarr)
+        t_arrs.append(tarr)
+        qs.append(q0)
+        ts.append(m.target_start)
+        expected.append(calculate_adjusted_errors(m.cigar, qarr, tarr, q0, m.target_start))
+    assert len(expected) > 10
+    got = calculate_adjusted_errors_batch(cigs, q_arrs, t_arrs, qs, ts)
+    assert got.tolist() == expected
