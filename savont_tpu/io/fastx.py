@@ -62,7 +62,7 @@ def _native_lib():
     return _NATIVE
 
 
-def _read_fastx_native(lib, path: str):
+def _read_fastx_native(lib, path: str) -> list[FastxRecord]:
     import ctypes
 
     import numpy as np
@@ -73,7 +73,7 @@ def _read_fastx_native(lib, path: str):
     try:
         n = lib.fastx_n_records(h)
         if n == 0:
-            return
+            return []
         # one bulk copy of each offset table into Python ints: ctypes
         # pointer __getitem__ costs ~0.3 us per access, which dominated
         # the per-record loop at 6 lookups/record
@@ -85,13 +85,25 @@ def _read_fastx_native(lib, path: str):
         head_buf = ctypes.string_at(lib.fastx_head_buf(h), ho[n])
     finally:
         lib.fastx_free(h)
-    for i in range(n):
-        qual = qual_buf[qo[i] : qo[i + 1]]
-        yield FastxRecord(
+    # one list comprehension (a generator resumption per record cost ~1 us
+    # x 100k reads in the parse pass)
+    return [
+        FastxRecord(
             head_buf[ho[i] : ho[i + 1]].decode(),
             seq_buf[so[i] : so[i + 1]],
-            qual if qual else None,
+            qual_buf[qo[i] : qo[i + 1]] or None,
         )
+        for i in range(n)
+    ]
+
+
+def read_fastx_records(path: str) -> list[FastxRecord]:
+    """All records as ONE list (native fast path builds it directly; the
+    generator API wraps this)."""
+    lib = _native_lib()
+    if lib is not None:
+        return _read_fastx_native(lib, path)
+    return list(_read_fastx_python(path))
 
 
 def read_fastx(path: str):
@@ -101,6 +113,10 @@ def read_fastx(path: str):
     if lib is not None:
         yield from _read_fastx_native(lib, path)
         return
+    yield from _read_fastx_python(path)
+
+
+def _read_fastx_python(path: str):
     with _open(path) as f:
         first = f.peek(1)[:1]
         if first == b"@":

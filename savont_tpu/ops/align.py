@@ -137,7 +137,17 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
     if miss_idx:
         from .kmers_native import get_scan_lib, window_minimizers_native
 
-        codes = [ascii_to_align_codes(queries[i]) for i in miss_idx]
+        # one LUT gather for every miss (the per-query encode loop was
+        # ~10 us x 100k reads); views share one parent, so the native
+        # batch's concat takes its zero-copy parent-span fast path
+        bufs = [bytes(queries[i]) for i in miss_idx]
+        off = np.zeros(len(bufs) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
+        cat = (
+            _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
+            if int(off[-1]) else np.zeros(0, np.uint8)
+        )
+        codes = [cat[off[j] : off[j + 1]] for j in range(len(bufs))]
         if get_scan_lib() is not None:
             computed = window_minimizers_native(codes, k, w)
         else:

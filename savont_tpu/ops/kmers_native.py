@@ -116,12 +116,61 @@ def _ptr(a, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
 
 
+_PYH = None
+_PYH_TRIED = False
+
+
+def _pyhelpers():
+    """native/pyhelpers.so via ctypes.PyDLL (GIL held -> PyObject*-safe).
+    None when the CPython/numpy headers or compiler are unavailable."""
+    global _PYH, _PYH_TRIED
+    if _PYH_TRIED:
+        return _PYH
+    _PYH_TRIED = True
+    import sysconfig
+
+    from .native_build import build_extra
+
+    so = build_extra(
+        "pyhelpers",
+        extra_cflags=[
+            f"-I{sysconfig.get_paths()['include']}", f"-I{np.get_include()}",
+        ],
+    )
+    if so is None:
+        return None
+    try:
+        lib = ctypes.PyDLL(str(so))
+    except OSError:
+        return None
+    lib.pyh_init.restype = ctypes.c_int
+    if lib.pyh_init() != 0:
+        ctypes.pythonapi.PyErr_Clear()
+        return None
+    lib.pyh_span_probe.restype = ctypes.c_int
+    lib.pyh_span_probe.argtypes = [ctypes.py_object, ctypes.POINTER(ctypes.c_int64)]
+    _PYH = lib
+    return lib
+
+
 def _parent_span(arrays: list[np.ndarray]) -> np.ndarray | None:
     """If the arrays are consecutive contiguous views into one parent buffer
     (the _batch_encode layout), return the covering parent slice — no copy.
     Returns None when any array breaks the pattern."""
     if not arrays:
         return None
+    lib = _pyhelpers()
+    if lib is not None:
+        # C probe: one pass at ~15 ns/array (the Python loop paid ~1.2 us
+        # per data-pointer access); same pattern checks, same result
+        out = (ctypes.c_int64 * 3)()
+        if not lib.pyh_span_probe(arrays, out):
+            return None
+        base = arrays[0].base
+        b0 = base.__array_interface__["data"][0]
+        item = int(out[2])
+        lo = (int(out[0]) - b0) // item
+        return base[lo : lo + (int(out[1]) - int(out[0])) // item]
     base = arrays[0].base
     if not isinstance(base, np.ndarray) or base.ndim != 1:
         return None  # no base, or a non-ndarray base (e.g. np.frombuffer(bytes))

@@ -54,7 +54,10 @@ def _build() -> bool:
 _EXTRA_CACHE: dict[str, Path | None] = {}
 
 
-def build_extra(name: str, extra_link: list[str] | None = None) -> Path | None:
+def build_extra(
+    name: str, extra_link: list[str] | None = None,
+    extra_cflags: list[str] | None = None,
+) -> Path | None:
     """Build native/<name>.cpp -> native/<name>.so; returns the path or None."""
     if name in _EXTRA_CACHE:
         return _EXTRA_CACHE[name]
@@ -69,6 +72,7 @@ def build_extra(name: str, extra_link: list[str] | None = None) -> Path | None:
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         cmd = [
             "g++", "-O3", "-march=native", *_vector_width_flags(),
+            *(extra_cflags or []),
             "-shared", "-fPIC", str(src), "-o", str(so),
         ]
         cmd += extra_link or []

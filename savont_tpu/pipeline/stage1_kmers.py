@@ -54,7 +54,9 @@ def _cached_records(path: str):
     recs = _READ_CACHE.get(path)
     if recs is not None:
         return recs
-    recs = list(read_fastx(path))
+    from ..io.fastx import read_fastx_records
+
+    recs = read_fastx_records(path)
     size = sum(len(r.seq) * 2 for r in recs)
     if _READ_CACHE_BYTES + size <= _READ_CACHE_LIMIT:
         _READ_CACHE[path] = recs

@@ -1054,3 +1054,48 @@ def test_adjusted_errors_batch_matches_per_call():
     assert len(expected) > 10
     got = calculate_adjusted_errors_batch(cigs, q_arrs, t_arrs, qs, ts)
     assert got.tolist() == expected
+
+
+def test_parent_span_c_probe_matches_python():
+    """The pyhelpers C span probe must accept exactly the layouts the
+    Python loop accepts and reject every broken pattern."""
+    from savont_tpu.ops import kmers_native as KN
+
+    base = np.arange(1000, dtype=np.uint8)
+    views = [base[i * 100 : (i + 1) * 100] for i in range(10)]
+
+    def py_ref(arrays):
+        if not arrays:
+            return None
+        b = arrays[0].base
+        if not isinstance(b, np.ndarray) or b.ndim != 1:
+            return None
+        item = arrays[0].itemsize
+        pos = arrays[0].__array_interface__["data"][0]
+        start = pos
+        for a in arrays:
+            if a.base is not b or a.__array_interface__["data"][0] != pos or not a.flags.c_contiguous:
+                return None
+            pos += a.nbytes
+        b0 = b.__array_interface__["data"][0]
+        lo = (start - b0) // item
+        return b[lo : lo + (pos - start) // item]
+
+    cases = [
+        views,                                   # full run
+        views[2:7],                              # interior run
+        [views[0], views[2]],                    # gap -> None
+        [views[1], views[0]],                    # permuted -> None
+        [views[0], np.arange(5, dtype=np.uint8)],# foreign base -> None
+        [base[::2]],                             # non-contiguous -> None
+        [np.frombuffer(b"abcd", np.uint8)],      # non-ndarray base -> None
+        [v for v in views] + [base[999:999]],    # empty tail view (still consecutive?)
+    ]
+    for case in cases:
+        want = py_ref(case)
+        got = KN._parent_span(case)
+        if want is None:
+            assert got is None, case
+        else:
+            assert got is not None and np.array_equal(got, want)
+            assert got.base is views[0].base or got is want
