@@ -73,9 +73,10 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
         for i, x in enumerate(miss):
             if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
                 _QCODE_CACHE.clear()
-            # copy: a view would pin the whole batch concat buffer for the
-            # cache entry's lifetime
-            c = codes_cat[off[i] : off[i + 1]].copy()
+            # views, not copies: every byte of the concat buffer IS a cache
+            # entry (all misses are inserted), so pinning it wastes nothing
+            # — and the per-miss .copy() was ~3 us x 100k reads
+            c = codes_cat[off[i] : off[i + 1]]
             _QCODE_CACHE[items[x]] = c
             out[x] = c
     return out
