@@ -6,11 +6,24 @@ from __future__ import annotations
 from ..core import ConsensusSequence, TwinRead
 
 
+_F64_CACHE: dict[float, str] = {}
+
+
 def rust_f64(v) -> str:
     """Rust f64 Display parity: shortest-roundtrip like Python repr, but
-    integral values print without the trailing .0 (100.0 -> "100")."""
-    s = repr(float(v))
-    return s[:-2] if s.endswith(".0") else s
+    integral values print without the trailing .0 (100.0 -> "100").
+    Memoized: est_id values repeat across reads and repr(float) is ~1.3 us
+    a call (the cluster TSV writers call this once per read per file)."""
+    v = float(v)
+    s = _F64_CACHE.get(v)
+    if s is None:
+        if len(_F64_CACHE) > 65536:
+            _F64_CACHE.clear()
+        s = repr(v)
+        if s.endswith(".0"):
+            s = s[:-2]
+        _F64_CACHE[v] = s
+    return s
 
 
 def consensus_header(prefix: str, i: int, c: ConsensusSequence) -> str:
