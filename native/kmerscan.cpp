@@ -825,6 +825,28 @@ void snpmer_greedy_subcluster(const uint64_t* snps, const int64_t* off,
     }
 }
 
+// Parallel multi-cluster driver for snpmer_greedy_subcluster: clusters are
+// independent (the greedy order matters only WITHIN a cluster), so each
+// runs on its own thread.  c_off indexes reads (cluster c = reads
+// [c_off[c], c_off[c+1]) of the concatenated read stream); `off` holds
+// ABSOLUTE offsets into snps, so per-cluster calls are pointer shifts.
+// assignment[i] is local to read i's cluster (same contract as the
+// single-cluster entry point).
+void snpmer_greedy_subcluster_multi(const uint64_t* snps, const int64_t* off,
+                                    const int64_t* c_off, int64_t n_clusters,
+                                    uint64_t mask, int64_t* assignment,
+                                    int threads) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) \
+    num_threads(threads > 0 ? threads : 1)
+#endif
+    for (int64_t c = 0; c < n_clusters; c++) {
+        const int64_t rs = c_off[c];
+        snpmer_greedy_subcluster(snps, off + rs, c_off[c + 1] - rs, mask,
+                                 assignment + rs);
+    }
+}
+
 // Batched LSH signatures (types.rs:719-747 semantics, matches
 // core.py compute_lsh_signatures bit-for-bit).  For each read and table
 // seed t in [0, n_tables): rank the read's UNFILTERED minimizer k-mers by

@@ -723,6 +723,36 @@ def snpmer_subcluster_native(
     return out
 
 
+def snpmer_subcluster_multi_native(
+    snp_lists: list[np.ndarray], c_off: np.ndarray, mask: int,
+    threads: int = 4,
+) -> np.ndarray | None:
+    """Greedy SNPmer sub-clustering over MANY clusters in one call: reads
+    arrive cluster-ordered (cluster c = reads c_off[c]..c_off[c+1]); each
+    cluster runs the exact single-cluster greedy loop on its own thread
+    (clusters are independent).  Returns per-read LOCAL assignments."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(snp_lists)
+    off = np.zeros(n + 1, dtype=np.int64)
+    for i, m in enumerate(snp_lists):
+        off[i + 1] = off[i] + len(m)
+    snps = (
+        np.ascontiguousarray(np.concatenate(snp_lists), dtype=np.uint64)
+        if n
+        else np.zeros(0, np.uint64)
+    )
+    out = np.zeros(n, dtype=np.int64)
+    lib.snpmer_greedy_subcluster_multi(
+        _ptr(snps, ctypes.c_uint64), _ptr(off, ctypes.c_int64),
+        _ptr(np.ascontiguousarray(c_off, np.int64), ctypes.c_int64),
+        len(c_off) - 1, ctypes.c_uint64(int(mask)),
+        _ptr(out, ctypes.c_int64), threads,
+    )
+    return out
+
+
 def kmer_at_positions_native(
     codes_list: list[np.ndarray], pos_lists: list[np.ndarray], k: int,
     threads: int = 0,

@@ -155,6 +155,19 @@ def compare_blockmers(tr1: TwinRead, tr2: TwinRead, l: int) -> tuple[int, int]:
     return matches, mismatches
 
 
+def _subcluster_postprocess(
+    cluster: list[int], local_asn, min_cluster_size: int
+) -> list[list[int]]:
+    """Local greedy assignments -> sorted, size-filtered sub-cluster lists
+    (shared by the single- and multi-cluster native paths)."""
+    cmap: dict[int, list[int]] = {}
+    for i, rep in enumerate(local_asn):
+        cmap.setdefault(cluster[int(rep)], []).append(cluster[i])
+    local = [sorted(c) for c in cmap.values()]
+    local.sort(key=lambda c: (-len(c), c[0]))
+    return [c for c in local if len(c) >= min_cluster_size]
+
+
 def _snpmer_subcluster(
     cluster: list[int],
     twin_reads: list[TwinRead],
@@ -181,12 +194,7 @@ def _snpmer_subcluster(
             int(mask),
         )
         if local_asn is not None:
-            cmap: dict[int, list[int]] = {}
-            for i, rep in enumerate(local_asn):
-                cmap.setdefault(cluster[int(rep)], []).append(cluster[i])
-            local = [sorted(c) for c in cmap.values()]
-            local.sort(key=lambda c: (-len(c), c[0]))
-            return [c for c in local if len(c) >= min_cluster_size]
+            return _subcluster_postprocess(cluster, local_asn, min_cluster_size)
     assignment: dict[int, int] = {}
     rep_size: dict[int, int] = {}
     representatives: list[int] = []
@@ -581,10 +589,31 @@ def cluster_reads_by_snpmers(
     k = args.kmer_size
     marker = "blockmer" if args.use_blockmers else "snpmer"
     groups: dict[int, list[list[int]]] = {}
-    for gid, cluster in enumerate(kmer_clusters):
-        if len(cluster) < 1:
-            continue
-        groups[gid] = _snpmer_subcluster(cluster, twin_reads, k, args.min_cluster_size, args)
+    live = [(gid, c) for gid, c in enumerate(kmer_clusters) if len(c) >= 1]
+    multi_asn = None
+    if not args.use_blockmers and live:
+        # all clusters in ONE parallel native call (the greedy order only
+        # matters within a cluster); postprocess per cluster is unchanged
+        from ..ops.kmers_native import snpmer_subcluster_multi_native
+
+        mask = _split_mask(k)
+        c_off = np.zeros(len(live) + 1, dtype=np.int64)
+        np.cumsum([len(c) for _, c in live], out=c_off[1:])
+        snp_lists = [
+            np.asarray(twin_reads[r].snpmer_kmers(), dtype=np.uint64)
+            for _, cl in live for r in cl
+        ]
+        multi_asn = snpmer_subcluster_multi_native(
+            snp_lists, c_off, int(mask), threads=args.threads
+        )
+    if multi_asn is not None:
+        for ci, (gid, cluster) in enumerate(live):
+            groups[gid] = _subcluster_postprocess(
+                cluster, multi_asn[c_off[ci] : c_off[ci + 1]], args.min_cluster_size
+            )
+    else:
+        for gid, cluster in live:
+            groups[gid] = _snpmer_subcluster(cluster, twin_reads, k, args.min_cluster_size, args)
 
     n0 = sum(len(v) for v in groups.values())
     log.info("Stage 3 greedy: %d SNPmer clusters in %d k-mer groups", n0, len(groups))
