@@ -221,20 +221,35 @@ class TwinRead:
         self.lsh_signatures = [int(s) for s in sigs]
 
 
+_LSH_MATRIX_CACHE: tuple | None = None  # (trs list object, sigs (n,T) u64, valid (n,) u8)
+
+
+def cached_lsh_matrix(trs: list["TwinRead"]):
+    """(sigs, valid) matrices from the last compute_lsh_signatures_batch IF
+    it ran on this exact list object (stage 2 consumes them directly
+    instead of re-walking 100k per-read signature lists)."""
+    if _LSH_MATRIX_CACHE is not None and _LSH_MATRIX_CACHE[0] is trs:
+        return _LSH_MATRIX_CACHE[1], _LSH_MATRIX_CACHE[2]
+    return None
+
+
 def compute_lsh_signatures_batch(trs: list["TwinRead"], threads: int = 1) -> None:
     """Batched LSH signatures for many reads via native/kmerscan.cpp
     lsh_batch (bit-identical to the per-read method; falls back to it
     without the native library)."""
     from .ops.kmers_native import lsh_batch_native
 
+    global _LSH_MATRIX_CACHE
     res = lsh_batch_native(
         [tr.mini_kmers_all for tr in trs], LSH_NUM_TABLES, LSH_BUCKET_SIZE, threads
     )
     if res is None:
+        _LSH_MATRIX_CACHE = None
         for tr in trs:
             tr.compute_lsh_signatures()
         return
     sigs, valid = res
+    _LSH_MATRIX_CACHE = (trs, sigs, valid)
     for i, tr in enumerate(trs):
         tr.lsh_signatures = (
             sigs[i].tolist() if valid[i] else [None] * LSH_NUM_TABLES

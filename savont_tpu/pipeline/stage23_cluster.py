@@ -122,14 +122,24 @@ def _cluster_native(twin_reads: list[TwinRead], k: int) -> np.ndarray | None:
     lsh_greedy_cluster).  None -> use the Python loop."""
     from ..ops.kmers_native import lsh_greedy_cluster_native
 
+    from ..core import cached_lsh_matrix
+
     n = len(twin_reads)
-    sigs = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint64)
-    valid = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint8)
-    for i, tr in enumerate(twin_reads):
-        for t, s in enumerate(tr.lsh_signatures[:LSH_NUM_TABLES]):
-            if s is not None:
-                sigs[i, t] = s
-                valid[i, t] = 1
+    cached = cached_lsh_matrix(twin_reads)
+    if cached is not None:
+        # matrices straight from the batch compute (per-read validity, all
+        # tables valid or none — same shape the list walk produced)
+        m_sigs, m_valid = cached
+        sigs = m_sigs
+        valid = np.repeat(m_valid[:, None], LSH_NUM_TABLES, axis=1)
+    else:
+        sigs = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint64)
+        valid = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint8)
+        for i, tr in enumerate(twin_reads):
+            for t, s in enumerate(tr.lsh_signatures[:LSH_NUM_TABLES]):
+                if s is not None:
+                    sigs[i, t] = s
+                    valid[i, t] = 1
     return lsh_greedy_cluster_native(
         sigs, valid, [tr.minimizer_kmers() for tr in twin_reads],
         KMER_CLUSTER_THRESHOLD**k, TOP_N_LSH_CANDIDATES,
