@@ -13,6 +13,7 @@
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
+#include <unordered_set>
 #include <utility>
 #include <limits>
 
@@ -694,10 +695,13 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
     }
 
     std::vector<std::unordered_map<uint64_t, std::vector<int64_t>>> buckets(n_tables);
-    std::unordered_map<int64_t, int64_t> hits;
-    std::vector<std::pair<int64_t, int64_t>> cand;  // (hits, read_id)
 
-    for (int64_t r = 0; r < n_reads; r++) {
+    // per-read selection against the CURRENT representative state (buckets
+    // only change when a read becomes a new rep).  Returns the chosen rep
+    // id or -1 (new representative).  Scratch passed in so parallel
+    // callers get thread-local maps.
+    auto select = [&](int64_t r, std::unordered_map<int64_t, int64_t>& hits,
+                      std::vector<std::pair<int64_t, int64_t>>& cand) -> int64_t {
         hits.clear();
         for (int t = 0; t < n_tables; t++) {
             if (!sig_valid[r * n_tables + t]) continue;
@@ -761,13 +765,64 @@ void lsh_greedy_cluster(const uint64_t* sigs, const uint8_t* sig_valid,
             // best_sim <= threshold -> new representative
             if ((double)best_c / (double)best_d <= thresh_pow_k) best_rep = -1;
         }
-        if (best_rep >= 0) {
-            assignment[r] = best_rep;
-        } else {
-            for (int t = 0; t < n_tables; t++)
-                if (sig_valid[r * n_tables + t])
-                    buckets[t][sigs[r * n_tables + t]].push_back(r);
-            assignment[r] = r;
+        return best_rep;
+    };
+
+    // block-speculative execution of the inherently serial greedy loop:
+    // evaluate a block of reads IN PARALLEL against the rep-state snapshot
+    // at block start, then walk the block serially.  The rep state changes
+    // ONLY when a read becomes a new representative, and a later read's
+    // candidate set can change ONLY if it shares an LSH bucket with a rep
+    // created earlier in the same block — so a speculative result is
+    // committed unless one of the read's signatures hits a bucket key
+    // inserted this block (exact per-table sig-set check), in which case
+    // that read alone is recomputed serially against the live state.
+    // Bit-identical to the pure serial loop by construction.
+    const int64_t BLK = 2048;
+    std::vector<int64_t> tent(std::min(BLK, n_reads));
+    std::unordered_map<int64_t, int64_t> s_hits;
+    std::vector<std::pair<int64_t, int64_t>> s_cand;
+    std::vector<std::unordered_set<uint64_t>> new_sigs(n_tables);
+    for (int64_t bs = 0; bs < n_reads; bs += BLK) {
+        const int64_t be = std::min(bs + BLK, n_reads);
+#ifdef _OPENMP
+#pragma omp parallel
+        {
+            std::unordered_map<int64_t, int64_t> hits;
+            std::vector<std::pair<int64_t, int64_t>> cand;
+#pragma omp for schedule(dynamic, 16)
+            for (int64_t r = bs; r < be; r++)
+                tent[r - bs] = select(r, hits, cand);
+        }
+#else
+        for (int64_t r = bs; r < be; r++)
+            tent[r - bs] = select(r, s_hits, s_cand);
+#endif
+        bool any_new = false;
+        for (int t = 0; t < n_tables; t++)
+            new_sigs[t].clear();
+        for (int64_t r = bs; r < be; r++) {
+            bool stale = false;
+            if (any_new)
+                for (int t = 0; t < n_tables; t++)
+                    if (sig_valid[r * n_tables + t] &&
+                        new_sigs[t].count(sigs[r * n_tables + t])) {
+                        stale = true;
+                        break;
+                    }
+            const int64_t best_rep =
+                stale ? select(r, s_hits, s_cand) : tent[r - bs];
+            if (best_rep >= 0) {
+                assignment[r] = best_rep;
+            } else {
+                for (int t = 0; t < n_tables; t++)
+                    if (sig_valid[r * n_tables + t]) {
+                        buckets[t][sigs[r * n_tables + t]].push_back(r);
+                        new_sigs[t].insert(sigs[r * n_tables + t]);
+                    }
+                assignment[r] = r;
+                any_new = true;
+            }
         }
     }
 }
