@@ -51,13 +51,22 @@ def main() -> int:
         print(f"steady {i}: {dt:.3f}s = {dt / B * 1e3:.3f} ms/pair", flush=True)
     # pipelined: dispatch several batches before blocking, so the axon
     # tunnel's ~70 ms per-call roundtrip amortizes away — this is the
-    # number a non-tunneled TPU host sees
+    # number a non-tunneled TPU host sees.  Uses the traced entry (the
+    # mesh stage-7 path) under jit: the host wrapper blocks internally
+    # (np.asarray), so it cannot pipeline.
+    from functools import partial
+
+    from savont_tpu.ops.align_pallas import sw_forward_pallas_traced
+
+    fn = jax.jit(partial(sw_forward_pallas_traced, band=band))
     n_pipe = 8
-    qs = [np.ascontiguousarray(np.roll(q, i, axis=0)) for i in range(n_pipe)]
+    qs = [jnp.asarray(np.ascontiguousarray(np.roll(q, i, axis=0))) for i in range(n_pipe)]
+    td, lod, tld = jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens)
+    fn(qs[0], td, lod, tld)["score"].block_until_ready()  # compile
     t0 = time.time()
-    outs = [sw_forward_pallas(qq, t, lo, tlens, band=band) for qq in qs]
+    outs = [fn(qq, td, lod, tld) for qq in qs]
     for o in outs:
-        np.asarray(o["score"])
+        o["score"].block_until_ready()
     pipe_dt = time.time() - t0
     print(
         f"pipelined x{n_pipe}: {pipe_dt:.3f}s = "
