@@ -758,9 +758,24 @@ def _prime_vec_caches(twin_reads: list[TwinRead], k: int, threads: int = 0) -> N
 
 def twin_reads_from_fasta(path, kmer_info: KmerGlobalInfo, args: ClusterArgs) -> list[TwinRead]:
     """Reload ASVs as TwinReads for EM (kmer_comp.rs:39-66) — no filters."""
+    from ..ops.kmers_native import get_scan_lib, syncmer_scan_native
+
     snpmer_sorted = kmer_info.snpmer_set_sorted()
+    recs = [r for r in read_fastx(str(path)) if len(r.seq) >= args.kmer_size]
+    if get_scan_lib() is not None:
+        # same native batched scan as the read path (quals are None for
+        # FASTA, so the min-quality mask is a no-op in both scans)
+        codes_list, _ = _batch_encode([r.seq for r in recs], [None] * len(recs))
+        scans = syncmer_scan_native(
+            codes_list, None, args.kmer_size, args.c,
+            args.minimum_base_quality, snpmer_sorted,
+        )
+        return [
+            _build_twin_read_from_scan(rec, scan, args, codes)
+            for rec, scan, codes in zip(recs, scans, codes_list)
+        ]
     out = []
-    for rec in read_fastx(str(path)):
+    for rec in recs:
         tr = build_twin_read(rec.seq, None, rec.id, args, snpmer_sorted)
         if tr is not None:
             out.append(tr)
