@@ -3,7 +3,6 @@ from __future__ import annotations
 
 import numpy as np
 from scipy.stats import binom
-from scipy.stats import fisher_exact as _scipy_fisher
 
 
 def binomial_test_gt(n: int | np.ndarray, k: int | np.ndarray, p: float):

@@ -9,7 +9,12 @@ from pathlib import Path
 from ..config import ClusterArgs
 from ..constants import ASV_FILE
 from . import pileup, stage1_kmers, stage23_cluster, stage4_consensus, stage5_merge, stage6_chimera, stage7_em
-from .outputs import write_clusters_tsv, write_consensus_fasta, write_feature_table
+from .outputs import (
+    sample_names_from_inputs,
+    write_clusters_tsv,
+    write_consensus_fasta,
+    write_feature_table,
+)
 
 log = logging.getLogger("savont")
 
@@ -183,7 +188,7 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
         )
     consensuses.sort(key=lambda c: -c.depth)
 
-    sample_names = [Path(f).name.split(".")[0] for f in args.input_files]
+    sample_names = sample_names_from_inputs(args.input_files)
     if args.pooled_samples and len(args.input_files) > 1:
         log.info("=== STAGE 7b: per-sample quantification ===")
         per_sample = stage7_em.compute_per_sample_depths(
@@ -195,11 +200,36 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
     write_consensus_fasta(consensuses, out_dir / ASV_FILE, "final")
     ft_names = sample_names if (args.pooled_samples and len(args.input_files) > 1) else sample_names[:1]
     write_feature_table(consensuses, out_dir / "feature-table.tsv", ft_names)
+    _debug_consensus_twin_read(kmer_info, consensuses, args)
     for i, c in enumerate(consensuses):
         c.id = i
     write_clusters_tsv(consensuses, twin_reads, out_dir / "final_clusters.tsv", "final")
     log.info("=== SAVONT-TPU COMPLETED in %.1f s: %d ASVs ===", time.time() - t_start, len(consensuses))
     return out_dir
+
+
+def _debug_consensus_twin_read(kmer_info, consensuses, args) -> None:
+    """TRACE dump of each final consensus's SNPmer positions+bases
+    (main.rs:545-600, called at main.rs:185).  The reference rebuilds a
+    TwinRead per consensus via get_twin_read_syncmer against the global
+    SNPmer set and trace-logs (pos, decoded kmer) pairs; we do the same
+    through build_twin_read.  Gated on TRACE (level 5) so the production
+    path pays nothing."""
+    if not log.isEnabledFor(5):
+        return
+    from ..ops.encode import decode_kmer
+
+    snpmer_sorted = kmer_info.snpmer_set_sorted()
+    for i, c in enumerate(consensuses):
+        seq = c.get_decompressed().tobytes()
+        log.log(5, "Consensus ID: %s, Index %d, Depth: %s, Length: %d",
+                c.id, i, c.depth, len(seq))
+        tr = stage1_kmers.build_twin_read(seq, None, "", args, snpmer_sorted)
+        if tr is None:
+            continue
+        pos, kmers = tr.snpmers_vec()
+        snp = [(int(p), decode_kmer(int(km), args.kmer_size)) for p, km in zip(pos, kmers)]
+        log.log(5, "SNPmer bases are: %s", snp)
 
 
 def _write_simple_clusters(path, clusters):

@@ -51,6 +51,17 @@ def write_consensus_fasta(consensuses: list[ConsensusSequence], path, prefix: st
             f.write("\n")
 
 
+def sample_names_from_inputs(input_files: list[str]) -> list[str]:
+    """Feature-table column names from input paths (main.rs:152-156).
+
+    Rust ``Path::file_stem`` strips ONLY the last extension:
+    ``x.trimmed.fq.gz`` -> ``x.trimmed.fq`` (Python ``Path.stem`` matches),
+    with ``unwrap_or("sample")`` for pathological empty names."""
+    from pathlib import Path
+
+    return [Path(f).stem or "sample" for f in input_files]
+
+
 def write_feature_table(consensuses: list[ConsensusSequence], path, sample_names: list[str]) -> None:
     with open(path, "w") as f:
         f.write("#OTU ID\t" + "\t".join(sample_names) + "\n")

@@ -19,9 +19,18 @@ from .ops.encode import revcomp_bytes
 @dataclass
 class AsvValidation:
     header: str
-    nm: int | None  # None = unmapped
+    nm: int | None  # None = unmapped (or mapped below the coverage floor)
     exact_substring: bool
     ref_hit: str | None
+    coverage: float = 1.0  # aligned-span fraction of the ASV length
+
+
+#: Minimum aligned-span fraction for a non-exact hit to count.  minimap2's
+#: primary mapping of a clean full-length ASV covers essentially the whole
+#: query (integration_test.rs:147-159 takes the primary hit's NM); without
+#: this floor a chimeric ASV with one clean local span and a divergent tail
+#: could pass NM=0 on the local banded hit alone.
+MIN_QUERY_COVERAGE = 0.95
 
 
 def validate_asvs(asv_fasta: str, ref_fasta: str) -> list[AsvValidation]:
@@ -41,11 +50,30 @@ def validate_asvs(asv_fasta: str, ref_fasta: str) -> list[AsvValidation]:
             results.append(AsvValidation(header, 0, True, exact))
             continue
         hits = map_query(index, seq)
-        if not hits:
-            results.append(AsvValidation(header, None, False, None))
+        covered = [
+            m for m in hits
+            if (m.query_end - m.query_start) >= MIN_QUERY_COVERAGE * len(seq)
+        ]
+        if not covered:
+            # Mapped-but-partial reports the best partial hit's coverage so
+            # the failure is diagnosable, but nm stays None: a local span is
+            # not evidence the whole ASV is clean.
+            cov = 0.0
+            if hits:
+                b = min(hits, key=lambda m: m.nm)
+                cov = (b.query_end - b.query_start) / len(seq)
+            results.append(AsvValidation(header, None, False, None, cov))
         else:
-            best = min(hits, key=lambda m: m.nm)
-            results.append(AsvValidation(header, best.nm, False, refs[best.target_id][0]))
+            best = min(covered, key=lambda m: m.nm)
+            results.append(
+                AsvValidation(
+                    header,
+                    best.nm,
+                    False,
+                    refs[best.target_id][0],
+                    (best.query_end - best.query_start) / len(seq),
+                )
+            )
     return results
 
 
