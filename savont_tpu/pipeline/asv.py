@@ -54,16 +54,18 @@ def run_cluster(args: ClusterArgs) -> Path:
     args.apply_presets()
     if args.kmer_size % 2 == 0:
         raise SystemExit("K-mer size must be odd")
-    # short-amplicon runs fit a 64-wide DP corridor (output-identical on the
-    # Zymo + 20k/100k synthetic oracles, ~2x less DP work); the operon
-    # preset keeps the conservative 128.  SAVONT_DP_BAND pins either way.
+    # short-amplicon runs fit a 48-wide DP corridor (output-identical on the
+    # Zymo single/both-replicate + 20k synthetic oracles at 64 AND 48; the
+    # chain-anchored band only has to cover inter-anchor drift, and the tb
+    # kernel drops 57->38 ms at 902 reads); the operon preset keeps the
+    # conservative 128.  SAVONT_DP_BAND pins either way.
     # The narrowed band is scoped to this pipeline run (restored on exit so
     # a later classify/validate in the same process keeps its own default).
     from ..ops import align as _align
     from ..ops.align import set_default_band
 
     prev_band = _align.DEFAULT_BAND
-    set_default_band(64 if args.max_read_length <= 2600 else 128)
+    set_default_band(48 if args.max_read_length <= 2600 else 128)
     try:
         return _run_cluster_inner(args)
     finally:
