@@ -160,6 +160,47 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
     return out  # type: ignore[return-value]
 
 
+def window_minimizers_flat_batch(
+    queries: list[bytes], w: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Minimizers for a batch as FLAT pools: (hash, pos, is_fwd, off[n+1]).
+
+    Large batches (>= 2048 queries — one-shot planner sweeps like the
+    stage-7 tie-break slabs or whole-readset pileups) bypass _MINI_CACHE
+    entirely: hit rates are near zero there, per-query tuple/dict glue
+    costs more than the native rescan (~14 vs ~8 us/seq measured), and
+    inserting would thrash the cache for the small repeated batches that
+    actually profit from it.  Small batches go through the cached tuple
+    path and are pooled; values are bit-identical either way."""
+    n = len(queries)
+    from .kmers_native import get_scan_lib, window_minimizers_flat_native
+
+    if n >= 2048 and get_scan_lib() is not None:
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.fromiter((len(q) for q in queries), np.int64, n), out=off[1:])
+        cat = (
+            _ASCII_CODE[np.frombuffer(b"".join(queries), dtype=np.uint8)]
+            if int(off[-1]) else np.zeros(0, np.uint8)
+        )
+        codes = [cat[off[i] : off[i + 1]] for i in range(n)]
+        return window_minimizers_flat_native(codes, k, w)
+    qmini = window_minimizers_cached_batch(queries, w, k)
+    cnt = np.fromiter((len(m[0]) for m in qmini), np.int64, n)
+    moff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=moff[1:])
+    if n == 0 or int(moff[-1]) == 0:
+        return (
+            np.zeros(0, U64), np.zeros(0, np.int64),
+            np.zeros(0, bool), moff,
+        )
+    return (
+        np.concatenate([m[0] for m in qmini]),
+        np.concatenate([m[1] for m in qmini]),
+        np.concatenate([m[2] for m in qmini]),
+        moff,
+    )
+
+
 def _window_minimizers(codes4: np.ndarray, w: int, k: int):
     """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
 

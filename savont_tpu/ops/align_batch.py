@@ -148,18 +148,19 @@ def plan_jobs_batch(
 ) -> tuple[list[AlignJob], list[int]]:
     """Seeding + chaining for MANY queries against one index in a single
     vectorized lookup pass.  Returns (jobs, owner_query_index)."""
-    from .align import resolve_band, window_minimizers_cached_batch
+    from .align import resolve_band, window_minimizers_flat_batch
 
     band = resolve_band(band)
 
-    # gather all query minimizers with query ids (misses in one native batch)
-    qmini = window_minimizers_cached_batch([bytes(q) for q in queries], index.w, index.k)
-    if not qmini or len(index.h_sorted) == 0:
+    # gather all query minimizers with query ids (flat pools; large batches
+    # bypass the tuple cache — see window_minimizers_flat_batch)
+    all_h, all_p, all_f, moff = window_minimizers_flat_batch(
+        [bytes(q) for q in queries], index.w, index.k
+    )
+    if len(all_h) == 0 or len(index.h_sorted) == 0:
         return [], []
-    all_h = np.concatenate([m[0] for m in qmini])
-    all_p = np.concatenate([m[1] for m in qmini]).astype(np.int32)
-    all_f = np.concatenate([m[2] for m in qmini])
-    qid = np.repeat(np.arange(len(queries)), [len(m[0]) for m in qmini]).astype(np.int32)
+    all_p = all_p.astype(np.int32)
+    qid = np.repeat(np.arange(len(queries)), np.diff(moff)).astype(np.int32)
     qlens = np.array([len(q) for q in queries], dtype=np.int64)
 
     # one flat lookup (native binary search when available)
@@ -870,7 +871,7 @@ def _align_soa_core(
     if nm_values:
         assert not traceback
         _miss = np.full(len(job_uq_arr), -1, dtype=np.int64)
-    from .align import resolve_band, window_minimizers_cached_batch
+    from .align import resolve_band, window_minimizers_flat_batch
 
     band = resolve_band(band)
     from .kmers_native import (
@@ -897,9 +898,10 @@ def _align_soa_core(
     if max_qlen >= (1 << 14) + 15 or max_tlen >= (1 << 14):
         return None  # packed anchor key field widths
 
-    # one minimizer pass over unique queries; one single-target index each
-    # (all target scans batched through one native call)
-    qmini = window_minimizers_cached_batch(qry_bytes, 10, 15)
+    # one minimizer pass over unique queries, straight into flat pools
+    # (large batches bypass the tuple cache, see window_minimizers_flat_batch);
+    # one single-target index each (all target scans batched in one native call)
+    pool_h, pool_p, pool_f, q_moff = window_minimizers_flat_batch(qry_bytes, 10, 15)
     indexes = TargetIndex.build_singletons(tgt_bytes)
     from .kmers_native import anchor_search_multi_native
 
@@ -919,19 +921,13 @@ def _align_soa_core(
     # Sorted keys have the job id in the top bits, so key runs appear in
     # ascending pair order (within a pair: strand - then +), matching the
     # legacy plan order for tie-breaks.
-    # pool the per-UNIQUE-query minimizers once, then ragged-gather to jobs
-    # (vector ops over total minis instead of 3 concats of n_jobs small
-    # arrays — the per-job Python loop was the hot glue at small N)
-    q_mcnt = np.fromiter((len(m[0]) for m in qmini), np.int64, len(qmini))
+    # ragged-gather the flat per-UNIQUE-query mini pools to jobs (vector ops
+    # over total minis instead of per-job Python)
+    q_mcnt = np.diff(q_moff)
     mini_counts = q_mcnt[job_uq_arr]
     total_minis = int(mini_counts.sum())
     if total_minis == 0:
         return _miss if nm_values else [None] * n_pairs
-    q_moff = np.zeros(len(qmini) + 1, dtype=np.int64)
-    np.cumsum(q_mcnt, out=q_moff[1:])
-    pool_h = np.concatenate([m[0] for m in qmini])
-    pool_p = np.concatenate([m[1] for m in qmini])
-    pool_f = np.concatenate([m[2] for m in qmini])
     job_moff = np.zeros(n_pairs + 1, dtype=np.int64)  # per-job mini ranges
     np.cumsum(mini_counts, out=job_moff[1:])
     job_off = job_moff[:-1]  # exclusive scan

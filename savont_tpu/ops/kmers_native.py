@@ -562,6 +562,50 @@ def window_minimizers_native(
     return out_all
 
 
+def window_minimizers_flat_native(
+    seqs: list[np.ndarray], k: int, w: int, threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flat batched canonical window minimizers: (hash u64, pos i64,
+    is_fwd bool, off i64[n+1]) with minis of sequence i in [off[i], off[i+1]).
+    Same native kernel as window_minimizers_native but no per-sequence
+    Python tuples/views — for SoA consumers (the align planner pools the
+    per-read tuples right back into flat arrays otherwise)."""
+    lib = get_scan_lib()
+    assert lib is not None
+    hs, ps, fs, cnts = [], [], [], []
+    for s, e in _chunk_spans(seqs, k):
+        sub = seqs[s:e]
+        codes, _, off = _concat(sub, None)
+        out_off = _capacity_offsets(sub, k)
+        total = int(out_off[-1])
+        oh = _scratch("wmin_h", total, np.uint64)
+        op = _scratch("wmin_p", total, np.int64)
+        of = _scratch("wmin_f", total, np.uint8)
+        cnt = np.zeros(len(sub), dtype=np.int64)
+        lib.window_minimizers_batch(
+            _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64), len(sub), k, w,
+            _ptr(oh, ctypes.c_uint64), _ptr(op, ctypes.c_int64), _ptr(of, ctypes.c_uint8),
+            _ptr(out_off, ctypes.c_int64), _ptr(cnt, ctypes.c_int64), threads,
+        )
+        hs.append(_compact(oh, out_off, cnt, threads)[0])
+        ps.append(_compact(op, out_off, cnt, threads)[0])
+        fs.append(_compact(of, out_off, cnt, threads)[0])
+        cnts.append(cnt)
+    off_all = np.zeros(len(seqs) + 1, dtype=np.int64)
+    if cnts:
+        np.cumsum(np.concatenate(cnts), out=off_all[1:])
+
+    def _cat(xs, dt):
+        if not xs:
+            return np.zeros(0, dt)
+        return xs[0] if len(xs) == 1 else np.concatenate(xs)
+
+    return (
+        _cat(hs, np.uint64), _cat(ps, np.int64),
+        _cat(fs, np.uint8).view(bool), off_all,
+    )
+
+
 def minimizer_sketch_batch_native(
     seqs: list[np.ndarray], w: int, k: int, threads: int = 0
 ) -> list[tuple[np.ndarray, np.ndarray]] | None:
