@@ -57,46 +57,110 @@ void push(ParseState& st, const std::string& head, const std::string& seq, const
     st.n_records++;
 }
 
+// Incremental stream over one file: fastx_next() parses up to max_records
+// at a time so ingestion can pipeline with downstream counting (the
+// reference's 3-stage channel: parse thread -> batch -> consume,
+// seq_parse.rs:87-122).
+struct FastxStream {
+    GzLines gz;
+    int mode = 0;  // 0 = empty file, 1 = FASTQ, 2 = FASTA
+    std::string pending;  // FASTQ: next '@' line; FASTA: next '>' header
+    bool pending_valid = false;
+    bool done = false;
+    explicit FastxStream(const char* path) : gz(path) {}
+};
+
 }  // namespace
 
 extern "C" {
 
-// Parse the file; returns an opaque handle (or nullptr).
-void* fastx_parse(const char* path) {
-    GzLines gz(path);
-    if (!gz.ok()) return nullptr;
-    auto* st = new ParseState();
-    std::string line;
-    if (!gz.next(line)) return st;  // empty file: zero records
-    if (!line.empty() && line[0] == '@') {
-        // FASTQ
-        std::string head, seq, plus, qual;
-        while (true) {
-            head = line.substr(1);
-            if (!gz.next(seq)) break;
-            if (!gz.next(plus)) break;
-            if (!gz.next(qual)) break;
-            push(*st, head, seq, qual);
-            if (!gz.next(line)) break;
-        }
-    } else if (!line.empty() && line[0] == '>') {
-        // FASTA
-        std::string head = line.substr(1), seq;
-        while (gz.next(line)) {
-            if (!line.empty() && line[0] == '>') {
-                push(*st, head, seq, "");
-                head = line.substr(1);
-                seq.clear();
-            } else {
-                seq += line;
-            }
-        }
-        push(*st, head, seq, "");
-    } else {
-        delete st;
+// Open a stream; nullptr on IO failure or unrecognized leading byte.
+void* fastx_open(const char* path) {
+    auto* s = new FastxStream(path);
+    if (!s->gz.ok()) {
+        delete s;
         return nullptr;
     }
+    std::string line;
+    if (!s->gz.next(line)) {
+        s->mode = 0;  // empty file: zero records, matches fastx_parse
+        s->done = true;
+        return s;
+    }
+    if (!line.empty() && line[0] == '@') {
+        s->mode = 1;
+    } else if (!line.empty() && line[0] == '>') {
+        s->mode = 2;
+    } else {
+        delete s;
+        return nullptr;
+    }
+    s->pending = line;
+    s->pending_valid = true;
+    return s;
+}
+
+// Parse up to max_records more records; returns a ParseState chunk handle
+// (fastx_seq_buf &co apply), possibly with 0 records at EOF.
+void* fastx_next(void* sh, int64_t max_records) {
+    auto* s = (FastxStream*)sh;
+    auto* st = new ParseState();
+    if (s->done) return st;
+    std::string line;
+    if (s->mode == 1) {
+        // FASTQ: pending holds the next record's '@' line
+        std::string seq, plus, qual;
+        while (st->n_records < max_records) {
+            if (!s->pending_valid) {
+                s->done = true;
+                break;
+            }
+            std::string head = s->pending.substr(1);
+            s->pending_valid = false;
+            if (!s->gz.next(seq) || !s->gz.next(plus) || !s->gz.next(qual)) {
+                s->done = true;
+                break;
+            }
+            push(*st, head, seq, qual);
+            if (s->gz.next(line)) {
+                s->pending = line;
+                s->pending_valid = true;
+            } else {
+                s->done = true;
+            }
+        }
+    } else if (s->mode == 2) {
+        // FASTA: pending holds the next record's '>' header
+        std::string seq;
+        while (st->n_records < max_records && s->pending_valid) {
+            std::string head = s->pending.substr(1);
+            s->pending_valid = false;
+            seq.clear();
+            while (s->gz.next(line)) {
+                if (!line.empty() && line[0] == '>') {
+                    s->pending = line;
+                    s->pending_valid = true;
+                    break;
+                }
+                seq += line;
+            }
+            push(*st, head, seq, "");
+            if (!s->pending_valid) s->done = true;
+        }
+    }
     return st;
+}
+
+void fastx_close(void* sh) { delete (FastxStream*)sh; }
+
+// Parse the whole file; returns an opaque handle (or nullptr).
+// One-shot form of the stream above (identical record semantics).
+void* fastx_parse(const char* path) {
+    void* s = fastx_open(path);
+    if (!s) return nullptr;
+    void* chunk = fastx_next(s, INT64_MAX);
+    fastx_close(s);
+    return chunk;
 }
 
 int64_t fastx_n_records(void* h) { return ((ParseState*)h)->n_records; }

@@ -62,14 +62,12 @@ def _native_lib():
     return _NATIVE
 
 
-def _read_fastx_native(lib, path: str) -> list[FastxRecord]:
+def _records_from_chunk(lib, h) -> list[FastxRecord]:
+    """Slice one native ParseState handle into FastxRecords (frees it)."""
     import ctypes
 
     import numpy as np
 
-    h = lib.fastx_parse(path.encode())
-    if not h:
-        raise ValueError(f"{path}: not FASTA/FASTQ (native parser)")
     try:
         n = lib.fastx_n_records(h)
         if n == 0:
@@ -95,6 +93,51 @@ def _read_fastx_native(lib, path: str) -> list[FastxRecord]:
         )
         for i in range(n)
     ]
+
+
+def _read_fastx_native(lib, path: str) -> list[FastxRecord]:
+    h = lib.fastx_parse(path.encode())
+    if not h:
+        raise ValueError(f"{path}: not FASTA/FASTQ (native parser)")
+    return _records_from_chunk(lib, h)
+
+
+def read_fastx_stream(path: str, chunk_records: int = 32768):
+    """Yield lists of FastxRecords, chunk_records at a time, while the file
+    is still being decompressed — lets ingestion pipeline with downstream
+    counting (seq_parse.rs:87-122 channel analog).  Falls back to one-shot
+    parsing (a single yield) without the native lib."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "fastx_open"):
+        recs = read_fastx_records(path)
+        for s in range(0, len(recs), chunk_records) or [0]:
+            yield recs[s : s + chunk_records]
+        return
+    import ctypes
+
+    if not hasattr(lib.fastx_open, "_savont_bound"):
+        lib.fastx_open.restype = ctypes.c_void_p
+        lib.fastx_open.argtypes = [ctypes.c_char_p]
+        lib.fastx_next.restype = ctypes.c_void_p
+        lib.fastx_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fastx_close.argtypes = [ctypes.c_void_p]
+        lib.fastx_open._savont_bound = True
+    sh = lib.fastx_open(path.encode())
+    if not sh:
+        raise ValueError(f"{path}: not FASTA/FASTQ (native parser)")
+    try:
+        first = True
+        while True:
+            h = lib.fastx_next(sh, chunk_records)
+            recs = _records_from_chunk(lib, h)
+            if not recs:
+                if first:
+                    yield []  # empty file: one empty chunk
+                return
+            first = False
+            yield recs
+    finally:
+        lib.fastx_close(sh)
 
 
 def read_fastx_records(path: str) -> list[FastxRecord]:

@@ -152,6 +152,21 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "counting is exact, and the aggressive admission rule only "
             "applies to the Bloom prefilter pass (seq_parse.rs:225-258)"
         )
+    if (
+        not os.environ.get("SAVONT_DEVICE_KMERS")
+        and args.bloom_filter_size <= 0
+        and get_scan_lib() is not None
+        and _sortcount_available()
+    ):
+        # pipelined ingestion (seq_parse.rs:87-122 channel analog): a
+        # feeder thread parses + encodes 32k-record chunks while this
+        # thread scans + counts the previous chunk in native OpenMP code
+        # (which releases the GIL).  Counting is per-k-mer commutative, so
+        # chunk boundaries cannot change the result (same merge as
+        # _count_chunked_native; parity pinned by tests).
+        kmers, counts, n_reads = _streamed_count(args)
+        return _finish_split_kmers(kmers, counts, n_reads, args)
+
     # cached per-path encodes (stage 1.5 reuses them); 'rc'-tagged reads are
     # re-encoded from the flipped bytes — code-level revcomp would differ on
     # non-ACGT bytes (revcomp_bytes maps them to N=code 0, not 3-code)
@@ -182,17 +197,6 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
         from ..ops.kmers_jax import device_split_kmers
 
         per_read = device_split_kmers(codes_list, phred_list, k, args.minimum_base_quality)
-    elif (
-        get_scan_lib() is not None
-        and args.bloom_filter_size <= 0
-        and _sortcount_available()
-    ):
-        # chunked scan+count+merge: distinct k-mers are a tiny fraction of
-        # the stream, so per-chunk counting with a sorted-table merge keeps
-        # every transient at ~chunk size (the single flat pass allocated
-        # multi-GB streams at 100k reads and went memory-bound)
-        kmers, counts = _count_chunked_native(codes_list, phred_list, args)
-        per_read = None
     elif get_scan_lib() is not None:
         per_read = split_kmers_native(codes_list, phred_list, k, args.minimum_base_quality)
     else:
@@ -225,6 +229,14 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
                 )
         else:
             kmers, counts = count_flagged_kmers(per_read, threads=args.threads)
+    return _finish_split_kmers(kmers, counts, n_reads, args)
+
+
+def _finish_split_kmers(
+    kmers: np.ndarray, counts: np.ndarray, n_reads: int, args: ClusterArgs
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared strand/multiplicity filter + starvation abort
+    (seq_parse.rs:69-72)."""
     raw_n = len(kmers)
     kmers, counts = filter_counted_kmers(kmers, counts, args.single_strand)
     log.info("counted %d reads; %d split-kmers, %d retained after strand filter", n_reads, raw_n, len(kmers))
@@ -234,6 +246,124 @@ def read_to_split_kmers(args: ClusterArgs) -> tuple[np.ndarray, np.ndarray]:
             "multiplicity (seq_parse.rs:69-72). Consider --single-strand."
         )
     return kmers, counts
+
+
+def _streamed_count(
+    args: ClusterArgs, chunk: int = 32768
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pipelined parse+encode || scan+count over all input files.
+
+    A feeder thread streams 32k-record chunks off the gz file
+    (io/fastx.read_fastx_stream), 2-bit-encodes them and applies the
+    cutadapt 'rc' header flip (seq_parse.rs:139-147) for the counting copy,
+    while this thread runs the native split-kmer scan + radix count on the
+    previous chunk (OpenMP, GIL released) — the reference's 3-stage channel
+    ingestion (seq_parse.rs:87-122) expressed as threads over batches.
+    Populates _READ_CACHE/_ENCODE_CACHE with the RAW records/codes exactly
+    like _cached_records/_cached_encoded (stage 1.5 reuses them).
+    Counting is per-k-mer commutative so chunking cannot change the result
+    (bit-identical to _count_chunked_native; tests pin it)."""
+    import queue as _queue
+    from threading import Thread
+
+    from ..ops.kmers import merge_counted
+    from ..ops.kmers_native import count_flagged_native, split_kmers_flat_native
+
+    global _READ_CACHE_BYTES
+    k = args.kmer_size
+    q: _queue.Queue = _queue.Queue(maxsize=2)
+    errs: list[BaseException] = []
+
+    def _rc_swap(recs, codes, phred):
+        """Counting copies with 'rc'-tagged reads reverse-complemented."""
+        rc_i, rc_s, rc_q = [], [], []
+        for i, rec in enumerate(recs):
+            rid = rec.id
+            if rid.endswith("rc"):
+                fields = rid.split()
+                if fields and fields[-1] == "rc":
+                    rc_i.append(i)
+                    rc_s.append(revcomp_bytes(rec.seq))
+                    rc_q.append(rec.qual[::-1] if rec.qual is not None else None)
+        if not rc_i:
+            return codes, phred
+        codes, phred = list(codes), list(phred)
+        rc_c, rc_p = _batch_encode(rc_s, rc_q)
+        for i, c, p in zip(rc_i, rc_c, rc_p):
+            codes[i] = c
+            phred[i] = p
+        return codes, phred
+
+    def produce():
+        global _READ_CACHE_BYTES
+        try:
+            for path in args.input_files:
+                cached = _READ_CACHE.get(path)
+                if cached is not None:
+                    codes_all, phred_all = _cached_encoded(path)
+                    for s in range(0, len(cached), chunk):
+                        cc, pp = _rc_swap(
+                            cached[s : s + chunk],
+                            codes_all[s : s + chunk],
+                            phred_all[s : s + chunk],
+                        )
+                        q.put((cc, pp))
+                    continue
+                from ..io.fastx import read_fastx_stream
+
+                recs_all: list = []
+                codes_all, phred_all = [], []
+                for recs in read_fastx_stream(path, chunk):
+                    codes, phred = _batch_encode(
+                        [r.seq for r in recs], [r.qual for r in recs]
+                    )
+                    recs_all.extend(recs)
+                    codes_all.extend(codes)
+                    phred_all.extend(phred)
+                    cc, pp = _rc_swap(recs, codes, phred)
+                    q.put((cc, pp))
+                # same retention rules as _cached_records/_cached_encoded
+                size = sum(len(r.seq) * 2 for r in recs_all)
+                if _READ_CACHE_BYTES + size <= _READ_CACHE_LIMIT:
+                    _READ_CACHE[path] = recs_all
+                    _READ_CACHE_BYTES += size
+                    if len(_ENCODE_CACHE) >= _ENCODE_CACHE_MAX_PATHS:
+                        _ENCODE_CACHE.clear()
+                    _ENCODE_CACHE[path] = (recs_all, codes_all, phred_all)
+        except BaseException as e:  # re-raised on the consumer thread
+            errs.append(e)
+        finally:
+            q.put(None)
+
+    t = Thread(target=produce, daemon=True)
+    t.start()
+    kmers = np.zeros(0, dtype=np.uint64)
+    counts = np.zeros((0, 2), dtype=np.uint32)
+    n_reads = 0
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            codes_c, phred_c = item
+            n_reads += len(codes_c)
+            allk = split_kmers_flat_native(
+                codes_c, phred_c, k, args.minimum_base_quality, args.threads
+            )
+            if len(allk):
+                ck, cc2 = count_flagged_native(allk, args.threads)
+                kmers, counts = merge_counted(kmers, counts, ck, cc2)
+    finally:
+        # unblock a producer stuck on a full queue if we errored out
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except _queue.Empty:
+                pass
+            t.join(timeout=0.05)
+    if errs:
+        raise errs[0]
+    return kmers, counts, n_reads
 
 
 def _sortcount_available() -> bool:
