@@ -163,13 +163,13 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
     write_consensus_fasta(low_qual, temp_dir / "low_quality_consensus_sequences.fasta", "lowqual")
 
     log.info("=== STAGE 5: merge similar consensuses ===")
-    consensuses = stage5_merge.merge_similar_consensuses(consensuses, low_qual, args)
+    consensuses, s5_hits = stage5_merge.merge_similar_consensuses(consensuses, low_qual, args)
     write_clusters_tsv(consensuses, twin_reads, temp_dir / "final_clusters_merged_stage5.tsv", "final")
     write_consensus_fasta(consensuses, temp_dir / "merged_consensus_sequences.fasta", "merged")
 
     if not args.skip_chimera_detection:
         log.info("=== STAGE 6: chimera detection ===")
-        chimeric = stage6_chimera.detect_chimeras(consensuses, args)
+        chimeric = stage6_chimera.detect_chimeras(consensuses, args, precomputed_hits=s5_hits)
         consensuses = stage6_chimera.filter_chimeras(consensuses, chimeric)
     else:
         log.info("Skipping chimera detection as per user request.")

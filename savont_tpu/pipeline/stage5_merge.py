@@ -216,9 +216,12 @@ def merge_similar_consensuses(
     low_qual: list[ConsensusSequence],
     args: ClusterArgs,
 ) -> list[ConsensusSequence]:
-    """alignment.rs:1206-1510."""
+    """alignment.rs:1206-1510.  Returns (merged, reusable_all_vs_all_hits):
+    the second element is the stage-5 all-vs-all map_batch result when it is
+    still valid for the returned list (no merges, order preserved), else
+    None — stage-6 chimera detection reuses it instead of re-aligning."""
     if not consensuses:
-        return consensuses
+        return consensuses, None
 
     prev = len(consensuses)
     consensuses = remove_similar_seqs_kmers(consensuses)
@@ -350,4 +353,14 @@ def merge_similar_consensuses(
             out.append(nc)
     out.sort(key=lambda c: -c.depth)
     log.info("Stage 5 merge: %d -> %d consensuses (%d merges)", len(consensuses), len(out), len(merged_into))
-    return out
+    # When nothing merged and the order survived, the all-vs-all hits above
+    # are exactly what stage-6 chimera detection would recompute over the
+    # same index/queries — hand them over (valid only while the max_hits=75
+    # cap cannot bind: one hit per (target, best strand) caps at n-1).
+    reusable = (
+        not merged_into
+        and len(out) == len(consensuses)
+        and len(consensuses) <= 76
+        and all(a.sequence is b.sequence for a, b in zip(out, consensuses))
+    )
+    return out, (all_hits if reusable else None)

@@ -96,18 +96,29 @@ def calculate_match_lengths(
     return left_opt, right_opt
 
 
-def detect_chimeras(consensuses: list[ConsensusSequence], args: ClusterArgs) -> set[int]:
-    """Returns indices of chimeric consensuses (chimera.rs:37-269)."""
+def detect_chimeras(
+    consensuses: list[ConsensusSequence],
+    args: ClusterArgs,
+    precomputed_hits: list | None = None,
+) -> set[int]:
+    """Returns indices of chimeric consensuses (chimera.rs:37-269).
+
+    precomputed_hits: stage-5's all-vs-all map_batch result over the SAME
+    consensus list (merge_similar_consensuses hands it over when no merge
+    changed the list) — identical to what would be recomputed here."""
     if not consensuses:
         return set()
     for c in consensuses:
         c.get_decompressed()
 
-    from ..ops.align_batch import map_batch
-
-    index = TargetIndex([c.get_decompressed() for c in consensuses])
     seqs = [c.get_decompressed().tobytes() for c in consensuses]
-    all_hits = map_batch(index, seqs, no_diag=True)
+    if precomputed_hits is not None and len(precomputed_hits) == len(consensuses):
+        all_hits = precomputed_hits
+    else:
+        from ..ops.align_batch import map_batch
+
+        index = TargetIndex([c.get_decompressed() for c in consensuses])
+        all_hits = map_batch(index, seqs, no_diag=True)
 
     chimeric: set[int] = set()
     for qi, qc in enumerate(consensuses):
