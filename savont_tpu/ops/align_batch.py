@@ -51,10 +51,21 @@ def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
 def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
     """Batched _qcodes_cached: all cache misses are encoded through ONE
     concatenated LUT gather (the per-call numpy overhead dominated at tens
-    of thousands of small sequences).  Same values, same cache."""
+    of thousands of small sequences).  Same values, same cache.
+
+    Large one-shot batches (whole-readset planner sweeps like the stage-7
+    tie-break) bypass the cache entirely: the per-item bytes-key hashing +
+    dict churn costs more than re-encoding, and inserting would clear the
+    cache out from under the small repeated batches it serves."""
     from .align import _ASCII_CODE
 
     out: list[np.ndarray | None] = [None] * len(items)
+    if len(items) >= 4096:
+        bufs = [qb if st == 1 else revcomp_bytes(qb) for qb, st in items]
+        off = np.zeros(len(bufs) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
+        codes_cat = _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
+        return [codes_cat[off[i] : off[i + 1]] for i in range(len(bufs))]
     miss: list[int] = []
     for x, key in enumerate(items):
         hit = _QCODE_CACHE.get(key)
