@@ -882,6 +882,45 @@ def _align_soa_core(
     if nm_values:
         assert not traceback
         _miss = np.full(len(job_uq_arr), -1, dtype=np.int64)
+    n_pairs = len(job_uq_arr)
+    plan = _plan_soa_indexed(qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, band)
+    if plan is None:
+        if nm_values:
+            return None if n_pairs else _miss
+        return None if n_pairs else []
+    if plan == "empty":
+        return _miss if nm_values else [None] * n_pairs
+    (owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+     t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all, band) = plan
+    from .native_build import get_lib
+
+    lib = get_lib()
+    return _soa_dp_and_winners(
+        lib, qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, n_pairs, band,
+        traceback, coords, nm_values, _miss if nm_values else None,
+        owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+        t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all,
+    )
+
+
+def _plan_soa_indexed(
+    qry_bytes: list[bytes], tgt_bytes: list[bytes],
+    job_uq_arr: np.ndarray, job_ti_arr: np.ndarray,
+    band: int | None, min_anchors: int = 2,
+):
+    """SoA planning (minimizers -> anchors -> chains -> band corridors) for
+    indexed jobs, shared by the host DP dispatcher and the mesh/device
+    packers.  Returns None when a prerequisite is missing (caller falls
+    back to the per-pair path), the string "empty" when no job yields a
+    chain, else the flat plan tuple
+      (owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+       t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all, band)
+    where job k of the plan aligns oriented query codes
+    q_cat[q_off_j[k] : q_off_j[k]+q_lens_j[k]] against target codes
+    t_cat[t_off_j[k] : ...] inside the corridor lo_flat[lo_off_j[k] : ...],
+    and owner_j[k] is the input job index it belongs to.  Plan order is the
+    legacy per-pair order (pair asc, strand - then +) so earliest-job
+    tie-breaks match align_pairs_nm exactly."""
     from .align import resolve_band, window_minimizers_flat_batch
 
     band = resolve_band(band)
@@ -895,10 +934,7 @@ def _align_soa_core(
     lib = get_lib()
     n_pairs = len(job_uq_arr)
     if lib is None or get_scan_lib() is None or get_sort_lib() is None or not n_pairs:
-        if nm_values:
-            return None if n_pairs else _miss
-        return None if n_pairs else []
-    min_anchors = 2
+        return None
 
     if n_pairs >= (1 << 21):
         return None  # job id field: key bits 43..63
@@ -938,7 +974,7 @@ def _align_soa_core(
     mini_counts = q_mcnt[job_uq_arr]
     total_minis = int(mini_counts.sum())
     if total_minis == 0:
-        return _miss if nm_values else [None] * n_pairs
+        return "empty"
     job_moff = np.zeros(n_pairs + 1, dtype=np.int64)  # per-job mini ranges
     np.cumsum(mini_counts, out=job_moff[1:])
     job_off = job_moff[:-1]  # exclusive scan
@@ -954,7 +990,7 @@ def _align_soa_core(
         return None
     left, counts, total = found
     if total == 0:
-        return _miss if nm_values else [None] * n_pairs
+        return "empty"
     # singleton tables: tid bits are constant 0, so keys collapse to
     # (jid << 29 | strand | qp | tpos) and the planner emits them directly
     # in sorted order (strand- reverse-mini, strand+ forward) — no radix
@@ -969,7 +1005,7 @@ def _align_soa_core(
     if keys is None:
         return None
     if len(keys) == 0:
-        return _miss if nm_values else [None] * n_pairs
+        return "empty"
     hi_bits = keys >> np.uint64(28)
     bounds = np.flatnonzero(np.concatenate(([True], hi_bits[1:] != hi_bits[:-1])))
     sizes_all = np.diff(np.append(bounds, len(keys)))
@@ -991,7 +1027,7 @@ def _align_soa_core(
     )
     kept = np.flatnonzero(nchain >= min_anchors)
     if len(kept) == 0:
-        return _miss if nm_values else [None] * n_pairs
+        return "empty"
 
     owner_j = owner_g[kept]
     uq_j = uq_g[kept]
@@ -1025,12 +1061,25 @@ def _align_soa_core(
     t_cat = np.concatenate(t_codes) if t_codes else np.zeros(0, np.uint8)
     t_off_j = t_off_all[tid_j]
     t_lens_j = t_lens_all[tid_j].astype(np.int32)
+    return (
+        owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+        t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all, band,
+    )
 
+
+def _soa_dp_and_winners(
+    lib, qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, n_pairs, band,
+    traceback, coords, nm_values, _miss,
+    owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+    t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all,
+):
+    """DP dispatch + vectorized winner selection over a _plan_soa_indexed
+    plan (the back half of the historical _align_soa_core)."""
     # DP dispatch, length-sorted for even SIMD lane blocks (stable order
     # keeps the legacy tie-break: first job in plan order wins ties)
     import ctypes
 
-    B = len(kept)
+    B = len(owner_j)
     order = np.argsort(q_lens_j, kind="stable")
     out_meta = np.zeros((B, 6), dtype=np.int32)
 

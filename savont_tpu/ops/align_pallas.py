@@ -29,6 +29,21 @@ NEG = -20000
 PAIR_BLOCK = 128  # pairs per grid step (lane dimension)
 UNROLL = 8  # rows per fori_loop iteration (row count host-padded to a multiple)
 
+# DP plane dtype: int16 doubles VPU lane throughput (2 values per 32-bit
+# register slot) and halves carry traffic.  Picked per call: int16 whenever
+# every in-loop quantity fits (max score = MATCH*min(Lq,Lt), row/col
+# indices <= max(Lq,Lt), NEG = -20000 — all < 2^15 for the <= 5 kb
+# amplicons this kernel serves), int32 otherwise.  SAVONT_PALLAS_I32=1
+# pins the round-2 int32 planes for A/B.
+import os as _os
+
+
+def _plane_dtype(Lq: int, Lt: int):
+    if _os.environ.get("SAVONT_PALLAS_I32"):
+        return jnp.int32
+    fits = MATCH * min(Lq, Lt) < 30000 and max(Lq, Lt) + 2 < 32000
+    return jnp.int16 if fits else jnp.int32
+
 
 def _sub_shift_down(x, fill):
     """out[j, :] = x[j-1, :] (shift toward larger sublane index)."""
@@ -65,6 +80,8 @@ def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
 
+    # plane dtype is decided by the caller via the ref dtypes (q_rows et al
+    # arrive pre-cast to int16 or int32); the kernel reads it off q_ref
     def kernel(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref):
         _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, band=band, n_rows=Lq)
 
@@ -112,12 +129,13 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
         lo = jnp.pad(lo, ((0, pad), (0, 0)))
         init_win = jnp.pad(init_win, ((0, pad), (0, 0)), constant_values=6)
         tlens = jnp.pad(tlens, (0, pad))
+    pd = _plane_dtype(int(Lq), int(Lt))
     out = _pallas_call_traced(
-        q.T.astype(jnp.int32),
-        new_codes.T.astype(jnp.int32),
-        lo.T.astype(jnp.int32),
-        tlens.astype(jnp.int32)[None, :],
-        init_win.T.astype(jnp.int32),
+        q.T.astype(pd),
+        new_codes.T.astype(pd),
+        lo.T.astype(pd),
+        tlens.astype(pd)[None, :],
+        init_win.T.astype(pd),
         band=band,
         interpret=interpret,
     )
@@ -130,9 +148,12 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
 
 
 def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows):
-    """Wrapper passing the initial window from a dedicated input ref."""
+    """Wrapper passing the initial window from a dedicated input ref.
+    DP planes run in the refs' dtype (int16 doubles VPU throughput; the
+    callers pick it via _plane_dtype); the final winner reduce is int32."""
     P = PAIR_BLOCK
-    jrow = lax.broadcasted_iota(jnp.int32, (band, P), 0)
+    pd = q_ref.dtype
+    jrow = lax.broadcasted_iota(jnp.int32, (band, P), 0).astype(pd)
     tlen = tlen_ref[0, :][None, :]
     # loop-invariant roll-validity masks for the E prefix scan
     scan_masks = {}
@@ -157,7 +178,7 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         tc = win
 
         is_match = (tc == qc) & (qc < 4) & (tc < 4)
-        s = jnp.where(is_match, MATCH, MISMATCH)
+        s = jnp.where(is_match, jnp.asarray(MATCH, pd), jnp.asarray(MISMATCH, pd))
 
         def up(a, fill):
             return jnp.where(d1, _sub_shift_up(a, fill), a)
@@ -179,7 +200,7 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         Gr = jnp.maximum(jnp.maximum(0, Hdiag + s), Fr)
         g_zero = Gr == 0
         g_f = (~g_zero) & (Gr == Fr)
-        nmg = jnp.where(g_zero, 0, jnp.where(g_f, nmf_n, nmd + (~is_match).astype(jnp.int32)))
+        nmg = jnp.where(g_zero, 0, jnp.where(g_f, nmf_n, nmd + (~is_match).astype(pd)))
 
         sv = Gr + GAP_EXT * jrow
         sm = nmg - jrow
@@ -210,12 +231,12 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         # max, which the final (max v, min row, min j) reduce needs.
         better = Hr > best_v
         best_v = jnp.where(better, Hr, best_v)
-        best_r = jnp.where(better, r, best_r)
+        best_r = jnp.where(better, lax.convert_element_type(r, pd), best_r)
         best_j = jnp.where(better, cols + 1, best_j)
         best_nm = jnp.where(better, nmh_n, best_nm)
         return Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm
 
-    zero = jnp.zeros((band, P), jnp.int32)
+    zero = jnp.zeros((band, P), pd)
     init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zero, zero, zero, zero)
     # manual multi-row step (Mosaic's fori_loop cannot partially unroll):
     # carries stay in vector registers across the UNROLL rows of one
@@ -237,13 +258,19 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
     # leftmost j within the winning row).  A value seen at row r' < r_j at
     # plane j would have made that plane's recorded row r' instead, so
     # min-row-among-max-value is the first row reaching the global max.
+    # Runs once, in int32 (the planes may be int16).
+    best_v = best_v.astype(jnp.int32)
+    best_r = best_r.astype(jnp.int32)
+    best_j = best_j.astype(jnp.int32)
+    best_nm = best_nm.astype(jnp.int32)
+    jrow32 = lax.broadcasted_iota(jnp.int32, (band, P), 0)
     glob_v = jnp.max(best_v, axis=0, keepdims=True)
     at_v = best_v == glob_v
     big = jnp.int32(1 << 30)
     glob_r = jnp.min(jnp.where(at_v, best_r, big), axis=0, keepdims=True)
     at_r = at_v & (best_r == glob_r)
-    win_j = jnp.min(jnp.where(at_r, jrow, band), axis=0, keepdims=True)
-    winner = at_r & (jrow == win_j)
+    win_j = jnp.min(jnp.where(at_r, jrow32, band), axis=0, keepdims=True)
+    winner = at_r & (jrow32 == win_j)
     out_ref[0, :] = glob_v[0, :]
     out_ref[1, :] = jnp.where(glob_v > 0, glob_r, 0)[0, :]
     out_ref[2, :] = jnp.sum(jnp.where(winner, best_j, 0), axis=0)
@@ -280,12 +307,14 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
             [new_codes, np.zeros((new_codes.shape[0], pad), new_codes.dtype)], axis=1
         )
         lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
+    pd = _plane_dtype(int(Lq), int(t.shape[1]))
+    npd = np.dtype(pd.dtype)
     out = _pallas_call(
-        jnp.asarray(q.T, jnp.int32),
-        jnp.asarray(new_codes.T, jnp.int32),
-        jnp.asarray(lo2.T, jnp.int32),
-        jnp.asarray(np.asarray(tlens, np.int32)[None, :]),
-        jnp.asarray(init_win.T, jnp.int32),
+        jnp.asarray(q.T.astype(npd)),
+        jnp.asarray(new_codes.T.astype(npd)),
+        jnp.asarray(lo2.T.astype(npd)),
+        jnp.asarray(np.asarray(tlens).astype(npd)[None, :]),
+        jnp.asarray(init_win.T.astype(npd)),
         band=band,
         interpret=interpret,
     )

@@ -91,34 +91,32 @@ def sharded_align_em_step(
     return jax.jit(sharded)
 
 
-def sharded_stage7_step(
-    mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float,
-    kernel: str = "scan",
-):
-    """Build the PRODUCTION stage-7 device step: candidate-sparse banded
-    alignment + per-read tie sets + the FULL EM fixed point, one jit, psum
-    over the mesh (alignment.rs:1779-2003 economics).
+def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
+    """Build the stage-7 ALIGN step: candidate-sparse banded alignment +
+    per-read tie sets over one row-chunk of candidate panels.  The chunked
+    form (vs one monolithic align+EM jit) lets the host PIPELINE dispatches:
+    several chunks are in flight while the host packs the next one, so
+    per-call host->device latency amortizes away (the reference's batch
+    economics, alignment.rs:1779-1919).
 
-    Shapes are (R, C, ...) — per-read candidate panels, NOT dense R×A: each
+    Shapes are (Rc, C, ...) — per-read candidate panels, NOT dense R×A: each
     read carries only its planned candidate jobs (C = max jobs/read, empty
     slots padded).  Sharding on the read axis keeps every read's slots on
-    one device, so tie-set reduction is shard-local and only the EM
-    numerator crosses the mesh (one psum of (A,) per iteration).
+    one device, so tie-set reduction is shard-local.
 
-      q        (R, C, Lq)   i32 sharded "dp"  oriented query codes (pad 5)
-      t        (R, C, Lt)   i32 sharded       target codes (pad 6)
-      lo       (R, C, Lq+1) i32 sharded       smoothed band offsets
-      tlens    (R, C)       i32 sharded
-      slot_asv (R, C)       i32 sharded       ASV id per slot, -1 = empty
+      q        (Rc, C, Lq)   i32 sharded "dp"  oriented query codes (pad 5)
+      t        (Rc, C, Lt)   i32 sharded       target codes (pad 6)
+      lo       (Rc, C, Lq+1) i32 sharded       smoothed band offsets
+      tlens    (Rc, C)       i32 sharded
+      slot_asv (Rc, C)       i32 sharded       ASV id per slot, -1 = empty
 
-    Returns (abund (A,) replicated f32, nm (R, C) i32 sharded,
-    score (R, C) i32 sharded, assigned_count () i32 replicated).
+    Returns (nm (Rc, C), score (Rc, C), in_tie (Rc, C) bool), all
+    replicated so every process can read full rows back.
 
     Winner semantics match the host path bit-for-bit: per (read, ASV) the
     strictly-highest score wins with the EARLIEST slot keeping ties
     (align_pairs_nm's `m.score > best.score`); per read the min-NM winners
-    form the tie set; EM responsibilities are proportional to abundance
-    within the tie set (ops/em.py fixed point, f32 on device)."""
+    form the tie set."""
     axis = mesh.axis_names[0]
     big = jnp.int32(1 << 20)
 
@@ -163,9 +161,42 @@ def sharded_stage7_step(
         nm_eff = jnp.where(winner, nm, big)
         best_nm = nm_eff.min(axis=1, keepdims=True)
         in_tie = winner & (nm_eff == best_nm)
+        # replicate so every PROCESS can read full rows back (under
+        # multi-controller jax a "dp"-sharded output is only partially
+        # addressable per process)
+        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
+        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
+        tie_g = lax.all_gather(in_tie, axis, axis=0, tiled=True)
+        return nm_g, score_g, tie_g
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P(), P()),
+        # the tiled all_gather makes the outputs replicated, but the static
+        # rep checker can't see through it
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_stage7_em(mesh: Mesh, n_asvs: int, em_iters: int, conv: float):
+    """Build the stage-7 EM step: the FULL EM fixed point over the tie sets
+    of every chunk, psum over the mesh (one (A,) collective per iteration;
+    alignment.rs:1920-2003 economics).
+
+      in_tie   (R, C) bool sharded "dp" — per-read min-NM tie sets
+      slot_asv (R, C) i32 sharded       — ASV id per slot, -1 = empty
+
+    Returns (abund (A,) replicated f32, assigned_count () replicated i32).
+    Responsibilities are proportional to abundance within the tie set
+    (ops/em.py fixed point, f32 on device)."""
+    axis = mesh.axis_names[0]
+
+    def per_shard(in_tie, slot_asv):
         assigned = in_tie.any(axis=1)
         count = lax.psum(assigned.sum(), axis)
-
         a_idx = jnp.clip(slot_asv, 0).reshape(-1)
         tie_f = in_tie.astype(jnp.float32)
 
@@ -185,21 +216,13 @@ def sharded_stage7_step(
 
         abund0 = jnp.full((n_asvs,), 1.0 / n_asvs, dtype=jnp.float32)
         _, abund, _ = lax.while_loop(em_cond, em_body, (jnp.int32(0), abund0, jnp.float32(jnp.inf)))
-        # replicate the panels so every PROCESS can read them back (the
-        # host winner loop needs full rows; under multi-controller jax a
-        # "dp"-sharded output is only partially addressable per process)
-        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
-        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
-        return abund, nm_g, score_g, count
+        return abund, count
 
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None)),
-        out_specs=(P(), P(), P(), P()),
-        # the tiled all_gather makes nm/score replicated, but the static
-        # rep checker can't see through it
-        check_vma=False,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
     )
     return jax.jit(sharded)
 
@@ -227,9 +250,11 @@ def mesh_stage7_tie_break(
         is unchanged.
       device_abund — (n_asvs,) f32 EM abundances computed on-device.
     """
+    import os
+
     from ..constants import EM_MAX_ITERATIONS
     from ..ops.align import resolve_band, smooth_lo
-    from ..ops.align_batch import _plan_pairs
+    from ..ops.align_batch import _plan_soa_indexed
 
     band = resolve_band(band)
     if em_iters is None:
@@ -237,20 +262,160 @@ def mesh_stage7_tie_break(
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
 
-    jobs, owner = _plan_pairs(pairs, band)
-    owner = np.asarray(owner, dtype=np.int64)
-    jr = pair_read[owner] if len(owner) else np.zeros(0, np.int64)  # job -> read
+    # flat SoA plan (bytes-identity dedup of the repeated read/ASV pool,
+    # then one vectorized seeding/chaining sweep — the per-pair AlignJob
+    # loop was the host bottleneck at device-batch scale)
+    tgt_ids: dict[bytes, int] = {}
+    qry_ids: dict[bytes, int] = {}
+    job_uq = np.empty(len(pairs), dtype=np.int64)
+    job_ti = np.empty(len(pairs), dtype=np.int64)
+    for i, (qa, ta) in enumerate(pairs):
+        job_uq[i] = qry_ids.setdefault(bytes(qa), len(qry_ids))
+        job_ti[i] = tgt_ids.setdefault(bytes(ta), len(tgt_ids))
+    plan = _plan_soa_indexed(list(qry_ids.keys()), list(tgt_ids.keys()), job_uq, job_ti, band)
+    if plan is None:
+        return _mesh_stage7_legacy(
+            pairs, pair_read, pair_asv, n_reads, n_asvs, band, mesh, em_iters
+        )
+    if plan == "empty":
+        owner_j = np.zeros(0, dtype=np.int64)
+        q_cat = t_cat = np.zeros(0, dtype=np.uint8)
+        q_off_j = q_lens_j = t_off_j = t_lens_j = lo_off_j = np.zeros(0, dtype=np.int64)
+        lo_flat = np.zeros(0, dtype=np.int64)
+    else:
+        (owner_j, _uq_j, _st_j, _tid_j, q_cat, q_off_j, q_lens_j,
+         t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
+
+    jr = pair_read[owner_j] if len(owner_j) else np.zeros(0, np.int64)  # job -> read
 
     # slot layout: jobs of one read occupy consecutive slots of its row
+    # (plan order is the legacy per-pair order, so earliest-slot tie-breaks
+    # match align_pairs_nm exactly)
     order = np.argsort(jr, kind="stable")
     jr_s = jr[order]
     slot_in_read = np.arange(len(jr_s)) - np.searchsorted(jr_s, jr_s, side="left")
     C = int(slot_in_read.max()) + 1 if len(jr_s) else 1
-    R = -(-max(n_reads, 1) // n_dev) * n_dev  # pad to mesh multiple
     if C > 32:
         import logging
 
         logging.getLogger("savont").info("stage-7 mesh: wide candidate row (C=%d)", C)
+
+    # chunked rows: several dispatches in flight amortize per-call latency;
+    # SAVONT_MESH_CHUNKS pins the count (1 = the old monolithic shape)
+    n_chunks = int(os.environ.get("SAVONT_MESH_CHUNKS", "0"))
+    R_min = -(-max(n_reads, 1) // n_dev) * n_dev  # pad to mesh multiple
+    if n_chunks <= 0:
+        # ~128 reads per chunk, up to 8 in flight: enough rows per dispatch
+        # to fill the kernel, enough chunks to hide per-call latency
+        n_chunks = max(1, min(8, R_min // max(n_dev, 128)))
+    Rc = -(-R_min // (n_chunks * n_dev)) * n_dev  # chunk rows, mesh multiple
+    R = Rc * n_chunks
+    Lq = int(q_lens_j.max()) if len(owner_j) else 8
+    Lt = int(t_lens_j.max()) if len(owner_j) else 8
+
+    # vectorized panel packing (flat scatters; no per-job Python)
+    rows_flat = jr_s * C + slot_in_read  # destination row in the (R*C) panel
+    nq = q_lens_j[order].astype(np.int64)
+    nt = t_lens_j[order].astype(np.int64)
+    q_panel = np.full((R * C, Lq), 5, dtype=np.int32)
+    t_panel = np.full((R * C, Lt), 6, dtype=np.int32)
+    lo_panel = np.zeros((R * C, Lq + 1), dtype=np.int32)
+    tlens_panel = np.full((R, C), Lt, dtype=np.int32)
+    slot_asv = np.full((R, C), -1, dtype=np.int32)
+    if len(owner_j):
+        def _scatter(dst, width, lens, src_off, src, col0):
+            total = int(lens.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            dst.reshape(-1)[
+                np.repeat(rows_flat * width, lens) + col0 + within
+            ] = src[np.repeat(src_off, lens) + within]
+
+        _scatter(q_panel, Lq, nq, q_off_j[order], q_cat.astype(np.int32), 0)
+        _scatter(t_panel, Lt, nt, t_off_j[order], t_cat.astype(np.int32), 0)
+        _scatter(lo_panel, Lq + 1, nq, lo_off_j[order], lo_flat.astype(np.int32), 1)
+        lo_panel[rows_flat, 0] = lo_panel[rows_flat, 1]
+        # pad tail: lo is non-decreasing per job (maximum.accumulate in the
+        # planner), so a row-wise running max forward-fills the last value
+        np.maximum.accumulate(lo_panel, axis=1, out=lo_panel)
+        tlens_panel.reshape(-1)[rows_flat] = nt
+        slot_asv.reshape(-1)[rows_flat] = pair_asv[owner_j[order]]
+    lo_panel = smooth_lo(lo_panel).reshape(R, C, Lq + 1)
+    q_panel = q_panel.reshape(R, C, Lq)
+    t_panel = t_panel.reshape(R, C, Lt)
+
+    kernel = os.environ.get("SAVONT_MESH_KERNEL")
+    if not kernel:
+        kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
+    align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
+    em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
+
+    # dispatch every chunk before blocking on any result: jax dispatch is
+    # async, so chunk k computes (and its transfer rides the wire) while
+    # the host slices chunk k+1
+    outs = []
+    for c in range(n_chunks):
+        s = c * Rc
+        outs.append(
+            align_step(
+                shard_reads(mesh, q_panel[s : s + Rc]),
+                shard_reads(mesh, t_panel[s : s + Rc]),
+                shard_reads(mesh, lo_panel[s : s + Rc]),
+                shard_reads(mesh, tlens_panel[s : s + Rc]),
+                shard_reads(mesh, slot_asv[s : s + Rc]),
+            )
+        )
+    in_tie_full = jnp.concatenate([o[2] for o in outs], axis=0)
+    abund, count = em_step(
+        jax.device_put(in_tie_full, NamedSharding(mesh, P(mesh.axis_names[0], None))),
+        shard_reads(mesh, slot_asv),
+    )
+    nm = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+    score = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+
+    # per-pair winner on host (same rule as the device's per-(read,ASV)
+    # reduction: strictly-greater score wins, earliest job keeps ties) —
+    # vectorized: per pair take max score, first plan position on ties
+    from types import SimpleNamespace
+
+    best: list[SimpleNamespace | None] = [None] * len(pairs)
+    if len(owner_j):
+        s_flat = score.reshape(-1)[rows_flat]
+        nm_flat = nm.reshape(-1)[rows_flat]
+        owner_s = owner_j[order]
+        ok = np.flatnonzero(s_flat > 0)
+        if len(ok):
+            sel = np.lexsort((ok, -s_flat[ok], owner_s[ok]))
+            ow = owner_s[ok][sel]
+            first = sel[np.flatnonzero(np.concatenate(([True], ow[1:] != ow[:-1])))]
+            for j in first:
+                o = int(owner_s[ok[j]])
+                best[o] = SimpleNamespace(
+                    score=int(s_flat[ok[j]]), nm=int(nm_flat[ok[j]])
+                )
+    return best, np.asarray(abund), int(count)
+
+
+def _mesh_stage7_legacy(pairs, pair_read, pair_asv, n_reads, n_asvs, band, mesh, em_iters):
+    """Per-pair AlignJob fallback for mesh_stage7_tie_break when the SoA
+    planner prerequisites are missing (no native libs): same packing and
+    winner rule, one monolithic dispatch."""
+    import os
+
+    from ..ops.align import smooth_lo
+    from ..ops.align_batch import _plan_pairs
+
+    n_dev = mesh.devices.size
+    jobs, owner = _plan_pairs(pairs, band)
+    owner = np.asarray(owner, dtype=np.int64)
+    jr = pair_read[owner] if len(owner) else np.zeros(0, np.int64)
+
+    order = np.argsort(jr, kind="stable")
+    jr_s = jr[order]
+    slot_in_read = np.arange(len(jr_s)) - np.searchsorted(jr_s, jr_s, side="left")
+    C = int(slot_in_read.max()) + 1 if len(jr_s) else 1
+    R = -(-max(n_reads, 1) // n_dev) * n_dev
 
     Lq = max((len(jobs[i].qcodes) for i in order), default=8)
     Lt = max((len(jobs[i].tcodes) for i in order), default=8)
@@ -259,7 +424,6 @@ def mesh_stage7_tie_break(
     lo = np.zeros((R, C, Lq + 1), dtype=np.int32)
     tlens = np.full((R, C), Lt, dtype=np.int32)
     slot_asv = np.full((R, C), -1, dtype=np.int32)
-    slot_job = np.full((R, C), -1, dtype=np.int64)
     for pos, ji in enumerate(order):
         j = jobs[ji]
         r, c = int(jr_s[pos]), int(slot_in_read[pos])
@@ -272,29 +436,27 @@ def mesh_stage7_tie_break(
             lo[r, c, nq + 1 :] = j.lo[-1]
         tlens[r, c] = nt
         slot_asv[r, c] = pair_asv[owner[ji]]
-        slot_job[r, c] = ji
     lo = smooth_lo(lo.reshape(R * C, Lq + 1)).reshape(R, C, Lq + 1)
-
-    import os
 
     kernel = os.environ.get("SAVONT_MESH_KERNEL")
     if not kernel:
         kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
-    step = sharded_stage7_step(
-        mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01, kernel=kernel
-    )
-    abund, nm, score, count = step(
+    align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
+    em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
+    nm_g, score_g, tie_g = align_step(
         shard_reads(mesh, q),
         shard_reads(mesh, t),
         shard_reads(mesh, lo),
         shard_reads(mesh, tlens),
         shard_reads(mesh, slot_asv),
     )
-    nm = np.asarray(nm)
-    score = np.asarray(score)
+    abund, count = em_step(
+        jax.device_put(tie_g, NamedSharding(mesh, P(mesh.axis_names[0], None))),
+        shard_reads(mesh, slot_asv),
+    )
+    nm = np.asarray(nm_g)
+    score = np.asarray(score_g)
 
-    # per-pair winner on host (same rule as the device's per-(read,ASV)
-    # reduction: strictly-greater score wins, earliest job keeps ties)
     from types import SimpleNamespace
 
     best: list[SimpleNamespace | None] = [None] * len(pairs)

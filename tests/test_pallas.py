@@ -52,3 +52,42 @@ def test_pallas_interpret_matches_host():
         want = (h[0], h[2], h[4], h[6]) if h else None  # score, q_end, t_end, nm
         got = tuple(int(x) for x in out[i])
         assert want == got
+
+
+def test_pallas_int16_matches_int32(monkeypatch):
+    """The int16 DP planes (default for amplicon lengths) must equal the
+    int32 planes value-for-value (interpret mode; no overflow by
+    _plane_dtype construction)."""
+    import jax.numpy as jnp
+
+    from savont_tpu.ops import align_pallas as ap
+
+    B, Lq, Lt, band = 8, 300, 300, 64
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 4, (1, Lt)).astype(np.int32)
+    t = np.repeat(base, B, axis=0)
+    q = t.copy()
+    for i in range(B):
+        pos = rng.choice(Lq, 12, replace=False)
+        q[i, pos] = (q[i, pos] + rng.integers(1, 4, 12)) % 4
+    lo = np.clip(np.arange(Lq + 1)[None, :] - band // 2, 0, Lt - band).astype(np.int32) * np.ones((B, 1), np.int32)
+    tl = np.full(B, Lt, np.int32)
+
+    assert ap._plane_dtype(Lq, Lt) == jnp.int16  # the default here IS int16
+    out16 = ap.sw_forward_pallas(q, t, lo, tl, band=band, interpret=True)
+    monkeypatch.setenv("SAVONT_PALLAS_I32", "1")
+    assert ap._plane_dtype(Lq, Lt) == jnp.int32
+    out32 = ap.sw_forward_pallas(q, t, lo, tl, band=band, interpret=True)
+    np.testing.assert_array_equal(out16, out32)
+    assert (out16[:, 0] > 0).all()
+
+
+def test_plane_dtype_guard():
+    """Long sequences whose scores could overflow int16 must fall back."""
+    import jax.numpy as jnp
+
+    from savont_tpu.ops.align_pallas import _plane_dtype
+
+    assert _plane_dtype(1500, 1500) == jnp.int16
+    assert _plane_dtype(16000, 16000) == jnp.int32  # 2*16000 > 30000
+    assert _plane_dtype(40000, 1500) == jnp.int32   # index width
