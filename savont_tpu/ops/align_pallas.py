@@ -25,38 +25,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
+import os as _os_env
+
 NEG = -20000
 PAIR_BLOCK = 128  # pairs per grid step (lane dimension)
-UNROLL = 8  # rows per fori_loop iteration (row count host-padded to a multiple)
+# rows per fori_loop iteration (row count host-padded to a multiple);
+# SAVONT_PALLAS_UNROLL overrides for experiments
+UNROLL = int(_os_env.environ.get("SAVONT_PALLAS_UNROLL", "8"))
 
-# DP plane dtype: int16 doubles VPU lane throughput (2 values per 32-bit
-# register slot) and halves carry traffic.  Picked per call: int16 whenever
-# every in-loop quantity fits (max score = MATCH*min(Lq,Lt), row/col
-# indices <= max(Lq,Lt), NEG = -20000 — all < 2^15 for the <= 5 kb
-# amplicons this kernel serves), int32 otherwise.  SAVONT_PALLAS_I32=1
-# pins the round-2 int32 planes for A/B.
+# DP plane dtype.  int16 would double VPU lane throughput and every in-loop
+# quantity fits for amplicon lengths, and the kernel fully supports it
+# (interpret-mode parity pinned by tests) — but the CURRENT libtpu Mosaic
+# backend cannot legalize 16-bit integer vector ops on v5e: measured on
+# chip 2026-08-19 via scripts/pallas_probe_i16ops.py — arith.maxsi/cmpi on
+# vector<...xi16> "failed to legalize", tpu.dynamic_rotate is 32-bit-only
+# (bitcast word-rolls work: scripts/pallas_probe_bitcast.py), and (1,128)
+# i1 broadcasts hit "Invalid relayout".  SAVONT_PALLAS_I16=1 re-enables the
+# int16 planes for newer stacks; default stays int32.
 import os as _os
 
 
 def _plane_dtype(Lq: int, Lt: int):
-    if _os.environ.get("SAVONT_PALLAS_I32"):
+    if not _os.environ.get("SAVONT_PALLAS_I16") or _os.environ.get("SAVONT_PALLAS_I32"):
         return jnp.int32
     fits = MATCH * min(Lq, Lt) < 30000 and max(Lq, Lt) + 2 < 32000
     return jnp.int16 if fits else jnp.int32
 
 
-def _sub_shift_down(x, fill):
+def _roll_sub(x, k: int, interpret: bool = False):
+    """Static sublane roll: out[j, :] = x[(j - k) % band, :].
+
+    pltpu.roll lowers to tpu.dynamic_rotate, which Mosaic only implements
+    for 32-bit lanes.  int16 planes roll through the packed i32 bitcast
+    view: even shifts are word rolls; odd shifts add one halfword step
+    ((w << 16) | (roll(w,1) >> 16) — pairing lo-half-of-word-m == sublane
+    2m, verified ON CHIP by scripts/pallas_probe_bitcast.py on v5e).
+    Interpret mode uses a plain concat (bitcast packing is hardware-defined)."""
+    k = k % x.shape[0]
+    if k == 0:
+        return x
+    if x.dtype == jnp.int32:
+        return pltpu.roll(x, k, axis=0)
+    if interpret:
+        return jnp.concatenate([x[-k:], x[:-k]], axis=0)
+    w = pltpu.bitcast(x, jnp.int32)
+    if k % 2 == 0:
+        return pltpu.bitcast(pltpu.roll(w, k // 2, axis=0), jnp.int16)
+    w2 = pltpu.roll(w, (k - 1) // 2, axis=0) if k > 1 else w
+    y = (w2 << 16) | lax.shift_right_logical(pltpu.roll(w2, 1, axis=0), 16)
+    return pltpu.bitcast(y, jnp.int16)
+
+
+def _sub_shift_down(x, fill, interpret: bool = False):
     """out[j, :] = x[j-1, :] (shift toward larger sublane index)."""
-    rolled = pltpu.roll(x, 1, axis=0)
-    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rolled = _roll_sub(x, 1, interpret)
+    # build the edge mask at x's bitwidth: an i1 mask produced by an i32
+    # compare carries a 32-bit tile layout, and Mosaic cannot relayout it
+    # to select between 16-bit vectors
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0).astype(x.dtype)
     return jnp.where(row >= 1, rolled, fill)
 
 
-def _sub_shift_up(x, fill):
+def _sub_shift_up(x, fill, interpret: bool = False):
     """out[j, :] = x[j+1, :]."""
     band = x.shape[0]
-    rolled = pltpu.roll(x, band - 1, axis=0)
-    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rolled = _roll_sub(x, band - 1, interpret)
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0).astype(x.dtype)
     return jnp.where(row <= band - 2, rolled, fill)
 
 
@@ -75,15 +109,19 @@ def _prepare_streams(q, t, lo, tlens, band):
     return lo, new_codes, init_win
 
 
-def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, interpret: bool):
+def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False):
     Lq = q_rows.shape[0]
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
 
-    # plane dtype is decided by the caller via the ref dtypes (q_rows et al
-    # arrive pre-cast to int16 or int32); the kernel reads it off q_ref
+    # inputs stay int32 (Mosaic requires 8-row alignment for DYNAMIC row
+    # loads on int16 refs — the per-row q/new/lo reads are dynamic); the
+    # (band, P) DP planes run in plane_i16 when the caller proves fit
     def kernel(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref):
-        _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, band=band, n_rows=Lq)
+        _sw_kernel_with_init(
+            q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref,
+            band=band, n_rows=Lq, plane_i16=plane_i16, interpret=interpret,
+        )
 
     return pl.pallas_call(
         kernel,
@@ -101,7 +139,7 @@ def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int
     )(q_rows, new_rows, lo_rows, tlen_row, init_win)
 
 
-_pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret"))
+_pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret", "plane_i16"))
 
 
 def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False):
@@ -129,15 +167,15 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
         lo = jnp.pad(lo, ((0, pad), (0, 0)))
         init_win = jnp.pad(init_win, ((0, pad), (0, 0)), constant_values=6)
         tlens = jnp.pad(tlens, (0, pad))
-    pd = _plane_dtype(int(Lq), int(Lt))
     out = _pallas_call_traced(
-        q.T.astype(pd),
-        new_codes.T.astype(pd),
-        lo.T.astype(pd),
-        tlens.astype(pd)[None, :],
-        init_win.T.astype(pd),
+        q.T.astype(jnp.int32),
+        new_codes.T.astype(jnp.int32),
+        lo.T.astype(jnp.int32),
+        tlens.astype(jnp.int32)[None, :],
+        init_win.T.astype(jnp.int32),
         band=band,
         interpret=interpret,
+        plane_i16=_plane_dtype(int(Lq), int(Lt)) == jnp.int16,
     )
     return {
         "score": out[0, :B],
@@ -147,14 +185,16 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
     }
 
 
-def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows):
+def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False):
     """Wrapper passing the initial window from a dedicated input ref.
-    DP planes run in the refs' dtype (int16 doubles VPU throughput; the
-    callers pick it via _plane_dtype); the final winner reduce is int32."""
+    Input refs are int32 (Mosaic needs 8-row-aligned dynamic loads on i16
+    refs); the (band, P) DP planes run in int16 when plane_i16 (2x VPU lane
+    width — the caller proves every quantity fits via _plane_dtype); the
+    final winner reduce is int32 either way."""
     P = PAIR_BLOCK
-    pd = q_ref.dtype
+    pd = jnp.int16 if plane_i16 else jnp.int32
     jrow = lax.broadcasted_iota(jnp.int32, (band, P), 0).astype(pd)
-    tlen = tlen_ref[0, :][None, :]
+    tlen = tlen_ref[0, :][None, :].astype(pd)
     # loop-invariant roll-validity masks for the E prefix scan
     scan_masks = {}
     shift = 1
@@ -164,16 +204,27 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
 
     def body(r, carry):
         H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = carry
-        qc = q_ref[r - 1, :][None, :]
-        l = lo_ref[r, :][None, :]
-        dl = l - lo_ref[r - 1, :][None, :]
-        d1 = dl == 1
-        cols = l + jrow
+        # broadcast VALUES to full (band, P) shape BEFORE any comparison:
+        # comparing a (1, P) row produces a (1, P) i1 whose broadcast to
+        # (band, P) is a mask relayout Mosaic lacks for 16-bit planes —
+        # broadcasting the i16 value first keeps every mask full-layout
+        qc = jnp.broadcast_to(q_ref[r - 1, :][None, :].astype(pd), (band, P))
+        l32 = lo_ref[r, :][None, :]
+        dl_full = jnp.broadcast_to(
+            (l32 - lo_ref[r - 1, :][None, :]).astype(pd), (band, P)
+        )
+        d1 = dl_full == 1
+        cols = l32.astype(pd) + jrow
         valid = cols < tlen
 
-        new_code = new_ref[r - 1, :][None, :]
-        shifted = _sub_shift_up(win, 0)
-        shifted = jnp.where(jrow == band - 1, new_code, shifted)
+        new_code = new_ref[r - 1, :][None, :].astype(pd)
+        shifted = _sub_shift_up(win, 0, interpret)
+        # broadcast the (1, P) row to full shape BEFORE the select: the
+        # lane-replicated mask (jrow == const) + sublane-replicated operand
+        # combination forces an i1 relayout Mosaic lacks for 16-bit planes
+        shifted = jnp.where(
+            jrow == band - 1, jnp.broadcast_to(new_code, (band, P)), shifted
+        )
         win = jnp.where(d1, shifted, win)
         tc = win
 
@@ -181,10 +232,10 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         s = jnp.where(is_match, jnp.asarray(MATCH, pd), jnp.asarray(MISMATCH, pd))
 
         def up(a, fill):
-            return jnp.where(d1, _sub_shift_up(a, fill), a)
+            return jnp.where(d1, _sub_shift_up(a, fill, interpret), a)
 
         def diag(a, fill):
-            return jnp.where(d1, a, _sub_shift_down(a, fill))
+            return jnp.where(d1, a, _sub_shift_down(a, fill, interpret))
 
         Hup, Fup = up(H, NEG), up(F, NEG)
         nmh_up, nmf_up = up(nmh, 0), up(nmf, 0)
@@ -206,15 +257,15 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         sm = nmg - jrow
         shift = 1
         while shift < band:
-            rv = pltpu.roll(sv, shift, axis=0)
-            rm = pltpu.roll(sm, shift, axis=0)
+            rv = _roll_sub(sv, shift, interpret)
+            rm = _roll_sub(sm, shift, interpret)
             rv = jnp.where(scan_masks[shift], rv, NEG)
             take_cur = sv >= rv
             sv = jnp.where(take_cur, sv, rv)
             sm = jnp.where(take_cur, sm, rm)
             shift *= 2
-        run_v = _sub_shift_down(sv, NEG)
-        run_m = _sub_shift_down(sm, 0)
+        run_v = _sub_shift_down(sv, NEG, interpret)
+        run_m = _sub_shift_down(sm, 0, interpret)
         Er = jnp.maximum(run_v - GAP_OPEN - GAP_EXT * jrow, NEG)
         Er = jnp.where(jrow == 0, NEG, Er)
         nme = run_m + jrow
@@ -237,7 +288,7 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         return Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm
 
     zero = jnp.zeros((band, P), pd)
-    init = (zero, zero + NEG, zero, zero, iw_ref[:, :], zero, zero, zero, zero)
+    init = (zero, zero + NEG, zero, zero, iw_ref[:, :].astype(pd), zero, zero, zero, zero)
     # manual multi-row step (Mosaic's fori_loop cannot partially unroll):
     # carries stay in vector registers across the UNROLL rows of one
     # iteration instead of round-tripping through VMEM per row.  n_rows is
@@ -258,23 +309,27 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
     # leftmost j within the winning row).  A value seen at row r' < r_j at
     # plane j would have made that plane's recorded row r' instead, so
     # min-row-among-max-value is the first row reaching the global max.
-    # Runs once, in int32 (the planes may be int16).
-    best_v = best_v.astype(jnp.int32)
-    best_r = best_r.astype(jnp.int32)
-    best_j = best_j.astype(jnp.int32)
-    best_nm = best_nm.astype(jnp.int32)
-    jrow32 = lax.broadcasted_iota(jnp.int32, (band, P), 0)
-    glob_v = jnp.max(best_v, axis=0, keepdims=True)
-    at_v = best_v == glob_v
-    big = jnp.int32(1 << 30)
-    glob_r = jnp.min(jnp.where(at_v, best_r, big), axis=0, keepdims=True)
-    at_r = at_v & (best_r == glob_r)
-    win_j = jnp.min(jnp.where(at_r, jrow32, band), axis=0, keepdims=True)
-    winner = at_r & (jrow32 == win_j)
+    # Stays in the plane dtype end-to-end (i32 only at the out_ref writes):
+    # mixing 16- and 32-bit-born i1 masks forces relayouts Mosaic lacks.
+    # masks stay at the plane bitwidth (mixing 16- and 32-bit-born i1s
+    # forces relayouts Mosaic lacks); cross-sublane REDUCTIONS run on i32
+    # copies (Pallas has no i16 reductions), results cast back for compares.
+    big = jnp.asarray(30000, pd)  # > any row index (n_rows < 2^15 - pad)
+    zero_pd = jnp.asarray(0, pd)
+    glob_v = jnp.max(best_v.astype(jnp.int32), axis=0, keepdims=True)
+    at_v = best_v == glob_v.astype(pd)
+    glob_r = jnp.min(
+        jnp.where(at_v, best_r, big).astype(jnp.int32), axis=0, keepdims=True
+    )
+    at_r = at_v & (best_r == glob_r.astype(pd))
+    win_j = jnp.min(
+        jnp.where(at_r, jrow, big).astype(jnp.int32), axis=0, keepdims=True
+    )
+    winner = at_r & (jrow == win_j.astype(pd))
     out_ref[0, :] = glob_v[0, :]
     out_ref[1, :] = jnp.where(glob_v > 0, glob_r, 0)[0, :]
-    out_ref[2, :] = jnp.sum(jnp.where(winner, best_j, 0), axis=0)
-    out_ref[3, :] = jnp.sum(jnp.where(winner, best_nm, 0), axis=0)
+    out_ref[2, :] = jnp.sum(jnp.where(winner, best_j, zero_pd).astype(jnp.int32), axis=0)
+    out_ref[3, :] = jnp.sum(jnp.where(winner, best_nm, zero_pd).astype(jnp.int32), axis=0)
 
 
 def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False):
@@ -307,15 +362,14 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
             [new_codes, np.zeros((new_codes.shape[0], pad), new_codes.dtype)], axis=1
         )
         lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
-    pd = _plane_dtype(int(Lq), int(t.shape[1]))
-    npd = np.dtype(pd.dtype)
     out = _pallas_call(
-        jnp.asarray(q.T.astype(npd)),
-        jnp.asarray(new_codes.T.astype(npd)),
-        jnp.asarray(lo2.T.astype(npd)),
-        jnp.asarray(np.asarray(tlens).astype(npd)[None, :]),
-        jnp.asarray(init_win.T.astype(npd)),
+        jnp.asarray(q.T, jnp.int32),
+        jnp.asarray(new_codes.T, jnp.int32),
+        jnp.asarray(lo2.T, jnp.int32),
+        jnp.asarray(np.asarray(tlens, np.int32)[None, :]),
+        jnp.asarray(init_win.T, jnp.int32),
         band=band,
         interpret=interpret,
+        plane_i16=_plane_dtype(int(Lq), int(t.shape[1])) == jnp.int16,
     )
     return np.asarray(out).T[:B]

@@ -100,11 +100,55 @@ def main() -> int:
         assert count2 == B2
         print(f"kernel B={B2}: steady {steady2:.2f}s = {B2 / steady2:.0f} pairs/s", flush=True)
 
+        # device k-mer extraction at scale (SURVEY §2.3 "device
+        # sort/segment-reduce wins at large N" claim): stage-1 split-kmer
+        # scan on-chip vs the host native scan, same 20k synthetic reads
+        import gzip as _gzip
+
+        from savont_tpu.ops.encode import encode_seq
+        from savont_tpu.ops.kmers_jax import device_split_kmers
+        from savont_tpu.ops.kmers_native import get_scan_lib, split_kmers_flat_native
+
+        n_dk = 20000
+        reads = []
+        for r in range(n_dk):
+            b = bytearray(asvs[r % A])
+            for p in rng.choice(L, 20, replace=False):
+                b[p] = b"ACGT"[rng.integers(4)]
+            reads.append(bytes(b))
+        codes_dk = [encode_seq(s) for s in reads]
+        phred_dk = [None] * n_dk
+        bytes_in = sum(len(c) for c in codes_dk)
+        device_split_kmers(codes_dk[:256], phred_dk[:256], 17, 5)  # compile
+        t0 = time.time()
+        dev_kmers = device_split_kmers(codes_dk, phred_dk, 17, 5)
+        dk_wall = time.time() - t0
+        hk_wall = None
+        if get_scan_lib() is not None:
+            t0 = time.time()
+            host_flat = split_kmers_flat_native(codes_dk, None, 17, 5, 4)
+            hk_wall = time.time() - t0
+            import numpy as _np
+
+            dev_flat = _np.concatenate(dev_kmers) if dev_kmers else _np.zeros(0, "u8")
+            assert len(dev_flat) == len(host_flat)
+            if len(dev_flat):  # device path is bit-exact vs the host scan
+                assert (_np.sort(dev_flat) == _np.sort(host_flat)).all()
+        msg = (f"device kmers: {n_dk} reads ({bytes_in / 1e6:.0f} MB codes) in "
+               f"{dk_wall:.2f}s = {n_dk / dk_wall:.0f} reads/s")
+        if hk_wall:
+            msg += f"; host native scan {hk_wall:.2f}s = {n_dk / hk_wall:.0f} reads/s"
+        print(msg, flush=True)
+
         record = {
             "backend": jax.default_backend(),
             "devices": devices,
             "stage7_backend": "mesh",
             "pipeline_wall_s": round(wall, 2),
+            "device_kmers_reads_per_s": round(n_dk / dk_wall, 1),
+            "device_kmers_wall_s": round(dk_wall, 2),
+            "device_kmers_bytes_in": bytes_in,
+            "host_kmers_reads_per_s": round(n_dk / hk_wall, 1) if hk_wall else None,
             "n_asvs": len(results),
             "all_nm0": ok,
             "kernel_pairs_per_s_steady": round(B / steady, 1),

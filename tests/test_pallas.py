@@ -73,21 +73,26 @@ def test_pallas_int16_matches_int32(monkeypatch):
     lo = np.clip(np.arange(Lq + 1)[None, :] - band // 2, 0, Lt - band).astype(np.int32) * np.ones((B, 1), np.int32)
     tl = np.full(B, Lt, np.int32)
 
-    assert ap._plane_dtype(Lq, Lt) == jnp.int16  # the default here IS int16
+    monkeypatch.setenv("SAVONT_PALLAS_I16", "1")
+    assert ap._plane_dtype(Lq, Lt) == jnp.int16
     out16 = ap.sw_forward_pallas(q, t, lo, tl, band=band, interpret=True)
-    monkeypatch.setenv("SAVONT_PALLAS_I32", "1")
-    assert ap._plane_dtype(Lq, Lt) == jnp.int32
+    monkeypatch.delenv("SAVONT_PALLAS_I16")
+    assert ap._plane_dtype(Lq, Lt) == jnp.int32  # i32 default: current
+    # libtpu Mosaic cannot legalize i16 vector ops (see align_pallas.py)
     out32 = ap.sw_forward_pallas(q, t, lo, tl, band=band, interpret=True)
     np.testing.assert_array_equal(out16, out32)
     assert (out16[:, 0] > 0).all()
 
 
-def test_plane_dtype_guard():
-    """Long sequences whose scores could overflow int16 must fall back."""
+def test_plane_dtype_guard(monkeypatch):
+    """int16 is opt-in (Mosaic can't legalize it on current libtpu); long
+    sequences whose scores could overflow int16 must fall back even then."""
     import jax.numpy as jnp
 
     from savont_tpu.ops.align_pallas import _plane_dtype
 
+    assert _plane_dtype(1500, 1500) == jnp.int32  # default: i32
+    monkeypatch.setenv("SAVONT_PALLAS_I16", "1")
     assert _plane_dtype(1500, 1500) == jnp.int16
     assert _plane_dtype(16000, 16000) == jnp.int32  # 2*16000 > 30000
     assert _plane_dtype(40000, 1500) == jnp.int32   # index width
