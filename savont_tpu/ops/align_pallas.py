@@ -109,17 +109,19 @@ def _prepare_streams(q, t, lo, tlens, band):
     return lo, new_codes, init_win
 
 
-def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False):
+def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False):
     Lq = q_rows.shape[0]
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
 
-    # inputs stay int32 (Mosaic requires 8-row alignment for DYNAMIC row
-    # loads on int16 refs — the per-row q/new/lo reads are dynamic); the
-    # (band, P) DP planes run in plane_i16 when the caller proves fit
-    def kernel(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref):
+    # row streams are int32 and consumed as (UNROLL, P) chunk loads at
+    # provably-UNROLL-aligned offsets: per-row DYNAMIC single-row loads
+    # dominated the kernel (band 64 -> 32 only changed time ~10%, measured
+    # on v5e), and Mosaic requires 8-row alignment for sub-32-bit refs.
+    # dl/locur replace the lo ref so no row needs two adjacent lo reads.
+    def kernel(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref):
         _sw_kernel_with_init(
-            q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref,
+            q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref,
             band=band, n_rows=Lq, plane_i16=plane_i16, interpret=interpret,
         )
 
@@ -129,14 +131,15 @@ def _pallas_call_traced(q_rows, new_rows, lo_rows, tlen_row, init_win, band: int
         in_specs=[
             pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq + 1, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((band, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, P_total), jnp.int32),
         interpret=interpret,
-    )(q_rows, new_rows, lo_rows, tlen_row, init_win)
+    )(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win)
 
 
 _pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret", "plane_i16"))
@@ -167,10 +170,13 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
         lo = jnp.pad(lo, ((0, pad), (0, 0)))
         init_win = jnp.pad(init_win, ((0, pad), (0, 0)), constant_values=6)
         tlens = jnp.pad(tlens, (0, pad))
+    dl = lo[:, 1:] - lo[:, :-1]  # (B, Lq) row-advance stream
+    locur = lo[:, 1:]            # (B, Lq): lo[r] for row r = 1..Lq
     out = _pallas_call_traced(
         q.T.astype(jnp.int32),
         new_codes.T.astype(jnp.int32),
-        lo.T.astype(jnp.int32),
+        dl.T.astype(jnp.int32),
+        locur.T.astype(jnp.int32),
         tlens.astype(jnp.int32)[None, :],
         init_win.T.astype(jnp.int32),
         band=band,
@@ -185,12 +191,14 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
     }
 
 
-def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False):
+def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False):
     """Wrapper passing the initial window from a dedicated input ref.
-    Input refs are int32 (Mosaic needs 8-row-aligned dynamic loads on i16
-    refs); the (band, P) DP planes run in int16 when plane_i16 (2x VPU lane
-    width — the caller proves every quantity fits via _plane_dtype); the
-    final winner reduce is int32 either way."""
+    Row streams (q / new-code / dl / lo-cur) are int32, loaded as one
+    (UNROLL, P) chunk per outer iteration at a provably-aligned offset —
+    per-row dynamic single-row loads dominated the kernel (band 64 -> 32
+    moved time ~10% on v5e).  The (band, P) DP planes run in int16 when
+    plane_i16 (2x VPU lane width; blocked on current libtpu, see
+    _plane_dtype); the final winner reduce is int32 either way."""
     P = PAIR_BLOCK
     pd = jnp.int16 if plane_i16 else jnp.int32
     jrow = lax.broadcasted_iota(jnp.int32, (band, P), 0).astype(pd)
@@ -202,29 +210,24 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
         scan_masks[shift] = jrow >= shift
         shift *= 2
 
-    def body(r, carry):
+    def body(r, rows, carry):
+        """One DP row.  r: traced row number (for best_r); rows: the
+        statically-sliced (1, P) int32 q/new/dl/locur rows of this step."""
+        q_row, new_row, dl_row, lo_row = rows
         H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = carry
         # broadcast VALUES to full (band, P) shape BEFORE any comparison:
         # comparing a (1, P) row produces a (1, P) i1 whose broadcast to
         # (band, P) is a mask relayout Mosaic lacks for 16-bit planes —
-        # broadcasting the i16 value first keeps every mask full-layout
-        qc = jnp.broadcast_to(q_ref[r - 1, :][None, :].astype(pd), (band, P))
-        l32 = lo_ref[r, :][None, :]
-        dl_full = jnp.broadcast_to(
-            (l32 - lo_ref[r - 1, :][None, :]).astype(pd), (band, P)
-        )
+        # broadcasting the value first keeps every mask full-layout
+        qc = jnp.broadcast_to(q_row, (band, P)).astype(pd)
+        dl_full = jnp.broadcast_to(dl_row, (band, P)).astype(pd)
         d1 = dl_full == 1
-        cols = l32.astype(pd) + jrow
+        cols = jnp.broadcast_to(lo_row, (band, P)).astype(pd) + jrow
         valid = cols < tlen
 
-        new_code = new_ref[r - 1, :][None, :].astype(pd)
+        new_code = jnp.broadcast_to(new_row, (band, P)).astype(pd)
         shifted = _sub_shift_up(win, 0, interpret)
-        # broadcast the (1, P) row to full shape BEFORE the select: the
-        # lane-replicated mask (jrow == const) + sublane-replicated operand
-        # combination forces an i1 relayout Mosaic lacks for 16-bit planes
-        shifted = jnp.where(
-            jrow == band - 1, jnp.broadcast_to(new_code, (band, P)), shifted
-        )
+        shifted = jnp.where(jrow == band - 1, new_code, shifted)
         win = jnp.where(d1, shifted, win)
         tc = win
 
@@ -291,13 +294,21 @@ def _sw_kernel_with_init(q_ref, new_ref, lo_ref, tlen_ref, iw_ref, out_ref, *, b
     init = (zero, zero + NEG, zero, zero, iw_ref[:, :].astype(pd), zero, zero, zero, zero)
     # manual multi-row step (Mosaic's fori_loop cannot partially unroll):
     # carries stay in vector registers across the UNROLL rows of one
-    # iteration instead of round-tripping through VMEM per row.  n_rows is
-    # host-padded to a multiple of UNROLL with dl=0 / qc=5 rows, which can
-    # never update the running best (strict-> update; see sw_forward_pallas).
+    # iteration, and the four row streams are loaded as ONE (UNROLL, P)
+    # chunk each at base = (i-1)*UNROLL — provably UNROLL-aligned, so the
+    # loads are plain vector loads; rows come off the chunks as STATIC
+    # slices.  n_rows is host-padded to a multiple of UNROLL with dl=0 /
+    # qc=5 rows, which can never update the running best (strict-> update;
+    # see sw_forward_pallas).
     def outer(i, carry):
-        base = (i - 1) * UNROLL + 1
+        base = (i - 1) * UNROLL
+        qch = q_ref[pl.ds(base, UNROLL), :]
+        nch = new_ref[pl.ds(base, UNROLL), :]
+        dch = dl_ref[pl.ds(base, UNROLL), :]
+        lch = locur_ref[pl.ds(base, UNROLL), :]
         for u in range(UNROLL):
-            carry = body(base + u, carry)
+            rows = (qch[u][None, :], nch[u][None, :], dch[u][None, :], lch[u][None, :])
+            carry = body(base + u + 1, rows, carry)
         return carry
 
     H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = lax.fori_loop(
@@ -362,10 +373,13 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
             [new_codes, np.zeros((new_codes.shape[0], pad), new_codes.dtype)], axis=1
         )
         lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
+    dl = lo2[:, 1:] - lo2[:, :-1]
+    locur = lo2[:, 1:]
     out = _pallas_call(
         jnp.asarray(q.T, jnp.int32),
         jnp.asarray(new_codes.T, jnp.int32),
-        jnp.asarray(lo2.T, jnp.int32),
+        jnp.asarray(dl.T, np.int32),
+        jnp.asarray(locur.T, np.int32),
         jnp.asarray(np.asarray(tlens, np.int32)[None, :]),
         jnp.asarray(init_win.T, jnp.int32),
         band=band,

@@ -30,6 +30,33 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+_ROUNDTRIP_MS: float | None = None
+
+
+def device_roundtrip_ms() -> float:
+    """Measured host->device->host latency for a tiny fetch (memoized).
+
+    Drives the dispatch-granularity decision: on a directly-attached chip
+    this is ~0.1 ms and many small pipelined dispatches win; through a
+    tunneled/remote device (e.g. the axon dev rig: ~36 ms, executes do NOT
+    overlap) fewer, larger dispatches win.  NOTE (measured 2026-08-19):
+    on the axon platform block_until_ready() returns without waiting —
+    only a value FETCH forces completion — so this times int(fetch)."""
+    global _ROUNDTRIP_MS
+    if _ROUNDTRIP_MS is None:
+        import time
+
+        x = jnp.zeros((), jnp.int32)
+        int(x + 1)  # warm the dispatch path
+        best = 1e9
+        for i in range(2, 5):
+            t0 = time.perf_counter()
+            int(x + i)  # unique per call: remote backends memoize results
+            best = min(best, time.perf_counter() - t0)
+        _ROUNDTRIP_MS = best * 1e3
+    return _ROUNDTRIP_MS
+
+
 def sharded_align_em_step(
     mesh: Mesh,
     band: int = 128,
@@ -305,9 +332,15 @@ def mesh_stage7_tie_break(
     n_chunks = int(os.environ.get("SAVONT_MESH_CHUNKS", "0"))
     R_min = -(-max(n_reads, 1) // n_dev) * n_dev  # pad to mesh multiple
     if n_chunks <= 0:
-        # ~128 reads per chunk, up to 8 in flight: enough rows per dispatch
-        # to fill the kernel, enough chunks to hide per-call latency
-        n_chunks = max(1, min(8, R_min // max(n_dev, 128)))
+        if device_roundtrip_ms() > 5.0:
+            # high-latency link (tunneled dev rig): executes don't overlap,
+            # so every extra dispatch costs a full roundtrip — go monolithic
+            n_chunks = 1
+        else:
+            # ~128 reads per chunk, up to 8 in flight: enough rows per
+            # dispatch to fill the kernel, enough chunks to overlap host
+            # packing with device compute
+            n_chunks = max(1, min(8, R_min // max(n_dev, 128)))
     Rc = -(-R_min // (n_chunks * n_dev)) * n_dev  # chunk rows, mesh multiple
     R = Rc * n_chunks
     Lq = int(q_lens_j.max()) if len(owner_j) else 8
