@@ -57,6 +57,15 @@ def device_roundtrip_ms() -> float:
     return _ROUNDTRIP_MS
 
 
+def replicate_to_mesh(mesh: Mesh, arr: np.ndarray):
+    """Place a host array fully replicated over the mesh (multi-controller
+    safe, like shard_reads but with an all-None spec)."""
+    sharding = NamedSharding(mesh, P(*([None] * arr.ndim)))
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(arr, sharding)
+
+
 def sharded_align_em_step(
     mesh: Mesh,
     band: int = 128,
@@ -118,6 +127,140 @@ def sharded_align_em_step(
     return jax.jit(sharded)
 
 
+import functools as _functools
+
+
+def _stage7_align_local(band: int, kernel: str):
+    """LOCAL (per-shard) stage-7 align + tie-set closure: returns
+    (nm, score, in_tie) for this shard's rows.  Shared by the chunked
+    align step and the one-dispatch combined step.
+
+    Targets arrive as the REPLICATED unique pool (t_pool (T, Lt) i32 pad 6,
+    tlens_pool (T,)) plus a per-slot pool id (slot_tid, -1 = empty): the
+    (Rl, C, Lt) panel is gathered ON DEVICE.  Expanding on the host tripled
+    the upload (every slot shipped its own copy of an ASV)."""
+
+    big = jnp.int32(1 << 20)
+
+    def f(q, lo, slot_tid, slot_asv, t_pool, tlens_pool):
+        # panels arrive in narrow dtypes to cut host->device bytes (codes
+        # int8, lo int16, slot ids int16/int32); widen on device
+        q = q.astype(jnp.int32)
+        lo = lo.astype(jnp.int32)
+        slot_tid = slot_tid.astype(jnp.int32)
+        slot_asv = slot_asv.astype(jnp.int32)
+        t_pool = t_pool.astype(jnp.int32)
+        tlens_pool = tlens_pool.astype(jnp.int32)
+        Rl, C, Lq = q.shape
+        tid = jnp.clip(slot_tid, 0)
+        t = t_pool[tid]        # (Rl, C, Lt) — empty slots get pool[0]; their
+        tlens = tlens_pool[tid]  # q rows are all-pad(5) so score stays 0
+        if kernel in ("pallas", "pallas-interpret"):
+            # hand-written Mosaic kernel (PALLAS_BENCH.json: 0.002 ms/pair
+            # on v5e); identical outputs on the smooth bands this step uses
+            from ..ops.align_pallas import sw_forward_pallas_traced
+
+            out = sw_forward_pallas_traced(
+                q.reshape(Rl * C, Lq),
+                t.reshape(Rl * C, -1),
+                lo.reshape(Rl * C, Lq + 1),
+                tlens.reshape(-1),
+                band=band,
+                interpret=kernel == "pallas-interpret",
+            )
+        else:
+            out = sw_forward_meta(
+                q.reshape(Rl * C, Lq),
+                t.reshape(Rl * C, -1),
+                lo.reshape(Rl * C, Lq + 1),
+                tlens.reshape(-1),
+                band=band,
+            )
+        nm = out["nm"].reshape(Rl, C).astype(jnp.int32)
+        score = out["score"].reshape(Rl, C).astype(jnp.int32)
+        valid = (slot_asv >= 0) & (score > 0)
+
+        # per-(read, ASV) winner: highest score, earliest slot on ties.
+        # C is small (candidate sets are ~1-4 jobs), so the O(C^2) mask is
+        # cheaper than a sort and keeps everything static-shaped.
+        key = score * C - jnp.arange(C, dtype=jnp.int32)[None, :]
+        same_asv = (slot_asv[:, :, None] == slot_asv[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+        beaten = (same_asv & (key[:, None, :] > key[:, :, None])).any(axis=2)
+        winner = valid & ~beaten
+
+        nm_eff = jnp.where(winner, nm, big)
+        best_nm = nm_eff.min(axis=1, keepdims=True)
+        in_tie = winner & (nm_eff == best_nm)
+        return nm, score, in_tie
+
+    return f
+
+
+def _stage7_em_local(n_asvs: int, em_iters: int, conv: float, axis: str):
+    """LOCAL (per-shard) EM fixed-point closure over this shard's tie sets
+    (psum over the mesh per iteration).  Shared by the standalone EM step
+    and the one-dispatch combined step."""
+
+    def f(in_tie, slot_asv):
+        slot_asv = slot_asv.astype(jnp.int32)
+        assigned = in_tie.any(axis=1)
+        count = lax.psum(assigned.sum(), axis)
+        a_idx = jnp.clip(slot_asv, 0).reshape(-1)
+        tie_f = in_tie.astype(jnp.float32)
+
+        def em_cond(state):
+            it, _, delta = state
+            return (it < em_iters) & (delta >= conv / jnp.maximum(count, 1).astype(jnp.float32))
+
+        def em_body(state):
+            it, abund, _ = state
+            w = tie_f * abund[jnp.clip(slot_asv, 0)]
+            denom = w.sum(axis=1, keepdims=True)
+            resp = jnp.where(denom > 0, w / jnp.maximum(denom, 1e-30), 0.0)
+            local = jax.ops.segment_sum(resp.reshape(-1), a_idx, num_segments=n_asvs)
+            num = lax.psum(local, axis)
+            new = jnp.where(count > 0, num / jnp.maximum(count, 1).astype(jnp.float32), abund)
+            return it + 1, new, jnp.abs(new - abund).max()
+
+        abund0 = jnp.full((n_asvs,), 1.0 / n_asvs, dtype=jnp.float32)
+        _, abund, _ = lax.while_loop(em_cond, em_body, (jnp.int32(0), abund0, jnp.float32(jnp.inf)))
+        return abund, count
+
+    return f
+
+
+@_functools.lru_cache(maxsize=32)
+def sharded_stage7_step(
+    mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float,
+    kernel: str = "scan",
+):
+    """ONE-dispatch stage-7 device step: align + tie sets + the full EM
+    fixed point in a single jit.  Used when the host<->device link is
+    high-latency (device_roundtrip_ms > 5 — every dispatch costs a full
+    roundtrip and executes do not overlap there), so the whole step pays
+    ONE execute instead of align + reshard + EM."""
+    axis = mesh.axis_names[0]
+    align_local = _stage7_align_local(band, kernel)
+    em_local = _stage7_em_local(n_asvs, em_iters, conv, axis)
+
+    def per_shard(q, lo, slot_tid, slot_asv, t_pool, tlens_pool):
+        nm, score, in_tie = align_local(q, lo, slot_tid, slot_asv, t_pool, tlens_pool)
+        abund, count = em_local(in_tie, slot_asv)
+        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
+        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
+        return abund, nm_g, score_g, count
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None), P(None, None), P(None)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@_functools.lru_cache(maxsize=32)
 def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
     """Build the stage-7 ALIGN step: candidate-sparse banded alignment +
     per-read tie sets over one row-chunk of candidate panels.  The chunked
@@ -145,49 +288,10 @@ def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
     (align_pairs_nm's `m.score > best.score`); per read the min-NM winners
     form the tie set."""
     axis = mesh.axis_names[0]
-    big = jnp.int32(1 << 20)
+    align_local = _stage7_align_local(band, kernel)
 
-    def per_shard(q, t, lo, tlens, slot_asv):
-        Rl, C, Lq = q.shape
-        if kernel in ("pallas", "pallas-interpret"):
-            # hand-written Mosaic kernel: ~7x the XLA scan on v5e at these
-            # shapes (PALLAS_BENCH.json); identical outputs on the smooth
-            # bands this step always uses
-            from ..ops.align_pallas import sw_forward_pallas_traced
-
-            out = sw_forward_pallas_traced(
-                q.reshape(Rl * C, Lq),
-                t.reshape(Rl * C, -1),
-                lo.reshape(Rl * C, Lq + 1),
-                tlens.reshape(-1),
-                band=band,
-                interpret=kernel == "pallas-interpret",
-            )
-        else:
-            out = sw_forward_meta(
-                q.reshape(Rl * C, Lq),
-                t.reshape(Rl * C, -1),
-                lo.reshape(Rl * C, Lq + 1),
-                tlens.reshape(-1),
-                band=band,
-            )
-        nm = out["nm"].reshape(Rl, C).astype(jnp.int32)
-        score = out["score"].reshape(Rl, C).astype(jnp.int32)
-        valid = (slot_asv >= 0) & (score > 0)
-
-        # per-(read, ASV) winner: highest score, earliest slot on ties.
-        # C is small (candidate sets are ~1-4 jobs), so the O(C^2) mask is
-        # cheaper than a sort and keeps everything static-shaped.
-        # int32 key is safe: score <= 2 * 32000 (int16 DP planes) and
-        # C * score stays far below 2^31
-        key = score * C - jnp.arange(C, dtype=jnp.int32)[None, :]
-        same_asv = (slot_asv[:, :, None] == slot_asv[:, None, :]) & valid[:, :, None] & valid[:, None, :]
-        beaten = (same_asv & (key[:, None, :] > key[:, :, None])).any(axis=2)
-        winner = valid & ~beaten
-
-        nm_eff = jnp.where(winner, nm, big)
-        best_nm = nm_eff.min(axis=1, keepdims=True)
-        in_tie = winner & (nm_eff == best_nm)
+    def per_shard(q, lo, slot_tid, slot_asv, t_pool, tlens_pool):
+        nm, score, in_tie = align_local(q, lo, slot_tid, slot_asv, t_pool, tlens_pool)
         # replicate so every PROCESS can read full rows back (under
         # multi-controller jax a "dp"-sharded output is only partially
         # addressable per process)
@@ -199,7 +303,7 @@ def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None)),
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None), P(axis, None), P(None, None), P(None)),
         out_specs=(P(), P(), P()),
         # the tiled all_gather makes the outputs replicated, but the static
         # rep checker can't see through it
@@ -208,6 +312,7 @@ def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
     return jax.jit(sharded)
 
 
+@_functools.lru_cache(maxsize=32)
 def sharded_stage7_em(mesh: Mesh, n_asvs: int, em_iters: int, conv: float):
     """Build the stage-7 EM step: the FULL EM fixed point over the tie sets
     of every chunk, psum over the mesh (one (A,) collective per iteration;
@@ -221,32 +326,8 @@ def sharded_stage7_em(mesh: Mesh, n_asvs: int, em_iters: int, conv: float):
     (ops/em.py fixed point, f32 on device)."""
     axis = mesh.axis_names[0]
 
-    def per_shard(in_tie, slot_asv):
-        assigned = in_tie.any(axis=1)
-        count = lax.psum(assigned.sum(), axis)
-        a_idx = jnp.clip(slot_asv, 0).reshape(-1)
-        tie_f = in_tie.astype(jnp.float32)
-
-        def em_cond(state):
-            it, _, delta = state
-            return (it < em_iters) & (delta >= conv / jnp.maximum(count, 1).astype(jnp.float32))
-
-        def em_body(state):
-            it, abund, _ = state
-            w = tie_f * abund[jnp.clip(slot_asv, 0)]
-            denom = w.sum(axis=1, keepdims=True)
-            resp = jnp.where(denom > 0, w / jnp.maximum(denom, 1e-30), 0.0)
-            local = jax.ops.segment_sum(resp.reshape(-1), a_idx, num_segments=n_asvs)
-            num = lax.psum(local, axis)
-            new = jnp.where(count > 0, num / jnp.maximum(count, 1).astype(jnp.float32), abund)
-            return it + 1, new, jnp.abs(new - abund).max()
-
-        abund0 = jnp.full((n_asvs,), 1.0 / n_asvs, dtype=jnp.float32)
-        _, abund, _ = lax.while_loop(em_cond, em_body, (jnp.int32(0), abund0, jnp.float32(jnp.inf)))
-        return abund, count
-
     sharded = shard_map(
-        per_shard,
+        _stage7_em_local(n_asvs, em_iters, conv, axis),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
@@ -306,12 +387,23 @@ def mesh_stage7_tie_break(
         )
     if plan == "empty":
         owner_j = np.zeros(0, dtype=np.int64)
-        q_cat = t_cat = np.zeros(0, dtype=np.uint8)
-        q_off_j = q_lens_j = t_off_j = t_lens_j = lo_off_j = np.zeros(0, dtype=np.int64)
+        q_cat = np.zeros(0, dtype=np.uint8)
+        q_off_j = q_lens_j = tid_j = lo_off_j = np.zeros(0, dtype=np.int64)
         lo_flat = np.zeros(0, dtype=np.int64)
     else:
-        (owner_j, _uq_j, _st_j, _tid_j, q_cat, q_off_j, q_lens_j,
-         t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
+        (owner_j, _uq_j, _st_j, tid_j, q_cat, q_off_j, q_lens_j,
+         _t_cat, _t_off_j, _t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
+
+    # replicated unique-target pool: per-slot target panels are gathered ON
+    # DEVICE from slot_tid (host-side expansion tripled the upload)
+    from ..ops.align import ascii_to_align_codes
+
+    t_list = list(tgt_ids.keys()) or [b"A"]
+    Lt = max(len(tb) for tb in t_list)
+    t_pool = np.full((len(t_list), Lt), 6, dtype=np.int32)
+    for i, tb in enumerate(t_list):
+        t_pool[i, : len(tb)] = ascii_to_align_codes(tb)
+    tlens_pool = np.fromiter((len(tb) for tb in t_list), np.int32, len(t_list))
 
     jr = pair_read[owner_j] if len(owner_j) else np.zeros(0, np.int64)  # job -> read
 
@@ -344,17 +436,17 @@ def mesh_stage7_tie_break(
     Rc = -(-R_min // (n_chunks * n_dev)) * n_dev  # chunk rows, mesh multiple
     R = Rc * n_chunks
     Lq = int(q_lens_j.max()) if len(owner_j) else 8
-    Lt = int(t_lens_j.max()) if len(owner_j) else 8
 
     # vectorized panel packing (flat scatters; no per-job Python)
     rows_flat = jr_s * C + slot_in_read  # destination row in the (R*C) panel
     nq = q_lens_j[order].astype(np.int64)
-    nt = t_lens_j[order].astype(np.int64)
-    q_panel = np.full((R * C, Lq), 5, dtype=np.int32)
-    t_panel = np.full((R * C, Lt), 6, dtype=np.int32)
-    lo_panel = np.zeros((R * C, Lq + 1), dtype=np.int32)
-    tlens_panel = np.full((R, C), Lt, dtype=np.int32)
-    slot_asv = np.full((R, C), -1, dtype=np.int32)
+    # narrow upload dtypes (widened on device): codes are 0..6, lo < 2^14
+    # (planner guard), slot ids fit int16 up to 32k targets/ASVs
+    sid_dt = np.int16 if max(n_asvs, len(t_list)) < 32000 else np.int32
+    q_panel = np.full((R * C, Lq), 5, dtype=np.int8)
+    lo_panel = np.zeros((R * C, Lq + 1), dtype=np.int16)
+    slot_tid = np.full((R, C), -1, dtype=sid_dt)
+    slot_asv = np.full((R, C), -1, dtype=sid_dt)
     if len(owner_j):
         def _scatter(dst, width, lens, src_off, src, col0):
             total = int(lens.sum())
@@ -365,47 +457,68 @@ def mesh_stage7_tie_break(
                 np.repeat(rows_flat * width, lens) + col0 + within
             ] = src[np.repeat(src_off, lens) + within]
 
-        _scatter(q_panel, Lq, nq, q_off_j[order], q_cat.astype(np.int32), 0)
-        _scatter(t_panel, Lt, nt, t_off_j[order], t_cat.astype(np.int32), 0)
-        _scatter(lo_panel, Lq + 1, nq, lo_off_j[order], lo_flat.astype(np.int32), 1)
+        _scatter(q_panel, Lq, nq, q_off_j[order], q_cat.astype(np.int8), 0)
+        _scatter(lo_panel, Lq + 1, nq, lo_off_j[order], lo_flat.astype(np.int16), 1)
         lo_panel[rows_flat, 0] = lo_panel[rows_flat, 1]
         # pad tail: lo is non-decreasing per job (maximum.accumulate in the
         # planner), so a row-wise running max forward-fills the last value
         np.maximum.accumulate(lo_panel, axis=1, out=lo_panel)
-        tlens_panel.reshape(-1)[rows_flat] = nt
+        slot_tid.reshape(-1)[rows_flat] = tid_j[order]
         slot_asv.reshape(-1)[rows_flat] = pair_asv[owner_j[order]]
     lo_panel = smooth_lo(lo_panel).reshape(R, C, Lq + 1)
     q_panel = q_panel.reshape(R, C, Lq)
-    t_panel = t_panel.reshape(R, C, Lt)
 
     kernel = os.environ.get("SAVONT_MESH_KERNEL")
     if not kernel:
         kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
-    align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
-    em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
-
-    # dispatch every chunk before blocking on any result: jax dispatch is
-    # async, so chunk k computes (and its transfer rides the wire) while
-    # the host slices chunk k+1
-    outs = []
-    for c in range(n_chunks):
-        s = c * Rc
-        outs.append(
-            align_step(
-                shard_reads(mesh, q_panel[s : s + Rc]),
-                shard_reads(mesh, t_panel[s : s + Rc]),
-                shard_reads(mesh, lo_panel[s : s + Rc]),
-                shard_reads(mesh, tlens_panel[s : s + Rc]),
-                shard_reads(mesh, slot_asv[s : s + Rc]),
-            )
+    if n_chunks == 1:
+        # high-latency link: ONE combined align+EM dispatch, one batched
+        # fetch — every extra RPC costs a full roundtrip there
+        step = sharded_stage7_step(
+            mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01, kernel=kernel
         )
-    in_tie_full = jnp.concatenate([o[2] for o in outs], axis=0)
-    abund, count = em_step(
-        jax.device_put(in_tie_full, NamedSharding(mesh, P(mesh.axis_names[0], None))),
-        shard_reads(mesh, slot_asv),
-    )
-    nm = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
-    score = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+        abund_d, nm_d, score_d, count_d = step(
+            shard_reads(mesh, q_panel),
+            shard_reads(mesh, lo_panel),
+            shard_reads(mesh, slot_tid),
+            shard_reads(mesh, slot_asv),
+            replicate_to_mesh(mesh, t_pool),
+            replicate_to_mesh(mesh, tlens_pool),
+        )
+        abund, nm, score, count = jax.device_get((abund_d, nm_d, score_d, count_d))
+    else:
+        align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
+        em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
+
+        # dispatch every chunk before blocking on any result: jax dispatch
+        # is async, so chunk k computes (and its transfer rides the wire)
+        # while the host slices chunk k+1
+        t_pool_d = replicate_to_mesh(mesh, t_pool)
+        tlens_pool_d = replicate_to_mesh(mesh, tlens_pool)
+        outs = []
+        for c in range(n_chunks):
+            s = c * Rc
+            outs.append(
+                align_step(
+                    shard_reads(mesh, q_panel[s : s + Rc]),
+                    shard_reads(mesh, lo_panel[s : s + Rc]),
+                    shard_reads(mesh, slot_tid[s : s + Rc]),
+                    shard_reads(mesh, slot_asv[s : s + Rc]),
+                    t_pool_d,
+                    tlens_pool_d,
+                )
+            )
+        in_tie_full = jnp.concatenate([o[2] for o in outs], axis=0)
+        abund_d, count_d = em_step(
+            jax.device_put(in_tie_full, NamedSharding(mesh, P(mesh.axis_names[0], None))),
+            shard_reads(mesh, slot_asv),
+        )
+        # ONE batched fetch: each separate np.asarray pays a roundtrip
+        nm_parts, score_parts, abund, count = jax.device_get(
+            ([o[0] for o in outs], [o[1] for o in outs], abund_d, count_d)
+        )
+        nm = np.concatenate(nm_parts, axis=0)
+        score = np.concatenate(score_parts, axis=0)
 
     # per-pair winner on host (same rule as the device's per-(read,ASV)
     # reduction: strictly-greater score wins, earliest job keeps ties) —
@@ -450,45 +563,55 @@ def _mesh_stage7_legacy(pairs, pair_read, pair_asv, n_reads, n_asvs, band, mesh,
     C = int(slot_in_read.max()) + 1 if len(jr_s) else 1
     R = -(-max(n_reads, 1) // n_dev) * n_dev
 
+    # unique-target pool: the device gathers per-slot panels from slot_tid
+    tgt_ids: dict[bytes, int] = {}
+    for _qa, ta in pairs:
+        tgt_ids.setdefault(bytes(ta), len(tgt_ids))
+    from ..ops.align import ascii_to_align_codes
+
+    t_list = list(tgt_ids.keys()) or [b"A"]
+    Lt = max(len(tb) for tb in t_list)
+    t_pool = np.full((len(t_list), Lt), 6, dtype=np.int32)
+    for i, tb in enumerate(t_list):
+        t_pool[i, : len(tb)] = ascii_to_align_codes(tb)
+    tlens_pool = np.fromiter((len(tb) for tb in t_list), np.int32, len(t_list))
+    pair_tid = np.fromiter(
+        (tgt_ids[bytes(ta)] for _qa, ta in pairs), np.int32, len(pairs)
+    )
+
     Lq = max((len(jobs[i].qcodes) for i in order), default=8)
-    Lt = max((len(jobs[i].tcodes) for i in order), default=8)
     q = np.full((R, C, Lq), 5, dtype=np.int32)
-    t = np.full((R, C, Lt), 6, dtype=np.int32)
     lo = np.zeros((R, C, Lq + 1), dtype=np.int32)
-    tlens = np.full((R, C), Lt, dtype=np.int32)
+    slot_tid = np.full((R, C), -1, dtype=np.int32)
     slot_asv = np.full((R, C), -1, dtype=np.int32)
     for pos, ji in enumerate(order):
         j = jobs[ji]
         r, c = int(jr_s[pos]), int(slot_in_read[pos])
-        nq, nt = len(j.qcodes), len(j.tcodes)
+        nq = len(j.qcodes)
         q[r, c, :nq] = j.qcodes
-        t[r, c, :nt] = j.tcodes
         lo[r, c, 1 : nq + 1] = j.lo
         lo[r, c, 0] = j.lo[0]
         if nq < Lq:
             lo[r, c, nq + 1 :] = j.lo[-1]
-        tlens[r, c] = nt
+        slot_tid[r, c] = pair_tid[owner[ji]]
         slot_asv[r, c] = pair_asv[owner[ji]]
     lo = smooth_lo(lo.reshape(R * C, Lq + 1)).reshape(R, C, Lq + 1)
 
     kernel = os.environ.get("SAVONT_MESH_KERNEL")
     if not kernel:
         kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
-    align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
-    em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
-    nm_g, score_g, tie_g = align_step(
+    step = sharded_stage7_step(
+        mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01, kernel=kernel
+    )
+    abund_d, nm_d, score_d, count_d = step(
         shard_reads(mesh, q),
-        shard_reads(mesh, t),
         shard_reads(mesh, lo),
-        shard_reads(mesh, tlens),
+        shard_reads(mesh, slot_tid),
         shard_reads(mesh, slot_asv),
+        replicate_to_mesh(mesh, t_pool),
+        replicate_to_mesh(mesh, tlens_pool),
     )
-    abund, count = em_step(
-        jax.device_put(tie_g, NamedSharding(mesh, P(mesh.axis_names[0], None))),
-        shard_reads(mesh, slot_asv),
-    )
-    nm = np.asarray(nm_g)
-    score = np.asarray(score_g)
+    abund, nm, score, count = jax.device_get((abund_d, nm_d, score_d, count_d))
 
     from types import SimpleNamespace
 

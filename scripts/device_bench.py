@@ -66,7 +66,13 @@ def main() -> int:
         print(f"pipeline: cold {walls[0]:.1f}s, warm {wall:.1f}s, {len(results)} ASVs, all_nm0={ok}", flush=True)
 
         # steady-state kernel pairs/s at Zymo-like shapes
-        from savont_tpu.parallel.mesh import make_mesh, mesh_stage7_tie_break
+        from savont_tpu.parallel.mesh import (
+            device_roundtrip_ms,
+            make_mesh,
+            mesh_stage7_tie_break,
+        )
+
+        _rt = device_roundtrip_ms()
 
         rng = np.random.default_rng(11)
         BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -94,11 +100,32 @@ def main() -> int:
         steady = time.time() - t0
         assert count == B
         print(f"kernel: warm {warm:.1f}s, steady {steady:.2f}s = {B / steady:.0f} pairs/s", flush=True)
+        mesh_stage7_tie_break(pairs, rr, ca, B2, A, mesh=mesh)  # warm B2 shapes
         t0 = time.time()
         _, _, count2 = mesh_stage7_tie_break(pairs, rr, ca, B2, A, mesh=mesh)
         steady2 = time.time() - t0
         assert count2 == B2
         print(f"kernel B={B2}: steady {steady2:.2f}s = {B2 / steady2:.0f} pairs/s", flush=True)
+
+        # production-scale batch (the 100k-read run ships ~173k candidate
+        # pairs through stage 7, so multi-thousand-pair batches are the
+        # realistic shape); amortizes the fixed link roundtrips
+        B3 = 4096
+        pairs3, rr3, ca3 = [], [], []
+        for r in range(B3):
+            b = bytearray(asvs[r % A])
+            for p in rng.choice(L, 20, replace=False):
+                b[p] = b"ACGT"[rng.integers(4)]
+            pairs3.append((bytes(b), asvs[r % A]))
+            rr3.append(r)
+            ca3.append(r % A)
+        rr3, ca3 = np.array(rr3), np.array(ca3)
+        mesh_stage7_tie_break(pairs3, rr3, ca3, B3, A, mesh=mesh)  # warm
+        t0 = time.time()
+        _, _, count3 = mesh_stage7_tie_break(pairs3, rr3, ca3, B3, A, mesh=mesh)
+        steady3 = time.time() - t0
+        assert count3 == B3
+        print(f"kernel B={B3}: steady {steady3:.2f}s = {B3 / steady3:.0f} pairs/s", flush=True)
 
         # device k-mer extraction at scale (SURVEY §2.3 "device
         # sort/segment-reduce wins at large N" claim): stage-1 split-kmer
@@ -155,6 +182,15 @@ def main() -> int:
             "kernel_batch": B,
             "kernel_pairs_per_s_batch4x": round(B2 / steady2, 1),
             "kernel_batch4x": B2,
+            "kernel_pairs_per_s_batch16x": round(B3 / steady3, 1),
+            "kernel_batch16x": B3,
+            "device_roundtrip_ms": round(_rt, 1),
+            "note": (
+                "kernel_pairs_per_s numbers are END-TO-END through the dev "
+                "rig's tunneled device (fixed ~26-36 ms per RPC, executes "
+                "do not overlap); the kernel itself runs at ~489k pairs/s "
+                "on-device (PALLAS_BENCH.json, difference-method)"
+            ),
             "kernel_len": L,
             "kernel_warm_s": round(warm, 1),
             "mesh_kernel": os.environ.get("SAVONT_MESH_KERNEL")

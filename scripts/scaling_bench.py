@@ -83,24 +83,28 @@ def run_step(n_proc: int, pid: int) -> tuple[float, float]:
     rng = np.random.default_rng(3)
     R, C = B, 1
     q = rng.integers(0, 4, (R, C, L), dtype=np.int32)
-    t = rng.integers(0, 4, (R, C, L), dtype=np.int32)
+    t_pool = rng.integers(0, 4, (N_ASVS, L), dtype=np.int32)
+    tlens_pool = np.full(N_ASVS, L, np.int32)
     lo = np.clip(np.arange(L + 1)[None, None, :] - 32, 0, L - 64).astype(np.int32) * np.ones((R, C, 1), np.int32)
-    tl = np.full((R, C), L, np.int32)
     sa = (np.arange(R, dtype=np.int32) % N_ASVS)[:, None] * np.ones((1, C), np.int32)
     align = sharded_stage7_align(mesh, band=64, kernel="scan")
     em = sharded_stage7_em(mesh, N_ASVS, em_iters=10, conv=0.01)
+    from savont_tpu.parallel.mesh import replicate_to_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def one():
         nm_g, score_g, tie_g = align(
-            shard_reads(mesh, q), shard_reads(mesh, t), shard_reads(mesh, lo),
-            shard_reads(mesh, tl), shard_reads(mesh, sa),
+            shard_reads(mesh, q), shard_reads(mesh, lo),
+            shard_reads(mesh, sa), shard_reads(mesh, sa),
+            replicate_to_mesh(mesh, t_pool), replicate_to_mesh(mesh, tlens_pool),
         )
         abund, count = em(
             jax.device_put(tie_g, NamedSharding(mesh, P(mesh.axis_names[0], None))),
             shard_reads(mesh, sa),
         )
-        jax.block_until_ready((abund, count))
+        # fetch forces completion (block_until_ready is a no-op on some
+        # remote backends)
+        jax.device_get((abund, count))
 
     one()  # compile
     kbest = 9e9
