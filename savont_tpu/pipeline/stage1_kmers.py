@@ -822,9 +822,20 @@ def twin_reads_from_files(
                 if int(masks[2][li]) < tr.base_length // args.c // 20:
                     n_repetitive += 1
                     continue
+                # fill the minimizers_vec/snpmers_vec caches from the scan
+                # k-mers while masking: the scan already produced the exact
+                # canonical k-mers kmer_at_position would recompute
+                # (empirically equal; minimizers_vec parity is test-pinned),
+                # so the whole _prime_vec_caches rolling pass disappears
+                mini_k = tr.mini_kmers_all[solid]
                 tr.mini_pos = tr.mini_pos[solid]
+                tr._mini_vec_cache = (tr.mini_pos, mini_k)
                 if len(tr.snp_kmers_all) and len(high_freq):
+                    snp_k = tr.snp_kmers_all[solid_snp]
                     tr.snp_pos = tr.snp_pos[solid_snp]
+                    tr._snp_vec_cache = (tr.snp_pos, snp_k)
+                else:
+                    tr._snp_vec_cache = (tr.snp_pos, tr.snp_kmers_all)
             elif not _apply_solid_filters(tr, args, high_freq):
                 n_repetitive += 1
                 continue
@@ -868,20 +879,28 @@ def twin_reads_from_files(
 
 
 def _prime_vec_caches(twin_reads: list[TwinRead], k: int, threads: int = 0) -> None:
-    """Pre-fill every read's minimizers_vec/snpmers_vec caches with one
-    batched rolling pass (positions are final once the solid filters ran;
-    the caches self-invalidate if positions are ever replaced)."""
+    """Pre-fill minimizers_vec/snpmers_vec caches with one batched rolling
+    pass for reads that don't already carry a valid cache (the native-scan
+    path fills them from the scan k-mers while masking; this serves the
+    Python-fallback path and any reads whose positions were replaced)."""
     from ..ops.kmers_native import kmer_at_positions_native
 
-    codes = [t.codes for t in twin_reads]
-    mini_pos = [t.mini_pos for t in twin_reads]
-    snp_pos = [t.snp_pos for t in twin_reads]
+    need = [
+        t for t in twin_reads
+        if (c := getattr(t, "_mini_vec_cache", None)) is None or c[0] is not t.mini_pos
+        or (s := getattr(t, "_snp_vec_cache", None)) is None or s[0] is not t.snp_pos
+    ]
+    if not need:
+        return
+    codes = [t.codes for t in need]
+    mini_pos = [t.mini_pos for t in need]
+    snp_pos = [t.snp_pos for t in need]
     minis = kmer_at_positions_native(codes, mini_pos, k, threads)
     snps = kmer_at_positions_native(codes, snp_pos, k, threads)
     if minis is None or snps is None:
         minis = kmer_at_position_batch(codes, mini_pos, k)
         snps = kmer_at_position_batch(codes, snp_pos, k)
-    for t, mk, sk in zip(twin_reads, minis, snps):
+    for t, mk, sk in zip(need, minis, snps):
         t._mini_vec_cache = (t.mini_pos, mk)
         t._snp_vec_cache = (t.snp_pos, sk)
 
