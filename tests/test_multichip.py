@@ -249,3 +249,72 @@ def test_stage7_mesh_pallas_kernel_matches_scan():
         assert (a is None) == (b is None)
         if a is not None:
             assert (a.score, a.nm) == (b.score, b.nm)
+
+
+def _mesh_workload(n_reads=24, A=3, L=260, seed=29):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    asvs = [rng.choice(BASES, L).tobytes() for _ in range(A)]
+    pairs, rr, ca = [], [], []
+    for r in range(n_reads):
+        b = bytearray(asvs[r % A])
+        for p in rng.choice(len(b), 6, replace=False):
+            b[p] = b"ACGT"[rng.integers(4)]
+        read = bytes(b)
+        for a in sorted({r % A, (r + 1) % A}):
+            pairs.append((read, asvs[a]))
+            rr.append(r)
+            ca.append(a)
+    return pairs, np.array(rr), np.array(ca), n_reads, A
+
+
+def _tie_break_results(pairs, rr, ca, n_reads, A, mesh):
+    from savont_tpu.parallel.mesh import mesh_stage7_tie_break
+
+    best, abund, count = mesh_stage7_tie_break(pairs, rr, ca, n_reads, A, band=64, mesh=mesh)
+    return (
+        [(None if b is None else (b.score, b.nm)) for b in best],
+        abund,
+        count,
+    )
+
+
+def test_stage7_mesh_monolithic_matches_chunked(monkeypatch):
+    """SAVONT_MESH_CHUNKS=1 routes through the ONE-dispatch combined step
+    (the path high-latency links take; tests otherwise exercise the chunked
+    pipeline because the CPU mesh roundtrip is tiny).  Winners/count must be
+    identical, device abundances equal to f32 reduction-order tolerance."""
+    import numpy as np
+
+    from savont_tpu.parallel.mesh import make_mesh
+
+    pairs, rr, ca, n_reads, A = _mesh_workload()
+    mesh = make_mesh(4)
+    monkeypatch.setenv("SAVONT_MESH_CHUNKS", "4")
+    best_c, abund_c, count_c = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    monkeypatch.setenv("SAVONT_MESH_CHUNKS", "1")
+    best_m, abund_m, count_m = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    assert best_c == best_m
+    assert count_c == count_m
+    assert np.allclose(abund_c, abund_m, atol=1e-6)
+
+
+def test_stage7_mesh_legacy_fallback_matches_soa(monkeypatch):
+    """The per-pair AlignJob fallback (_mesh_stage7_legacy, taken when the
+    SoA planner prerequisites are missing) must agree with the SoA path."""
+    import numpy as np
+
+    from savont_tpu.ops import align_batch
+    from savont_tpu.parallel import mesh as mesh_mod
+    from savont_tpu.parallel.mesh import make_mesh
+
+    pairs, rr, ca, n_reads, A = _mesh_workload(seed=31)
+    mesh = make_mesh(4)
+    best_s, abund_s, count_s = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    monkeypatch.setattr(align_batch, "_plan_soa_indexed", lambda *a, **k: None)
+    best_l, abund_l, count_l = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    assert best_s == best_l
+    assert count_s == count_l
+    assert np.allclose(abund_s, abund_l, atol=1e-6)
