@@ -25,13 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
-import os as _os_env
+import os as _os
 
 NEG = -20000
 PAIR_BLOCK = 128  # pairs per grid step (lane dimension)
 # rows per fori_loop iteration (row count host-padded to a multiple);
 # SAVONT_PALLAS_UNROLL overrides for experiments
-UNROLL = int(_os_env.environ.get("SAVONT_PALLAS_UNROLL", "8"))
+UNROLL = int(_os.environ.get("SAVONT_PALLAS_UNROLL", "8"))
 
 # DP plane dtype.  int16 would double VPU lane throughput and every in-loop
 # quantity fits for amplicon lengths, and the kernel fully supports it
@@ -42,13 +42,14 @@ UNROLL = int(_os_env.environ.get("SAVONT_PALLAS_UNROLL", "8"))
 # (bitcast word-rolls work: scripts/pallas_probe_bitcast.py), and (1,128)
 # i1 broadcasts hit "Invalid relayout".  SAVONT_PALLAS_I16=1 re-enables the
 # int16 planes for newer stacks; default stays int32.
-import os as _os
 
 
 def _plane_dtype(Lq: int, Lt: int):
     if not _os.environ.get("SAVONT_PALLAS_I16") or _os.environ.get("SAVONT_PALLAS_I32"):
         return jnp.int32
-    fits = MATCH * min(Lq, Lt) < 30000 and max(Lq, Lt) + 2 < 32000
+    # < 29000: row/col indices (incl. UNROLL padding) must stay below the
+    # 30000 winner-reduce sentinel, scores below int16 range
+    fits = MATCH * min(Lq, Lt) < 29000 and max(Lq, Lt) + UNROLL + 2 < 29000
     return jnp.int16 if fits else jnp.int32
 
 
@@ -325,7 +326,10 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
     # masks stay at the plane bitwidth (mixing 16- and 32-bit-born i1s
     # forces relayouts Mosaic lacks); cross-sublane REDUCTIONS run on i32
     # copies (Pallas has no i16 reductions), results cast back for compares.
-    big = jnp.asarray(30000, pd)  # > any row index (n_rows < 2^15 - pad)
+    # sentinel above any row index: int16 planes are guarded to < 29000
+    # rows by _plane_dtype; int32 planes keep the wide sentinel so long
+    # queries (operon mode) stay correct
+    big = jnp.asarray(30000 if pd == jnp.int16 else (1 << 30), pd)
     zero_pd = jnp.asarray(0, pd)
     glob_v = jnp.max(best_v.astype(jnp.int32), axis=0, keepdims=True)
     at_v = best_v == glob_v.astype(pd)
@@ -334,7 +338,8 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
     )
     at_r = at_v & (best_r == glob_r.astype(pd))
     win_j = jnp.min(
-        jnp.where(at_r, jrow, big).astype(jnp.int32), axis=0, keepdims=True
+        jnp.where(at_r, jrow, jnp.asarray(band, pd)).astype(jnp.int32),
+        axis=0, keepdims=True,
     )
     winner = at_r & (jrow == win_j.astype(pd))
     out_ref[0, :] = glob_v[0, :]

@@ -130,6 +130,22 @@ def sharded_align_em_step(
 import functools as _functools
 
 
+def _build_target_pool(tgt_bytes: list[bytes]):
+    """(t_pool (T, Lt) i32 pad-6, tlens_pool (T,) i32) from unique target
+    bytes — the replicated panel the mesh steps gather per-slot targets
+    from on device.  Falls back to a 1-dummy pool so empty workloads keep
+    a gatherable shape."""
+    from ..ops.align import ascii_to_align_codes
+
+    t_list = tgt_bytes or [b"A"]
+    Lt = max(len(tb) for tb in t_list)
+    t_pool = np.full((len(t_list), Lt), 6, dtype=np.int32)
+    for i, tb in enumerate(t_list):
+        t_pool[i, : len(tb)] = ascii_to_align_codes(tb)
+    tlens_pool = np.fromiter((len(tb) for tb in t_list), np.int32, len(t_list))
+    return t_pool, tlens_pool
+
+
 def _stage7_align_local(band: int, kernel: str):
     """LOCAL (per-shard) stage-7 align + tie-set closure: returns
     (nm, score, in_tie) for this shard's rows.  Shared by the chunked
@@ -396,14 +412,7 @@ def mesh_stage7_tie_break(
 
     # replicated unique-target pool: per-slot target panels are gathered ON
     # DEVICE from slot_tid (host-side expansion tripled the upload)
-    from ..ops.align import ascii_to_align_codes
-
-    t_list = list(tgt_ids.keys()) or [b"A"]
-    Lt = max(len(tb) for tb in t_list)
-    t_pool = np.full((len(t_list), Lt), 6, dtype=np.int32)
-    for i, tb in enumerate(t_list):
-        t_pool[i, : len(tb)] = ascii_to_align_codes(tb)
-    tlens_pool = np.fromiter((len(tb) for tb in t_list), np.int32, len(t_list))
+    t_pool, tlens_pool = _build_target_pool(list(tgt_ids.keys()))
 
     jr = pair_read[owner_j] if len(owner_j) else np.zeros(0, np.int64)  # job -> read
 
@@ -442,7 +451,7 @@ def mesh_stage7_tie_break(
     nq = q_lens_j[order].astype(np.int64)
     # narrow upload dtypes (widened on device): codes are 0..6, lo < 2^14
     # (planner guard), slot ids fit int16 up to 32k targets/ASVs
-    sid_dt = np.int16 if max(n_asvs, len(t_list)) < 32000 else np.int32
+    sid_dt = np.int16 if max(n_asvs, len(t_pool)) < 32000 else np.int32
     q_panel = np.full((R * C, Lq), 5, dtype=np.int8)
     lo_panel = np.zeros((R * C, Lq + 1), dtype=np.int16)
     slot_tid = np.full((R, C), -1, dtype=sid_dt)
@@ -567,14 +576,7 @@ def _mesh_stage7_legacy(pairs, pair_read, pair_asv, n_reads, n_asvs, band, mesh,
     tgt_ids: dict[bytes, int] = {}
     for _qa, ta in pairs:
         tgt_ids.setdefault(bytes(ta), len(tgt_ids))
-    from ..ops.align import ascii_to_align_codes
-
-    t_list = list(tgt_ids.keys()) or [b"A"]
-    Lt = max(len(tb) for tb in t_list)
-    t_pool = np.full((len(t_list), Lt), 6, dtype=np.int32)
-    for i, tb in enumerate(t_list):
-        t_pool[i, : len(tb)] = ascii_to_align_codes(tb)
-    tlens_pool = np.fromiter((len(tb) for tb in t_list), np.int32, len(t_list))
+    t_pool, tlens_pool = _build_target_pool(list(tgt_ids.keys()))
     pair_tid = np.fromiter(
         (tgt_ids[bytes(ta)] for _qa, ta in pairs), np.int32, len(pairs)
     )

@@ -275,16 +275,17 @@ def _streamed_count(
     errs: list[BaseException] = []
 
     def _rc_swap(recs, codes, phred):
-        """Counting copies with 'rc'-tagged reads reverse-complemented."""
+        """Counting copies with 'rc'-tagged reads reverse-complemented —
+        EXACTLY the split()[-1] == "rc" predicate every other counting path
+        uses (an endswith() fast path would miss trailing-whitespace
+        headers and break the bit-identity invariant across env flags)."""
         rc_i, rc_s, rc_q = [], [], []
         for i, rec in enumerate(recs):
-            rid = rec.id
-            if rid.endswith("rc"):
-                fields = rid.split()
-                if fields and fields[-1] == "rc":
-                    rc_i.append(i)
-                    rc_s.append(revcomp_bytes(rec.seq))
-                    rc_q.append(rec.qual[::-1] if rec.qual is not None else None)
+            fields = rec.id.split()
+            if fields and fields[-1] == "rc":
+                rc_i.append(i)
+                rc_s.append(revcomp_bytes(rec.seq))
+                rc_q.append(rec.qual[::-1] if rec.qual is not None else None)
         if not rc_i:
             return codes, phred
         codes, phred = list(codes), list(phred)
@@ -375,9 +376,12 @@ def _sortcount_available() -> bool:
 def _count_chunked_native(
     codes_list, phred_list, args: ClusterArgs, chunk: int = 32768
 ) -> tuple[np.ndarray, np.ndarray]:
-    # chunk=32768 keeps the per-chunk k-mer stream + radix ping-pong around
-    # ~1.1 GB transient (measured 13% faster than 16384 at 20k, identical
-    # output; the unchunked flat path allocated multi-GB streams)
+    # PARITY ORACLE for _streamed_count (which replaced it on the default
+    # path): same chunked scan+count+merge over pre-materialized encodes,
+    # no threading.  chunk=32768 keeps the per-chunk k-mer stream + radix
+    # ping-pong around ~1.1 GB transient (measured 13% faster than 16384
+    # at 20k, identical output; the unchunked flat path allocated multi-GB
+    # streams)
     from ..ops.kmers import merge_counted
     from ..ops.kmers_native import count_flagged_native, split_kmers_flat_native
 
