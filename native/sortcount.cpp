@@ -410,3 +410,147 @@ extern "C" int64_t anchor_search_multi(
   for (int64_t i = 0; i < n; i++) total += cnt[i];
   return total;
 }
+
+// ── fused indexed anchor planning ──────────────────────────────────────────
+// The SoA planner's per-job mini expansion (np.repeat + 3 gathers to ~35M
+// elements at 100k reads) cost more than every native call it fed.  These
+// two functions consume the POOLED per-unique-query minimizers directly:
+// job j probes pool_h[q_moff[uq[j]] .. q_moff[uq[j]+1]) against its target
+// table ti[j] and emits the same packed keys anchor_pack_keys_sorted would,
+// in the same order (strand- hits in reverse mini order, then strand+
+// forward; keys ascend with job id) — bit-identical by construction and
+// pinned by the Python-path parity test.
+//
+// Protocol: anchor_count_hits_idx fills job_off[n_jobs+1] and returns the
+// total; the caller allocates keys[total] and calls anchor_pack_keys_idx.
+// Both rebuild the per-table open-addressing maps (O(n_h), tiny next to
+// the probe volume).
+
+namespace {
+struct TableMaps {
+  std::vector<int64_t> cap_off;
+  std::vector<int> shift;
+  std::vector<uint64_t> hkey;
+  std::vector<int64_t> hlo;
+  std::vector<int64_t> hcnt;
+  static constexpr uint64_t MUL = 0x9E3779B97F4A7C15ULL;
+
+  void build(const uint64_t *h_cat, const int64_t *tab_off,
+             int64_t n_tables) {
+    cap_off.assign(n_tables + 1, 0);
+    shift.assign(n_tables, 64);
+    for (int64_t g = 0; g < n_tables; g++) {
+      const int64_t len = tab_off[g + 1] - tab_off[g];
+      int64_t c = 0;
+      if (len > 0) {
+        c = 16;
+        int lg = 4;
+        while (c < 2 * len) {
+          c <<= 1;
+          lg++;
+        }
+        shift[g] = 64 - lg;
+      }
+      cap_off[g + 1] = cap_off[g] + c;
+    }
+    hkey.assign(cap_off[n_tables], 0);
+    hlo.assign(cap_off[n_tables], 0);
+    hcnt.assign(cap_off[n_tables], 0);
+    for (int64_t g = 0; g < n_tables; g++) {
+      uint64_t *kk = hkey.data() + cap_off[g];
+      int64_t *ll = hlo.data() + cap_off[g];
+      int64_t *cc = hcnt.data() + cap_off[g];
+      const uint64_t mask = (uint64_t)(cap_off[g + 1] - cap_off[g]) - 1;
+      int64_t i = tab_off[g];
+      while (i < tab_off[g + 1]) {
+        int64_t j = i + 1;
+        while (j < tab_off[g + 1] && h_cat[j] == h_cat[i])
+          j++;
+        uint64_t s = (h_cat[i] * MUL) >> shift[g];
+        while (cc[s])
+          s = (s + 1) & mask;
+        kk[s] = h_cat[i];
+        ll[s] = i;
+        cc[s] = j - i;
+        i = j;
+      }
+    }
+  }
+
+  // (global lo, cnt) for key q in table g; cnt 0 on miss
+  inline void probe(int64_t g, uint64_t q, int64_t &lo, int64_t &cnt) const {
+    if (cap_off[g + 1] == cap_off[g]) {
+      lo = 0;
+      cnt = 0;
+      return;
+    }
+    const uint64_t *kk = hkey.data() + cap_off[g];
+    const int64_t *ll = hlo.data() + cap_off[g];
+    const int64_t *cc = hcnt.data() + cap_off[g];
+    const uint64_t mask = (uint64_t)(cap_off[g + 1] - cap_off[g]) - 1;
+    uint64_t s = (q * MUL) >> shift[g];
+    while (cc[s] && kk[s] != q)
+      s = (s + 1) & mask;
+    lo = cc[s] ? ll[s] : 0;
+    cnt = cc[s];
+  }
+};
+} // namespace
+
+extern "C" int64_t anchor_count_hits_idx(
+    const uint64_t *h_cat, const int64_t *tab_off, int64_t n_tables,
+    const uint64_t *pool_h, const int64_t *q_moff, const int64_t *job_uq,
+    const int32_t *job_ti, int64_t n_jobs, int64_t *job_off, int threads) {
+  TableMaps maps;
+  maps.build(h_cat, tab_off, n_tables);
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+  for (int64_t j = 0; j < n_jobs; j++) {
+    const int64_t g = job_ti[j];
+    const int64_t s = q_moff[job_uq[j]], e = q_moff[job_uq[j] + 1];
+    int64_t t = 0, lo, cnt;
+    for (int64_t m = s; m < e; m++) {
+      maps.probe(g, pool_h[m], lo, cnt);
+      t += cnt;
+    }
+    job_off[j + 1] = t;
+  }
+  job_off[0] = 0;
+  for (int64_t j = 0; j < n_jobs; j++)
+    job_off[j + 1] += job_off[j];
+  return job_off[n_jobs];
+}
+
+extern "C" void anchor_pack_keys_idx(
+    const uint64_t *h_cat, const int64_t *tab_off, int64_t n_tables,
+    const uint64_t *pool_h, const int32_t *pool_p, const uint8_t *pool_f,
+    const int64_t *q_moff, const int64_t *job_uq, const int32_t *job_ti,
+    int64_t n_jobs, const int64_t *qlens_uq, const int32_t *h_tpos,
+    const uint8_t *h_isf, int k, const int64_t *job_off, uint64_t *keys,
+    int threads) {
+  TableMaps maps;
+  maps.build(h_cat, tab_off, n_tables);
+#pragma omp parallel for schedule(dynamic, 64)                                 \
+    num_threads(threads > 0 ? threads : 1)
+  for (int64_t j = 0; j < n_jobs; j++) {
+    const int64_t g = job_ti[j];
+    const int64_t s = q_moff[job_uq[j]], e = q_moff[job_uq[j] + 1];
+    const uint64_t base = (uint64_t)j << 29;
+    const int64_t qlen = qlens_uq[job_uq[j]];
+    uint64_t *w = keys + job_off[j];
+    int64_t lo, cnt;
+    for (int64_t m = e - 1; m >= s; m--) {
+      maps.probe(g, pool_h[m], lo, cnt);
+      const uint64_t qp_r = (uint64_t)(qlen - k - pool_p[m]);
+      for (int64_t t = lo; t < lo + cnt; t++)
+        if (h_isf[t] != pool_f[m])
+          *w++ = base | (qp_r << 14) | (uint64_t)h_tpos[t];
+    }
+    for (int64_t m = s; m < e; m++) {
+      maps.probe(g, pool_h[m], lo, cnt);
+      const uint64_t qp_f = (uint64_t)pool_p[m];
+      for (int64_t t = lo; t < lo + cnt; t++)
+        if (h_isf[t] == pool_f[m])
+          *w++ = base | (1ULL << 28) | (qp_f << 14) | (uint64_t)h_tpos[t];
+    }
+  }
+}

@@ -968,42 +968,53 @@ def _plan_soa_indexed(
     # Sorted keys have the job id in the top bits, so key runs appear in
     # ascending pair order (within a pair: strand - then +), matching the
     # legacy plan order for tie-breaks.
-    # ragged-gather the flat per-UNIQUE-query mini pools to jobs (vector ops
-    # over total minis instead of per-job Python)
-    q_mcnt = np.diff(q_moff)
-    mini_counts = q_mcnt[job_uq_arr]
-    total_minis = int(mini_counts.sum())
-    if total_minis == 0:
+    if int(q_moff[-1]) == 0:
         return "empty"
-    job_moff = np.zeros(n_pairs + 1, dtype=np.int64)  # per-job mini ranges
-    np.cumsum(mini_counts, out=job_moff[1:])
-    job_off = job_moff[:-1]  # exclusive scan
-    flat = np.repeat(q_moff[job_uq_arr] - job_off, mini_counts)
-    flat += np.arange(total_minis, dtype=np.int64)
-    all_h = pool_h[flat]
-    all_p = pool_p[flat].astype(np.int32)
-    all_f = pool_f[flat]
-    jid = np.repeat(np.arange(n_pairs, dtype=np.int32), mini_counts)
-    gid = np.repeat(job_ti_arr, mini_counts).astype(np.int32)
-    found = anchor_search_multi_native(h_cat, tab_off, gid, all_h)
-    if found is None:
-        return None
-    left, counts, total = found
-    if total == 0:
-        return "empty"
-    # singleton tables: tid bits are constant 0, so keys collapse to
-    # (jid << 29 | strand | qp | tpos) and the planner emits them directly
-    # in sorted order (strand- reverse-mini, strand+ forward) — no radix
-    # sort.  Bit-identical to anchor_sorted_keys_native(jid_shift=29);
-    # parity pinned by tests/test_native.py.
-    from .kmers_native import anchor_sorted_keys_singleton_native
+    # fused indexed anchor planning: job j probes its unique query's POOLED
+    # minimizers against its target table and emits packed sorted keys
+    # directly (strand- reverse-mini then strand+ forward per job, jobs
+    # ascending — identical key stream to the expanded path below, which
+    # the parity test pins).  The host-side per-job expansion (np.repeat +
+    # gathers to tens of millions of elements at 100k reads) disappears.
+    from .kmers_native import anchor_keys_indexed_native
 
-    keys = anchor_sorted_keys_singleton_native(
-        left, counts, job_moff, all_p, all_f, qlens_all[job_uq_arr],
-        tpos_cat, isf_cat, indexes[0].k if indexes else 15, threads=4,
+    keys = anchor_keys_indexed_native(
+        h_cat, tab_off, pool_h, pool_p, pool_f, q_moff,
+        job_uq_arr, job_ti_arr, qlens_all, tpos_cat, isf_cat,
+        indexes[0].k if indexes else 15, threads=4,
     )
     if keys is None:
-        return None
+        # expansion fallback (older .so without the fused entry points)
+        q_mcnt = np.diff(q_moff)
+        mini_counts = q_mcnt[job_uq_arr]
+        total_minis = int(mini_counts.sum())
+        if total_minis == 0:
+            return "empty"
+        job_moff = np.zeros(n_pairs + 1, dtype=np.int64)  # per-job mini ranges
+        np.cumsum(mini_counts, out=job_moff[1:])
+        job_off = job_moff[:-1]  # exclusive scan
+        flat = np.repeat(q_moff[job_uq_arr] - job_off, mini_counts)
+        flat += np.arange(total_minis, dtype=np.int64)
+        all_h = pool_h[flat]
+        all_p = pool_p[flat].astype(np.int32)
+        all_f = pool_f[flat]
+        gid = np.repeat(job_ti_arr, mini_counts).astype(np.int32)
+        found = anchor_search_multi_native(h_cat, tab_off, gid, all_h)
+        if found is None:
+            return None
+        left, counts, total = found
+        if total == 0:
+            return "empty"
+        # singleton tables: tid bits are constant 0, so keys collapse to
+        # (jid << 29 | strand | qp | tpos) emitted directly in sorted order.
+        from .kmers_native import anchor_sorted_keys_singleton_native
+
+        keys = anchor_sorted_keys_singleton_native(
+            left, counts, job_moff, all_p, all_f, qlens_all[job_uq_arr],
+            tpos_cat, isf_cat, indexes[0].k if indexes else 15, threads=4,
+        )
+        if keys is None:
+            return None
     if len(keys) == 0:
         return "empty"
     hi_bits = keys >> np.uint64(28)

@@ -873,8 +873,79 @@ def get_sort_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ]
+        lib.anchor_count_hits_idx.restype = ctypes.c_int64
+        lib.anchor_count_hits_idx.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.anchor_pack_keys_idx.restype = None
+        lib.anchor_pack_keys_idx.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int,
+        ]
         lib._anchor_ready = True
     return lib
+
+
+def anchor_keys_indexed_native(
+    h_cat: np.ndarray, tab_off: np.ndarray,
+    pool_h: np.ndarray, pool_p: np.ndarray, pool_f: np.ndarray,
+    q_moff: np.ndarray, job_uq: np.ndarray, job_ti: np.ndarray,
+    qlens_uq: np.ndarray, h_tpos: np.ndarray, h_isf: np.ndarray,
+    k: int, threads: int = 4,
+) -> np.ndarray | None:
+    """Fused indexed anchor planning: job j probes its unique query's
+    POOLED minimizers (pool_h[q_moff[uq]:q_moff[uq+1]]) against its target
+    table and emits packed sorted keys directly — no per-job expansion of
+    the mini pools on the host (np.repeat + gathers to tens of millions of
+    elements cost more than every native call they fed).  Bit-identical to
+    anchor_search_multi + anchor_sorted_keys_singleton over the expanded
+    arrays (tests pin it).  Returns keys or None without the library."""
+    lib = get_sort_lib()
+    if lib is None or not hasattr(lib, "anchor_count_hits_idx"):
+        return None
+    n_jobs = len(job_uq)
+    n_tables = len(tab_off) - 1
+    h_cat = np.ascontiguousarray(h_cat, np.uint64)
+    tab_off = np.ascontiguousarray(tab_off, np.int64)
+    pool_h = np.ascontiguousarray(pool_h, np.uint64)
+    pool_p32 = np.ascontiguousarray(pool_p, np.int32)
+    pool_f8 = np.ascontiguousarray(pool_f.view(np.uint8) if pool_f.dtype == bool else pool_f, np.uint8)
+    q_moff = np.ascontiguousarray(q_moff, np.int64)
+    job_uq = np.ascontiguousarray(job_uq, np.int64)
+    job_ti32 = np.ascontiguousarray(job_ti, np.int32)
+    qlens_uq = np.ascontiguousarray(qlens_uq, np.int64)
+    h_tpos = np.ascontiguousarray(h_tpos, np.int32)
+    h_isf8 = np.ascontiguousarray(h_isf.view(np.uint8) if h_isf.dtype == bool else h_isf, np.uint8)
+    job_off = np.empty(n_jobs + 1, dtype=np.int64)
+    total = lib.anchor_count_hits_idx(
+        _ptr(h_cat, ctypes.c_uint64), _ptr(tab_off, ctypes.c_int64), n_tables,
+        _ptr(pool_h, ctypes.c_uint64), _ptr(q_moff, ctypes.c_int64),
+        _ptr(job_uq, ctypes.c_int64), _ptr(job_ti32, ctypes.c_int32), n_jobs,
+        _ptr(job_off, ctypes.c_int64), threads,
+    )
+    keys = np.empty(int(total), dtype=np.uint64)
+    if total:
+        lib.anchor_pack_keys_idx(
+            _ptr(h_cat, ctypes.c_uint64), _ptr(tab_off, ctypes.c_int64), n_tables,
+            _ptr(pool_h, ctypes.c_uint64), _ptr(pool_p32, ctypes.c_int32),
+            _ptr(pool_f8, ctypes.c_uint8), _ptr(q_moff, ctypes.c_int64),
+            _ptr(job_uq, ctypes.c_int64), _ptr(job_ti32, ctypes.c_int32), n_jobs,
+            _ptr(qlens_uq, ctypes.c_int64), _ptr(h_tpos, ctypes.c_int32),
+            _ptr(h_isf8, ctypes.c_uint8), k,
+            _ptr(job_off, ctypes.c_int64), _ptr(keys, ctypes.c_uint64), threads,
+        )
+    return keys
 
 
 def anchor_search_native(

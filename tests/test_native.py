@@ -1099,3 +1099,47 @@ def test_parent_span_c_probe_matches_python():
         else:
             assert got is not None and np.array_equal(got, want)
             assert got.base is views[0].base or got is want
+
+
+def test_fused_anchor_keys_match_expanded_path(monkeypatch):
+    """anchor_keys_indexed_native (fused pooled-mini probing) must emit the
+    exact key stream of the expansion path (anchor_search_multi +
+    anchor_sorted_keys_singleton over np.repeat-expanded arrays), across
+    duplicate-kmer tables, missing keys, and multi-job queries."""
+    from savont_tpu.ops import align_batch, kmers_native
+    from savont_tpu.ops.kmers_native import anchor_keys_indexed_native, get_sort_lib
+
+    if get_sort_lib() is None:
+        return
+    rng = np.random.default_rng(47)
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 900)
+    qry_bytes, tgt_bytes = [], []
+    for i in range(40):  # queries: mutated copies (shared minis + misses)
+        b = base.copy()
+        pos = rng.choice(len(b), int(rng.integers(10, 80)), replace=False)
+        b[pos] = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, len(pos))]
+        qry_bytes.append(b.tobytes())
+    for i in range(6):  # targets incl. a duplicated-window one
+        b = base.copy()
+        pos = rng.choice(len(b), 15, replace=False)
+        b[pos] = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 15)]
+        t = b.tobytes()
+        if i == 0:
+            t = t + t[100:400]  # duplicate k-mers -> cnt > 1 ranges
+        tgt_bytes.append(t)
+    job_uq = np.repeat(np.arange(40, dtype=np.int64), 2)
+    job_ti = np.tile(np.arange(2, dtype=np.int64), 40)
+    job_ti[5:] = (job_ti[5:] + rng.integers(0, 6, 75)) % 6
+
+    plan_fused = align_batch._plan_soa_indexed(qry_bytes, tgt_bytes, job_uq, job_ti, 64)
+    monkeypatch.setattr(kmers_native, "anchor_keys_indexed_native", lambda *a, **k: None)
+    # align_batch imports the symbol inside the function, so patch the module attr
+    import savont_tpu.ops.kmers_native as kn
+    plan_exp = align_batch._plan_soa_indexed(qry_bytes, tgt_bytes, job_uq, job_ti, 64)
+    assert not isinstance(plan_fused, (str, type(None)))
+    assert not isinstance(plan_exp, (str, type(None)))
+    for a, b in zip(plan_fused, plan_exp):
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b)
+        else:
+            assert a == b
