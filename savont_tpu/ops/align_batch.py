@@ -61,11 +61,36 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
 
     out: list[np.ndarray | None] = [None] * len(items)
     if len(items) >= 4096:
-        bufs = [qb if st == 1 else revcomp_bytes(qb) for qb, st in items]
+        # encode each + strand once; - strands derive from the + codes
+        # (reverse + 3-complement, code 4 fixed).  Verified byte-exhaustively
+        # equal to ascii_to_align_codes(revcomp_bytes(qb)) for every byte
+        # EXCEPT U/u (revcomp_bytes leaves U unchanged while the LUT folds
+        # it into T) — sequences containing U take the bytes path.  Skips
+        # the second 100+ MB bytes join + LUT pass at scale.
+        fwd_ids: dict[bytes, int] = {}
+        fwd_of = [fwd_ids.setdefault(qb, len(fwd_ids)) for qb, _st in items]
+        bufs = list(fwd_ids.keys())
         off = np.zeros(len(bufs) + 1, dtype=np.int64)
         np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
         codes_cat = _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
-        return [codes_cat[off[i] : off[i + 1]] for i in range(len(bufs))]
+        fwd = [codes_cat[off[i] : off[i + 1]] for i in range(len(bufs))]
+        rc_cache: dict[int, np.ndarray] = {}
+
+        def rc_of(fi: int, qb: bytes) -> np.ndarray:
+            r = rc_cache.get(fi)
+            if r is None:
+                if b"U" in qb or b"u" in qb:
+                    r = _ASCII_CODE[np.frombuffer(revcomp_bytes(qb), dtype=np.uint8)]
+                else:
+                    c = fwd[fi][::-1]
+                    r = np.where(c < 4, 3 - c, c)
+                rc_cache[fi] = r
+            return r
+
+        return [
+            fwd[fi] if st == 1 else rc_of(fi, qb)
+            for (qb, st), fi in zip(items, fwd_of)
+        ]
     miss: list[int] = []
     for x, key in enumerate(items):
         hit = _QCODE_CACHE.get(key)

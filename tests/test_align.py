@@ -110,3 +110,24 @@ def test_divergent_pair():
     assert m is not None
     expected = sum(1 for p in pos if bytes(q)[p] != t[p])
     assert abs(m.nm - expected) <= 3  # end clipping may shave a couple
+
+
+def test_qcodes_big_batch_matches_small_path_incl_U():
+    """The >=4096-item bypass of _qcodes_cached_batch (fwd-encode once,
+    derive - strands from + codes) must equal the cached per-item path,
+    including U/u bases where revcomp_bytes and the align LUT disagree."""
+    from savont_tpu.ops.align import ascii_to_align_codes
+    from savont_tpu.ops.align_batch import _qcodes_cached_batch
+    from savont_tpu.ops.encode import revcomp_bytes
+
+    rng = np.random.default_rng(53)
+    alpha = np.frombuffer(b"ACGTNU" + b"acgtnu", dtype=np.uint8)
+    items = []
+    for i in range(2100):
+        qb = rng.choice(alpha, int(rng.integers(20, 120))).tobytes()
+        items.append((qb, 1))
+        items.append((qb, -1))
+    got = _qcodes_cached_batch(items)  # 4200 items -> bypass branch
+    for (qb, st), g in zip(items, got):
+        want = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
+        np.testing.assert_array_equal(g, want)
