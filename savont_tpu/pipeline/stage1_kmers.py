@@ -761,19 +761,14 @@ def twin_reads_from_files(
     n_repetitive = 0
     use_native = get_scan_lib() is not None
     for file_idx, path in enumerate(args.input_files):
-        n_file_total = n_file_removed = 0
         recs_all = _cached_records(path)
         enc_c, enc_p = _cached_encoded(path)  # shared with the counting pass
-        keep: list[int] = []
-        for ri, rec in enumerate(recs_all):
-            n_file_total += 1
-            if len(rec.seq) < args.min_read_length or len(rec.seq) > args.max_read_length:
-                n_len_filtered += 1
-                n_file_removed += 1
-                continue
-            if len(rec.seq) < args.kmer_size:
-                continue
-            keep.append(ri)
+        n_file_total = len(recs_all)
+        lens = np.fromiter((len(c) for c in enc_c), np.int64, n_file_total)
+        in_range = (lens >= args.min_read_length) & (lens <= args.max_read_length)
+        n_file_removed = int(n_file_total - in_range.sum())
+        n_len_filtered += n_file_removed
+        keep = np.flatnonzero(in_range & (lens >= args.kmer_size)).tolist()
         recs = [recs_all[i] for i in keep]
         codes_list = [enc_c[i] for i in keep]
         phred_list = [enc_p[i] for i in keep]

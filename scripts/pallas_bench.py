@@ -98,6 +98,9 @@ def main() -> int:
         "batch": B, "len": Lq, "band": band,
         "ms_per_pair_blocking_e2e": round(best / B * 1e3, 3),
         "ms_per_pair_device": round(ms_pair, 4),
+        # alias: the difference method IS the fully-pipelined rate (64
+        # chained kernel runs in flight inside one jit, zero host gaps)
+        "ms_per_pair_pipelined": round(ms_pair, 4),
         "pairs_per_s_device": round(B / per_run, 1),
         "gcells_per_s_device": round(gcells, 1),
         "roundtrip_ms": round(fetch[1] * 1e3, 1),
