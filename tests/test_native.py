@@ -1143,3 +1143,40 @@ def test_fused_anchor_keys_match_expanded_path(monkeypatch):
             np.testing.assert_array_equal(a, b)
         else:
             assert a == b
+
+
+def test_window_minimizers_flat_matches_tuple_paths():
+    """window_minimizers_flat_batch: the large-batch native-flat path, the
+    small-batch cached-tuple path, and the per-query numpy oracle must all
+    agree (values and per-query offsets)."""
+    from savont_tpu.ops import align as align_mod
+    from savont_tpu.ops.align import (
+        _window_minimizers_numpy,
+        ascii_to_align_codes,
+        window_minimizers_flat_batch,
+    )
+    from savont_tpu.ops.kmers_native import get_scan_lib
+
+    if get_scan_lib() is None:
+        return
+    rng = np.random.default_rng(59)
+    queries = [
+        rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                   int(rng.integers(20, 600))).tobytes()
+        for _ in range(2100)  # >= 2048 -> flat native path
+    ]
+    h, p, f, off = window_minimizers_flat_batch(queries, 10, 15)
+    assert len(off) == len(queries) + 1 and off[-1] == len(h)
+    # small-batch (cached tuple) path on a subset must slice-match
+    sub = queries[:64]
+    align_mod._MINI_CACHE.clear()
+    h2, p2, f2, off2 = window_minimizers_flat_batch(sub, 10, 15)
+    np.testing.assert_array_equal(h[: off[64]], h2)
+    np.testing.assert_array_equal(p[: off[64]], p2)
+    np.testing.assert_array_equal(f[: off[64]], f2)
+    # numpy oracle spot-check on a handful
+    for i in (0, 7, 63, 2099):
+        oh, op, of = _window_minimizers_numpy(ascii_to_align_codes(queries[i]), 10, 15)
+        np.testing.assert_array_equal(h[off[i]:off[i + 1]], oh)
+        np.testing.assert_array_equal(p[off[i]:off[i + 1]], op)
+        np.testing.assert_array_equal(f[off[i]:off[i + 1]], of)
