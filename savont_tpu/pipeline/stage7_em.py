@@ -384,6 +384,10 @@ def refine_asv_depths_with_em(
             f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{mm[i]}\t{nm[i]}\n"
             for i in bi
         )
+    # NOTE: eq-class insertion order is LOAD-BEARING — _run_em's bincount
+    # accumulation row order matches dict iteration order, and f64 addition
+    # order changes last-ulp abundances.  Keep the first-occurrence-in-read-
+    # order dict build; do not replace with np.unique (which sorts).
     eq_counts: dict[bytes, int] = {}
     for s, e, bl in zip(starts, ends, best_len):
         key = aa[s : s + bl].tobytes()
