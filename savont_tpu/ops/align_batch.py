@@ -582,11 +582,26 @@ def run_jobs(jobs: list[AlignJob], band: int | None = None, bucket: int = 64) ->
 
     Returns per job: (score, q0, q1, t0, t1, cigar, nm) or None.
     """
+    import os
+
     from .align import resolve_band
 
     band = resolve_band(band)
     if not jobs:
         return []
+    if (
+        os.environ.get("SAVONT_ALIGN_BACKEND") == "jax"
+        and os.environ.get("SAVONT_DEVICE_TB", "1") != "0"
+    ):
+        # device traceback: full CIGARs computed on-chip (direction planes +
+        # batched walk + on-device RLE), bit-identical to the host kernels on
+        # smooth bands — serves the CIGAR consumers (stage-4 votes, pileups,
+        # stage-5 adjusted errors, stage-6 chimera walks) on TPU.
+        # SAVONT_DEVICE_TB=0 keeps CIGAR sites on the host kernel (the
+        # pre-round-4 behavior).
+        from . import align_jax
+
+        return align_jax.sw_traceback_numpy_jobs(jobs, band)
     from .native_build import get_lib
 
     lib = get_lib()
@@ -1330,10 +1345,15 @@ def align_pairs(pairs: list[tuple[bytes, bytes]], band: int | None = None) -> li
     Prefers the struct-of-arrays planner+DP path (no per-job Python
     objects) with the inter-pair SIMD traceback kernel; falls back to the
     AlignJob path when native libs or packed-key dims are missing.  Both
-    produce identical Mappings including CIGARs (tests/test_native.py)."""
-    out = _run_soa_slabs(pairs, band, traceback=True)
-    if out is not None:
-        return out
+    produce identical Mappings including CIGARs (tests/test_native.py).
+    SAVONT_ALIGN_BACKEND=jax routes through the device traceback kernel
+    (align_jax.sw_traceback_numpy_jobs) via run_jobs."""
+    import os
+
+    if os.environ.get("SAVONT_ALIGN_BACKEND") in (None, "") and _JAX_BACKEND is None:
+        out = _run_soa_slabs(pairs, band, traceback=True)
+        if out is not None:
+            return out
     all_jobs, owner = _plan_pairs(pairs, band)
     raw = run_jobs(all_jobs, band=band)
     best: list[Mapping | None] = [None] * len(pairs)

@@ -232,6 +232,45 @@ def homopolymer_compress(seq: np.ndarray, do_hpc: bool) -> tuple[np.ndarray, np.
     return seq[starts], lens.astype(np.uint8)
 
 
+def homopolymer_compress_with_quality(
+    seq: np.ndarray, qual: np.ndarray, do_hpc: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """HPC compress with per-run MIN quality (utils.rs:135-184).
+
+    Returns (hpc_seq, hpc_quals, run_lengths).  Mirrors the reference
+    exactly: empty or length-mismatched inputs return three empty arrays;
+    runs longer than 255 split (u8 cap), each split segment carrying the
+    min quality of ITS OWN span; do_hpc=False passes through with
+    run_lengths of 1.
+    """
+    seq = np.asarray(seq)
+    qual = np.asarray(qual, dtype=np.uint8)
+    if len(seq) == 0 or len(seq) != len(qual):
+        return seq[:0].copy(), qual[:0].copy(), np.zeros(0, dtype=np.uint8)
+    if not do_hpc:
+        return seq.copy(), qual.copy(), np.ones(len(seq), dtype=np.uint8)
+    change = np.empty(len(seq), dtype=bool)
+    change[0] = True
+    change[1:] = seq[1:] != seq[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(seq))
+    lens = ends - starts
+    if (lens > 255).any():
+        out_s, out_l = [], []
+        for s, L in zip(starts, lens):
+            while L > 255:
+                out_s.append(s)
+                out_l.append(255)
+                s += 255
+                L -= 255
+            out_s.append(s)
+            out_l.append(L)
+        starts = np.array(out_s)
+        lens = np.array(out_l)
+    hq = np.minimum.reduceat(qual, starts)
+    return seq[starts], hq, lens.astype(np.uint8)
+
+
 def homopolymer_decompress(hpc_seq: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Inverse of homopolymer_compress (utils.rs:114-130)."""
     if len(hpc_seq) != len(lens):

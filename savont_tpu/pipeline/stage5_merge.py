@@ -363,4 +363,6 @@ def merge_similar_consensuses(
         and len(consensuses) <= 76
         and all(a.sequence is b.sequence for a, b in zip(out, consensuses))
     )
-    return out, (all_hits if reusable else None)
+    # the hits travel TAGGED with the exact list object they are valid for;
+    # stage-6 checks identity (not just length) before trusting them
+    return out, ((all_hits, out) if reusable else None)

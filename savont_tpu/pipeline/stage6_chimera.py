@@ -99,21 +99,28 @@ def calculate_match_lengths(
 def detect_chimeras(
     consensuses: list[ConsensusSequence],
     args: ClusterArgs,
-    precomputed_hits: list | None = None,
+    precomputed_hits: tuple[list, list] | None = None,
 ) -> set[int]:
     """Returns indices of chimeric consensuses (chimera.rs:37-269).
 
-    precomputed_hits: stage-5's all-vs-all map_batch result over the SAME
-    consensus list (merge_similar_consensuses hands it over when no merge
-    changed the list) — identical to what would be recomputed here."""
+    precomputed_hits: stage-5's (all_vs_all_hits, tagged_consensus_list) —
+    merge_similar_consensuses hands it over when no merge changed the list,
+    tagged with the exact list object the hits were computed over.  The
+    hits are trusted only if that tag IS the list passed here (object
+    identity); anything else recomputes, so a drifting caller invariant
+    degrades to a recompute instead of silently wrong chimera calls."""
     if not consensuses:
         return set()
     for c in consensuses:
         c.get_decompressed()
 
     seqs = [c.get_decompressed().tobytes() for c in consensuses]
-    if precomputed_hits is not None and len(precomputed_hits) == len(consensuses):
-        all_hits = precomputed_hits
+    if (
+        precomputed_hits is not None
+        and precomputed_hits[1] is consensuses
+        and len(precomputed_hits[0]) == len(consensuses)
+    ):
+        all_hits = precomputed_hits[0]
     else:
         from ..ops.align_batch import map_batch
 
