@@ -22,7 +22,11 @@ import numpy as np
 from ..config import ClusterArgs
 from ..constants import DEFAULT_ERR_RATE, MAX_SEQS_CONSENSUS
 from ..core import ConsensusSequence, TwinRead
-from ..ops.encode import homopolymer_compress, revcomp_bytes
+from ..ops.encode import (
+    homopolymer_compress,
+    homopolymer_compress_with_quality,
+    revcomp_bytes,
+)
 
 log = logging.getLogger("savont")
 
@@ -360,11 +364,11 @@ def generate_consensus_pileups(
             seq = tr.seq_bytes()
             qual = tr.expanded_qual_ascii()
             if args.use_hpc:
-                arr = np.frombuffer(seq, dtype=np.uint8)
-                hpc_seq, hp_lens = homopolymer_compress(arr, True)
-                idx = np.repeat(np.arange(len(hpc_seq)), hp_lens.astype(np.int64))
-                hq = np.full(len(hpc_seq), 255, dtype=np.uint8)
-                np.minimum.at(hq, idx, qual)
+                # per-read HPC with min-run quality (utils.rs:135-184, used
+                # at alignment.rs:473 before pileup population)
+                hpc_seq, hq, hp_lens = homopolymer_compress_with_quality(
+                    np.frombuffer(seq, dtype=np.uint8), qual
+                )
                 seq, qual, hp = hpc_seq.tobytes(), hq, hp_lens
             else:
                 hp = None

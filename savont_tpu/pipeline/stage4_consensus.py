@@ -23,7 +23,11 @@ from ..constants import MAX_SEQS_POA
 from ..core import ConsensusSequence, TwinRead
 from ..ops.align import Mapping, cigar_lens_ops
 from ..ops.align_batch import align_pairs
-from ..ops.encode import homopolymer_compress, revcomp_bytes
+from ..ops.encode import (
+    homopolymer_compress,
+    homopolymer_compress_with_quality,
+    revcomp_bytes,
+)
 
 log = logging.getLogger("savont")
 
@@ -436,6 +440,47 @@ def align_and_consensus(
     templates: dict[int, bytes] = {
         cid: c["seqs"][c["seed"]] for cid, c in enumerate(ctx)
     }
+
+    if args.use_hpc:
+        # The reference HPC-compresses every ORIENTED read (with min-run
+        # quality, utils.rs:135-184) and runs the consensus in HPC space
+        # (alignment.rs:357-377).  Orientation above used raw space, like
+        # the reference's aligner.map; the vote's CIGARs must live in HPC
+        # space, so compress reads + seed templates and realign.
+        for cid in list(oriented_by_cluster):
+            oriented_by_cluster[cid] = [
+                (hs.tobytes(), hq)
+                for hs, hq, _ in (
+                    homopolymer_compress_with_quality(
+                        np.frombuffer(s, dtype=np.uint8), q
+                    )
+                    for s, q in oriented_by_cluster[cid]
+                )
+            ]
+        for cid in range(len(ctx)):
+            hpc, _ = homopolymer_compress(
+                np.frombuffer(templates[cid], dtype=np.uint8), True
+            )
+            templates[cid] = hpc.tobytes()
+        qh, th, ownh = [], [], []
+        tpl_pool = [templates[cid] for cid in range(len(ctx))]
+        for cid in range(len(ctx)):
+            for slot, (oseq, _) in enumerate(oriented_by_cluster.get(cid, [])):
+                qh.append(oseq)
+                th.append(cid)
+                ownh.append((cid, slot))
+        resh = align_pairs_indexed(
+            qh, tpl_pool, np.arange(len(qh)), np.asarray(th, np.int64)
+        )
+        ori_h: dict[int, list] = {}
+        mps_h: dict[int, list] = {}
+        for (cid, slot), m in zip(ownh, resh):
+            if m is None or m.strand == -1:  # already oriented; flips are noise
+                continue
+            ori_h.setdefault(cid, []).append(oriented_by_cluster[cid][slot])
+            mps_h.setdefault(cid, []).append(m)
+        oriented_by_cluster, mappings_by_cluster = ori_h, mps_h
+
     voted_ids = [cid for cid in range(len(ctx)) if mappings_by_cluster.get(cid)]
     for cid, t in zip(
         voted_ids,

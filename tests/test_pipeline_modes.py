@@ -131,9 +131,9 @@ def test_resume_checkpoint(tmp_path):
 @pytest.mark.skipif(not READS.exists(), reason="bundled data unavailable")
 def test_use_hpc_end_to_end_zymo(tmp_path):
     """--use-hpc on the real Zymo reads, NM=0 oracle.  The vote path
-    compresses the voted template (stage4_consensus) rather than aligning
-    HPC-compressed reads like alignment.rs:300-310 — output-contract
-    equivalent; this pins that contract end-to-end."""
+    HPC-compresses every oriented read with min-run quality and runs the
+    consensus in HPC space (alignment.rs:357-377 + utils.rs:135-184,
+    semantics-faithful as of round 4); this pins the contract end-to-end."""
     from savont_tpu.validate import validate_asvs
 
     out = tmp_path / "hpc_zymo"
