@@ -288,15 +288,18 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128, smooth: bool = True):
 ST_H, ST_G, ST_E, ST_F = 0, 1, 2, 3
 
 
-@partial(jax.jit, static_argnames=("band", "ops_max", "maxrun"))
-def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
-    """Batched banded SW with full on-device traceback.
+def _forward_payload(q, t, lo, tlens, band: int):
+    """Forward scan emitting ONE packed i32 payload word per cell:
 
-    Inputs as sw_forward_meta; lo is the RAW planner band (arbitrary
-    non-decreasing advances — handled exactly via barrel shifts).
-    Returns dict with per-pair score/q_start/q_end/t_start/t_end/nm plus
-    cigar (B, maxrun) packed u32 and n_runs (n_runs > maxrun = overflow,
-    caller re-runs that pair on the host kernel).
+        bit0  use_g    bit1 g_zero    bit2 g_f    bit3 exitE    bit4 from_h
+        bit5  mm       (mismatch-or-both-ambiguous at this cell)
+        bits6+ dl      (row band advance, clamped to band+1)
+
+    so the traceback walk needs exactly ONE gather per step — the walk is
+    dispatch-overhead-bound on TPU, and folding the q/t/lo lookups into the
+    payload removed ~6 kernel launches per emitted op (measured 3x).
+    Returns (payload (B, Lq*band), score, ri, bj) with the start cell
+    equal to the host's row-major flat argmax of H[1:].
     """
     B, Lq = q.shape
     je = jnp.arange(band, dtype=jnp.int32)
@@ -345,12 +348,14 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         use_g = Gr >= Er
         exitE = Er == (shr1(Gr, NEG) - ooe)
 
-        dirs = (
-            use_g.astype(jnp.uint8)
-            | (g_zero.astype(jnp.uint8) << 1)
-            | (g_f.astype(jnp.uint8) << 2)
-            | (exitE.astype(jnp.uint8) << 3)
-            | (from_h.astype(jnp.uint8) << 4)
+        pay = (
+            use_g.astype(jnp.int32)
+            | (g_zero.astype(jnp.int32) << 1)
+            | (g_f.astype(jnp.int32) << 2)
+            | (exitE.astype(jnp.int32) << 3)
+            | (from_h.astype(jnp.int32) << 4)
+            | ((~is_match).astype(jnp.int32) << 5)
+            | (jnp.minimum(dl, band + 1)[:, None] << 6)
         )
 
         Hr = jnp.where(use_g, Gr, Er)
@@ -359,7 +364,7 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         better = Hr > bv  # strictly greater -> per-lane earliest row
         bv_n = jnp.where(better, Hr, bv)
         brow_n = jnp.where(better, r, brow)
-        return (Hr, Fr, bv_n, brow_n), dirs
+        return (Hr, Fr, bv_n, brow_n), pay
 
     vary2 = (
         (q[:, :1].astype(jnp.int32) & 0)
@@ -377,8 +382,8 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         jnp.swapaxes(tc_all, 0, 1),
         jnp.swapaxes(valid_all, 0, 1),
     )
-    (_, _, bv, brow), dirs_rows = lax.scan(step, init, xs)
-    dirs = jnp.swapaxes(dirs_rows, 0, 1).reshape(B, Lq * band)  # (B, Lq*band)
+    (_, _, bv, brow), pay_rows = lax.scan(step, init, xs)
+    payload = jnp.swapaxes(pay_rows, 0, 1).reshape(B, Lq * band)
 
     # start cell = row-major flat argmax of H[1:]: earliest row, lowest lane
     vmax = bv.max(axis=1, keepdims=True)
@@ -392,32 +397,37 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
     score = pick(bv)
     ri = pick(brow)
     bj = pick(jnp.broadcast_to(je[None, :], bv.shape))
+    return payload, score, ri, bj
 
-    # ── batched walk (host _traceback state machine, one op per iteration) ──
-    bidx = jnp.arange(B)
-    r0 = ri
-    j0 = bj
-    st0 = jnp.full((B,), ST_H, jnp.int32)
-    done0 = score <= 0
-    cnt0 = jnp.zeros((B,), jnp.int32)
-    nm0 = jnp.zeros((B,), jnp.int32)
-    nins0 = jnp.zeros((B,), jnp.int32)
-    ndel0 = jnp.zeros((B,), jnp.int32)
-    ops0 = jnp.zeros((B, ops_max), jnp.uint8)
 
-    def cond(c):
-        return jnp.any(~c[5])
+def _walk_ops(payload, score, ri, bj, band: int, ops_max: int, chunk: int = 256):
+    """Batched traceback walk (host _traceback state machine).
 
-    def body(c):
-        r, j, st, cnt, nm, done, nins, ndel, ops = c
+    Emits ops into fixed step slots via chunked lax.scan (a single gather +
+    one fused elementwise chain per step — no per-step scatter): positions
+    0..cnt-1 of each row hold that pair's backward op stream, 255 past it.
+    The outer while_loop exits as soon as every pair is done, so the cost
+    is ceil(longest_path / chunk) chunks.
+
+    Returns (ops (B, W) u8 backward order, cnt, nm, nins, ndel), W =
+    ops_max rounded up to a chunk multiple.
+    """
+    B = payload.shape[0]
+    n_chunks = -(-ops_max // chunk)
+    W = n_chunks * chunk
+
+    def stepw(c, _):
+        r, j, st, cnt, nm, nins, ndel, done = c
         act = ~done
-        cell = jnp.clip((r - 1) * band + j, 0, Lq * band - 1)
-        d = jnp.take_along_axis(dirs, cell[:, None], axis=1)[:, 0]
-        use_g = (d & 1) != 0
-        g_zero = (d & 2) != 0
-        g_f = (d & 4) != 0
-        exitE = (d & 8) != 0
-        from_h = (d & 16) != 0
+        cell = jnp.clip((r - 1) * band + j, 0, payload.shape[1] - 1)
+        p = jnp.take_along_axis(payload, cell[:, None], axis=1)[:, 0]
+        use_g = (p & 1) != 0
+        g_zero = (p & 2) != 0
+        g_f = (p & 4) != 0
+        exitE = (p & 8) != 0
+        from_h = (p & 16) != 0
+        mm = (p >> 5) & 1
+        dl = p >> 6
 
         st1 = jnp.where(st == ST_H, jnp.where(use_g, ST_G, ST_E), st)
         is_stop = (st1 == ST_G) & g_zero
@@ -426,30 +436,20 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         is_f = (st2 == ST_F) & ~is_stop
         is_e = (st2 == ST_E) & ~is_stop
 
-        l_r = jnp.take_along_axis(lo, jnp.clip(r, 0, Lq)[:, None], axis=1)[:, 0]
-        l_m = jnp.take_along_axis(lo, jnp.clip(r - 1, 0, Lq)[:, None], axis=1)[:, 0]
-        dl = l_r - l_m
-        col = l_r + j
-        qc = jnp.take_along_axis(q, jnp.clip(r - 1, 0, Lq - 1)[:, None], axis=1)[:, 0]
-        tc = jnp.take_along_axis(t, jnp.clip(col, 0, t.shape[1] - 1)[:, None], axis=1)[:, 0]
-        mm = (qc != tc) | ((qc == 4) & (tc == 4))
-
         emit = act & ~is_stop
-        op = jnp.where(is_diag, 0, jnp.where(is_f, 1, 2)).astype(jnp.uint8)
-        ops = ops.at[bidx, jnp.where(emit, cnt, ops_max)].set(op, mode="drop")
-        nm = nm + jnp.where(emit, jnp.where(is_diag, mm.astype(jnp.int32), 1), 0)
+        op = jnp.where(is_diag, 0, jnp.where(is_f, 1, 2))
+        op_emit = jnp.where(emit, op, 255).astype(jnp.uint8)
+        nm = nm + jnp.where(emit, jnp.where(is_diag, mm, 1), 0)
         nins = nins + (emit & is_f).astype(jnp.int32)
         ndel = ndel + (emit & is_e).astype(jnp.int32)
         cnt = cnt + emit.astype(jnp.int32)
 
         # moves (host order: emit, move, then boundary breaks)
         up = j + dl
-        j_d, r_d = j + dl - 1, r - 1
         exit_f = from_h & (up < band)
         exit_e = exitE & (j - 1 >= 0)
-
         r_n = jnp.where(is_diag | is_f, r - 1, r)
-        j_n = jnp.where(is_diag, j_d, jnp.where(is_f, up, jnp.where(is_e, j - 1, j)))
+        j_n = jnp.where(is_diag, up - 1, jnp.where(is_f, up, jnp.where(is_e, j - 1, j)))
         st_n = jnp.where(
             is_diag,
             ST_H,
@@ -461,15 +461,47 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         )
         term = is_stop | (r_n <= 0) | (j_n < 0) | (j_n >= band) | (cnt >= ops_max)
         done_n = done | (act & term)
-
         r = jnp.where(act, r_n, r)
         j = jnp.where(act, j_n, j)
         st = jnp.where(act, st_n, st)
-        return (r, j, st, cnt, nm, done_n, nins, ndel, ops)
+        return (r, j, st, cnt, nm, nins, ndel, done_n), op_emit
 
-    (_, _, _, cnt, nm, _, nins, ndel, ops) = lax.while_loop(
-        cond, body, (r0, j0, st0, cnt0, nm0, done0, nins0, ndel0, ops0)
-    )
+    def cond(s):
+        k, walk, _ = s
+        return (k < n_chunks) & jnp.any(~walk[7])
+
+    def body(s):
+        k, walk, ops = s
+        walk, ops_chunk = lax.scan(stepw, walk, None, length=chunk)
+        ops = lax.dynamic_update_slice(ops, ops_chunk.T, (0, k * chunk))
+        return (k + 1, walk, ops)
+
+    # zero-carries derived from a varying input so the loop state's sharding
+    # "varying" type matches the body outputs under shard_map
+    z = score & 0
+    walk0 = (ri, bj, z + ST_H, z, z, z, z, score <= 0)
+    ops0 = jnp.broadcast_to(
+        (z & 0).astype(jnp.uint8)[:, None], (B, W)
+    ) + jnp.uint8(255)
+    _, walk, ops = lax.while_loop(cond, body, (jnp.int32(0), walk0, ops0))
+    (_, _, _, cnt, nm, nins, ndel, _) = walk
+    return ops, cnt, nm, nins, ndel
+
+
+@partial(jax.jit, static_argnames=("band", "ops_max", "maxrun"))
+def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
+    """Batched banded SW with full on-device traceback.
+
+    Inputs as sw_forward_meta; lo is the RAW planner band (arbitrary
+    non-decreasing advances — handled exactly via barrel shifts).
+    Returns dict with per-pair score/q_start/q_end/t_start/t_end/nm plus
+    cigar (B, maxrun) packed u32 and n_runs (n_runs > maxrun = overflow,
+    caller re-runs that pair on the host kernel).
+    """
+    B, Lq = q.shape
+    payload, score, ri, bj = _forward_payload(q, t, lo, tlens, band)
+    ops, cnt, nm, nins, ndel = _walk_ops(payload, score, ri, bj, band, ops_max)
+    W = ops.shape[1]
 
     q_end = ri
     t_end = jnp.take_along_axis(lo, jnp.clip(ri, 0, Lq)[:, None], axis=1)[:, 0] + bj + 1
@@ -477,16 +509,16 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
     t_start = t_end - (cnt - nins)
 
     # reverse (ops were emitted end->start) and run-length encode
-    ii = jnp.arange(ops_max)
+    ii = jnp.arange(W)
     rev_idx = cnt[:, None] - 1 - ii[None, :]
     valid = rev_idx >= 0
-    ops_f = jnp.take_along_axis(ops, jnp.clip(rev_idx, 0, ops_max - 1), axis=1)
+    ops_f = jnp.take_along_axis(ops, jnp.clip(rev_idx, 0, W - 1), axis=1)
     prev = jnp.concatenate([jnp.full((B, 1), 255, jnp.uint8), ops_f[:, :-1]], axis=1)
     bnd = valid & (ops_f != prev)
     rid = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1
     n_runs = bnd.sum(axis=1).astype(jnp.int32)
     rid_c = jnp.clip(rid, 0, maxrun - 1)
-    b2 = bidx[:, None]
+    b2 = jnp.arange(B)[:, None]
     run_len = jnp.zeros((B, maxrun), jnp.int32).at[
         b2, jnp.where(valid, rid_c, maxrun)
     ].add(1, mode="drop")
@@ -506,6 +538,102 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         "cigar": cigar,
         "n_runs": n_runs,
     }
+
+
+def sw_pileup_counts(
+    q, t, lo, tlens, lvl, hp, off, total_L: int, nq: int,
+    band: int, ops_max: int, slots: int = 1, use_hp: bool = False,
+):
+    """Banded SW + traceback + DIRECT pileup count-matrix scatter, all on
+    device — the stage-4 pileup construction (alignment.rs:409-652) with
+    only the count matrices leaving the chip.
+
+    q/t/lo/tlens as sw_traceback_full, with B = n_pairs * slots rows: each
+    group of `slots` consecutive rows are the candidate jobs of one
+    (read, consensus) pair (both strands); the winner is the strictly-max
+    score with the earliest slot (align_pairs' rule) and only the winner's
+    path is scattered.  lvl (B, Lq) int32 = per-ORIENTED-query-base quality
+    level; hp (B, Lq) int32 = clamped HP run lengths (use_hp only); off (B,)
+    int32 = flat base offset of the pair's consensus (roff[owner]).
+
+    Returns dict of flat count arrays:
+        bq   (total_L*nq*2,)  base counts by (pos, qlevel, is_ref)
+        dels (total_L,)
+        ins  (total_L*nq,)    one event per insertion run @ first-base qlevel
+        hph  (total_L*64,)    HP run-length histogram (use_hp)
+    exactly matching pipeline/pileup.read_pileup_indices semantics: the
+    backward op stream's positions are reconstructed with cumsums, so the
+    walk itself is untouched.
+    """
+    B, Lq = q.shape
+    payload, score, ri, bj = _forward_payload(q, t, lo, tlens, band)
+
+    if slots > 1:
+        # per-pair winner: max score, earliest slot on ties (the AlignJob
+        # path's strictly-greater replacement rule)
+        s2 = score.reshape(-1, slots)
+        win_col = jnp.argmax(s2, axis=1)  # argmax returns FIRST max
+        is_win = (
+            jnp.arange(slots)[None, :] == win_col[:, None]
+        ).reshape(-1)
+        walk_score = jnp.where(is_win, score, 0)
+    else:
+        walk_score = score
+
+    ops, cnt, nm, nins, ndel = _walk_ops(payload, walk_score, ri, bj, band, ops_max)
+    W = ops.shape[1]
+
+    q_end = ri
+    t_end = jnp.take_along_axis(lo, jnp.clip(ri, 0, Lq)[:, None], axis=1)[:, 0] + bj + 1
+
+    # backward stream -> positions: the i-th backward op consumes
+    # t[t_end-1 - #(target-consuming ops before it)] / q[q_end-1 - ...]
+    ii = jnp.arange(W)
+    valid = ii[None, :] < cnt[:, None]
+    adv_t = ((ops != 1) & valid).astype(jnp.int32)
+    adv_q = ((ops != 2) & valid).astype(jnp.int32)
+    ct = jnp.cumsum(adv_t, axis=1) - adv_t  # exclusive
+    cq = jnp.cumsum(adv_q, axis=1) - adv_q
+    tpos = t_end[:, None] - 1 - ct
+    qpos = q_end[:, None] - 1 - cq
+    qi = jnp.clip(qpos, 0, Lq - 1)
+    qc = jnp.take_along_axis(q, qi, axis=1)
+    tc = jnp.take_along_axis(t, jnp.clip(tpos, 0, t.shape[1] - 1), axis=1)
+    lv = jnp.take_along_axis(lvl, qi, axis=1)
+    off_b = off[:, None] + tpos  # flat consensus position
+
+    in_t = (tpos >= 0) & (tpos < tlens[:, None])
+    is_m = valid & (ops == 0) & in_t & (qpos >= 0)
+    is_ref = (qc == tc).astype(jnp.int32)
+    bq_idx = jnp.where(is_m, (off_b * nq + lv) * 2 + is_ref, total_L * nq * 2)
+    bq = jnp.zeros((total_L * nq * 2,), jnp.int32).at[bq_idx.reshape(-1)].add(
+        1, mode="drop"
+    )
+
+    is_d = valid & (ops == 2) & in_t
+    del_idx = jnp.where(is_d, off_b, total_L)
+    dels = jnp.zeros((total_L,), jnp.int32).at[del_idx.reshape(-1)].add(1, mode="drop")
+
+    # insertion events: one per run at the FORWARD-first base = the LAST
+    # backward op of each consecutive-1 stretch; attach at tpos (== the
+    # host's tp-1), quality of that base (alignment.rs:585-600 semantics
+    # via pileup.read_pileup_indices:137-145)
+    nxt = jnp.concatenate([ops[:, 1:], jnp.full((B, 1), 255, jnp.uint8)], axis=1)
+    i_first = valid & (ops == 1) & ((ii[None, :] + 1 >= cnt[:, None]) | (nxt != 1))
+    ins_ok = i_first & in_t & (qpos >= 0)
+    ins_idx = jnp.where(ins_ok, off_b * nq + lv, total_L * nq)
+    ins = jnp.zeros((total_L * nq,), jnp.int32).at[ins_idx.reshape(-1)].add(
+        1, mode="drop"
+    )
+
+    out = {"bq": bq, "dels": dels, "ins": ins, "score": score, "nm": nm}
+    if use_hp:
+        hpv = jnp.take_along_axis(hp, qi, axis=1)
+        hp_idx = jnp.where(is_m, off_b * 64 + hpv, total_L * 64)
+        out["hph"] = jnp.zeros((total_L * 64,), jnp.int32).at[
+            hp_idx.reshape(-1)
+        ].add(1, mode="drop")
+    return out
 
 
 def _pack_jobs(jobs, band):

@@ -724,3 +724,260 @@ def shard_reads(mesh: Mesh, reads: np.ndarray, axis: str = "dp"):
     if jax.process_count() > 1:
         return jax.make_array_from_callback(reads.shape, sharding, lambda idx: reads[idx])
     return jax.device_put(reads, sharding)
+
+
+
+# ── stage-4 pileup construction on the mesh ─────────────────────────────────
+#
+# The whole stage-4 pileup build (alignment.rs:409-652) as ONE device
+# pipeline: orient (both planned strands per pair, winner on device) +
+# banded align + traceback walk + direct count-matrix scatter, sharded over
+# (read, consensus) pairs; the per-consensus matrices are psum-reduced so
+# only ~total_L*(3*NQ+1(+64)) int32 counters ever leave the chip.
+# SAVONT_STAGE4_BACKEND=mesh routes pipeline/pileup.generate_consensus_pileups
+# here, output-identical (tests/test_stage4_mesh.py).
+
+
+def _ext_codes(b: bytes) -> np.ndarray:
+    """ACGT -> 0..3; every other byte keeps its ASCII value (>= 33).  DP
+    behavior is identical to ascii_to_align_codes (is_match needs code < 4)
+    while code equality == ASCII equality, which the pileup is_ref column
+    needs (the host compares raw bytes, alignment.rs:528)."""
+    arr = np.frombuffer(bytes(b), dtype=np.uint8)
+    out = arr.astype(np.int16)
+    for ch, c in ((ord("A"), 0), (ord("C"), 1), (ord("G"), 2), (ord("T"), 3),
+                  (ord("a"), 0), (ord("c"), 1), (ord("g"), 2), (ord("t"), 3)):
+        out[arr == ch] = c
+    return out.astype(np.int8)
+
+
+@_functools.lru_cache(maxsize=4)
+def _stage4_step(mesh: Mesh, band: int, total_L: int, nq: int, ops_max: int,
+                 slots: int, use_hp: bool):
+    """Jitted sharded accumulate-step: adds one pair-chunk's pileup counts
+    into the running (replicated) accumulators.  Pair rows are sharded with
+    their `slots` candidate jobs packed along the feature axis, so a pair's
+    strand winner is decided locally on its device."""
+    from ..ops import align_jax
+
+    axis = mesh.axis_names[0]
+    n_acc = 4 if use_hp else 3
+
+    def per_shard(*args2):
+        acc = args2[:n_acc]
+        q, lo, lvl, hp, off, tid, t_pool, tlens_pool = args2[n_acc:]
+        Pl = q.shape[0]
+        Lq = q.shape[1] // slots
+        q = q.reshape(Pl * slots, Lq).astype(jnp.int32)
+        lo = lo.reshape(Pl * slots, Lq + 1).astype(jnp.int32)
+        lvl = lvl.reshape(Pl * slots, Lq).astype(jnp.int32)
+        hp = hp.reshape(Pl * slots, -1).astype(jnp.int32)
+        off = off.reshape(Pl * slots).astype(jnp.int32)
+        tid = tid.reshape(Pl * slots).astype(jnp.int32)
+        tidc = jnp.clip(tid, 0, t_pool.shape[0] - 1)
+        t = t_pool[tidc]
+        tl = tlens_pool[tidc]
+        out = align_jax.sw_pileup_counts(
+            q, t, lo, tl, lvl, hp, off,
+            total_L, nq, band, ops_max, slots=slots, use_hp=use_hp,
+        )
+        keys = ["bq", "dels", "ins"] + (["hph"] if use_hp else [])
+        return tuple(a + lax.psum(out[k], axis) for a, k in zip(acc, keys))
+
+    acc_specs = tuple(P(None) for _ in range(n_acc))
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=acc_specs + (
+            P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+            P(axis, None), P(axis, None), P(None, None), P(None),
+        ),
+        out_specs=acc_specs,
+    )
+    return jax.jit(sharded, donate_argnums=tuple(range(n_acc)))
+
+
+def mesh_stage4_pileups(twin_reads, consensuses, args, mesh: Mesh | None = None):
+    """Device stage-4 pileup construction (SAVONT_STAGE4_BACKEND=mesh).
+
+    Mirrors pipeline/pileup.generate_consensus_pileups exactly: same
+    payload (HPC per read under --use-hpc), same SoA planning, same winner
+    rule (max score, earliest plan slot), same count-matrix semantics —
+    the alignment + traceback + scatter all run on the mesh in pair-row
+    chunks with device-side accumulation, ONE batched fetch at the end."""
+    import os
+
+    from ..ops.align import resolve_band
+    from ..ops.align_batch import _plan_soa_indexed
+    from ..ops.encode import revcomp_bytes
+    from ..pipeline.pileup import NQ, PileupMatrix, _pileup_payload, qlevel
+
+    band = resolve_band(None)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    use_hp = bool(args.use_hpc)
+
+    owners, payload = _pileup_payload(twin_reads, consensuses, args)
+
+    # flat count buffers (identical layout to the host path)
+    L_flat = np.fromiter((len(c.sequence) for c in consensuses), np.int64, len(consensuses))
+    roff = np.zeros(len(consensuses) + 1, dtype=np.int64)
+    np.cumsum(L_flat, out=roff[1:])
+    total_L = max(int(roff[-1]), 1)
+
+    tgt_pool_bytes = [cons.sequence.tobytes() for cons in consensuses]
+    plan = _plan_soa_indexed(
+        [p[0] for p in payload], tgt_pool_bytes,
+        np.arange(len(payload), dtype=np.int64),
+        np.asarray(owners, dtype=np.int64), band,
+    ) if payload else "empty"
+    if plan is None:
+        # SoA planner prerequisites missing -> host path (identical output)
+        from ..pipeline import pileup as _pileup_mod
+
+        env = os.environ.pop("SAVONT_STAGE4_BACKEND", None)
+        try:
+            return _pileup_mod.generate_consensus_pileups(twin_reads, consensuses, args)
+        finally:
+            if env is not None:
+                os.environ["SAVONT_STAGE4_BACKEND"] = env
+
+    bq = np.zeros(total_L * NQ * 2, dtype=np.int64)
+    dels = np.zeros(total_L, dtype=np.int64)
+    ins = np.zeros(total_L * NQ, dtype=np.int64)
+    hph = np.zeros(total_L * 64, dtype=np.int64) if use_hp else None
+
+    if plan != "empty":
+        (owner_j, _uq_j, st_j, tid_j, _q_cat, _q_off_j, q_lens_j,
+         _t_cat, _t_off_j, _t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
+
+        # slot layout: jobs of one pair in consecutive slots, plan order
+        # (strand - then +) so the device argmax-first winner rule matches
+        # the host's strictly-greater replacement exactly
+        order = np.argsort(owner_j, kind="stable")
+        ow_s = owner_j[order]
+        slot_in_pair = np.arange(len(ow_s)) - np.searchsorted(ow_s, ow_s, side="left")
+        C = int(slot_in_pair.max()) + 1 if len(ow_s) else 1
+        Pn = len(payload)
+        Lq = int(q_lens_j.max()) if len(owner_j) else 8
+
+        rows_flat = ow_s * C + slot_in_pair
+        q_panel = np.full((Pn * C, Lq), 5, dtype=np.int8)
+        lvl_panel = np.zeros((Pn * C, Lq), dtype=np.int8)
+        hpw = Lq if use_hp else 1
+        hp_panel = np.zeros((Pn * C, hpw), dtype=np.int8)
+        lo_panel = np.zeros((Pn * C, Lq + 1), dtype=np.int16)
+        tid_panel = np.full(Pn * C, -1, dtype=np.int32)
+        off_panel = np.zeros(Pn * C, dtype=np.int32)
+
+        # oriented panels (EXT codes; qual levels / clamped HP reversed for
+        # strand -1), each used (pair, strand) encoded exactly once
+        seq_cache: dict[tuple[int, int], tuple] = {}
+        for idx, k in enumerate(order.tolist()):
+            pi = int(ow_s[idx])
+            row = int(rows_flat[idx])
+            st = int(st_j[k])
+            ent = seq_cache.get((pi, st))
+            if ent is None:
+                seq, qual, hp = payload[pi]
+                if st == -1:
+                    ob = revcomp_bytes(seq)
+                    oq = qual[::-1]
+                    ohp = hp[::-1] if hp is not None else None
+                else:
+                    ob, oq, ohp = seq, qual, hp
+                codes = _ext_codes(ob)
+                lv = qlevel(oq).astype(np.int8)
+                hv = (np.minimum(ohp, 63).astype(np.int8)
+                      if (use_hp and ohp is not None) else None)
+                ent = seq_cache[(pi, st)] = (codes, lv, hv)
+            codes, lv, hv = ent
+            n = len(codes)
+            q_panel[row, :n] = codes
+            lvl_panel[row, :n] = lv
+            if hv is not None:
+                hp_panel[row, :n] = hv
+            lo = lo_flat[lo_off_j[k] : lo_off_j[k] + n]
+            if n:
+                lo_panel[row, 1 : n + 1] = lo
+                lo_panel[row, 0] = lo[0]
+                if n < Lq:
+                    lo_panel[row, n + 1 :] = lo_panel[row, n]
+            tid_panel[row] = int(tid_j[k])
+            off_panel[row] = int(roff[int(tid_j[k])])
+
+        t_pool, tlens_pool = _build_target_pool(tgt_pool_bytes)
+        for i, tb in enumerate(tgt_pool_bytes):
+            t_pool[i, : len(tb)] = _ext_codes(tb)  # is_ref needs byte equality
+
+        Lt = t_pool.shape[1]
+        ops_max = Lq + Lt
+        # chunk pair rows (payload planes are rows*Lq*band i32 on device);
+        # each chunk a multiple of the mesh size
+        pair_chunk = max(n_dev, (-(-512 // max(C, 1)) // n_dev) * n_dev)
+
+        step = _stage4_step(mesh, int(band), total_L, NQ, ops_max, C, use_hp)
+        accs = [
+            jnp.zeros(total_L * NQ * 2, jnp.int32),
+            jnp.zeros(total_L, jnp.int32),
+            jnp.zeros(total_L * NQ, jnp.int32),
+        ] + ([jnp.zeros(total_L * 64, jnp.int32)] if use_hp else [])
+        accs = [replicate_to_mesh(mesh, np.asarray(a)) for a in accs]
+        t_pool_d = replicate_to_mesh(mesh, t_pool)
+        tlens_d = replicate_to_mesh(mesh, tlens_pool)
+
+        for s in range(0, Pn, pair_chunk):
+            e = min(s + pair_chunk, Pn)
+            rows = e - s
+            pad = (-rows) % n_dev
+            sl = slice(s * C, e * C)
+
+            def pad_rows(a, fill=0):
+                part = a[sl].reshape(rows, -1)
+                if pad:
+                    part = np.concatenate(
+                        [part, np.full((pad,) + part.shape[1:], fill, a.dtype)]
+                    )
+                return np.ascontiguousarray(part)
+
+            accs = list(step(
+                *accs,
+                shard_reads(mesh, pad_rows(q_panel, 5)),
+                shard_reads(mesh, pad_rows(lo_panel)),
+                shard_reads(mesh, pad_rows(lvl_panel)),
+                shard_reads(mesh, pad_rows(hp_panel)),
+                shard_reads(mesh, pad_rows(off_panel)),
+                shard_reads(mesh, pad_rows(tid_panel, -1)),
+                t_pool_d,
+                tlens_d,
+            ))
+        fetched = jax.device_get(accs)
+        bq += fetched[0].astype(np.int64)
+        dels += fetched[1].astype(np.int64)
+        ins += fetched[2].astype(np.int64)
+        if use_hp:
+            hph += fetched[3].astype(np.int64)
+
+    pms = []
+    for ci, cons in enumerate(consensuses):
+        L = len(cons.sequence)
+        o = int(roff[ci])
+        pms.append(
+            PileupMatrix(
+                ref=cons.sequence.copy(),
+                bq=bq[o * NQ * 2 : (o + L) * NQ * 2].reshape(L, NQ, 2),
+                dels=dels[o : o + L],
+                ins_q=ins[o * NQ : (o + L) * NQ].reshape(L, NQ),
+                hp_hist=hph[o * 64 : (o + L) * 64].reshape(L, 64) if use_hp else None,
+            )
+        )
+    # modal HP length per position -> consensus hp_lengths (same side
+    # effect as the host generate_consensus_pileups tail)
+    from ..pipeline.pileup import _median_from_hist
+
+    for cons, pm in zip(consensuses, pms):
+        if pm.hp_hist is not None:
+            cons.hp_lengths = _median_from_hist(pm.hp_hist)
+        else:
+            cons.hp_lengths = np.ones(len(cons.sequence), dtype=np.uint8)
+    return pms

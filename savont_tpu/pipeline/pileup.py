@@ -344,10 +344,12 @@ def _accumulate_pileup_chunk(
             pm.hp_hist.reshape(-1)[:] += hp_loc[o * 64 : (o + L) * 64]
 
 
-def generate_consensus_pileups(
+def _pileup_payload(
     twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
-) -> list[PileupMatrix]:
-    """alignment.rs:409-652 on the matrix representation."""
+) -> tuple[list[int], list[tuple]]:
+    """Per-(read, consensus) pileup inputs shared by the host and mesh
+    paths: (owners, [(seq, qual, hp), ...]) with per-read quality-aware HPC
+    applied under --use-hpc (alignment.rs:455-475)."""
     from ..core import TwinRead
 
     used = [
@@ -357,7 +359,7 @@ def generate_consensus_pileups(
     ]
     TwinRead.warm_seq_bytes(used)
     TwinRead.warm_qual_ascii(used)
-    pairs, owners, payload = [], [], []
+    owners, payload = [], []
     for ci, cons in enumerate(consensuses):
         for i in range(min(len(cons.cluster), MAX_SEQS_CONSENSUS)):
             tr = twin_reads[cons.cluster[i]]
@@ -372,9 +374,28 @@ def generate_consensus_pileups(
                 seq, qual, hp = hpc_seq.tobytes(), hq, hp_lens
             else:
                 hp = None
-            pairs.append(seq)
             owners.append(ci)
             payload.append((seq, qual, hp))
+    return owners, payload
+
+
+def generate_consensus_pileups(
+    twin_reads: list[TwinRead], consensuses: list[ConsensusSequence], args: ClusterArgs
+) -> list[PileupMatrix]:
+    """alignment.rs:409-652 on the matrix representation.
+
+    SAVONT_STAGE4_BACKEND=mesh routes the whole construction — orient +
+    banded align + traceback + count-matrix scatter — through the sharded
+    device step (parallel/mesh.mesh_stage4_pileups), bit-identical."""
+    import os
+
+    if os.environ.get("SAVONT_STAGE4_BACKEND") == "mesh":
+        from ..parallel.mesh import mesh_stage4_pileups
+
+        return mesh_stage4_pileups(twin_reads, consensuses, args)
+
+    owners, payload = _pileup_payload(twin_reads, consensuses, args)
+    pairs = [p[0] for p in payload]
     # indexed form: consensuses are the target pool (deduped by id), reads
     # their own queries — no per-pair tuples; identical results
     from ..ops.align_batch import align_pairs_indexed
