@@ -61,3 +61,68 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         assert int(d["count"]) == count_sp
         # f32 psum order differs between 1- and 2-process reductions
         assert np.allclose(d["abund"], abund_sp, atol=1e-6)
+
+
+def test_two_process_full_pipeline_byte_identical(tmp_path):
+    """COMPLETE asv run under a 2-process CPU jax.distributed mesh (stage-4
+    and stage-7 on the global 8-device mesh) must write byte-identical
+    final_asvs.fasta / feature-table.tsv on every rank, equal to the
+    single-process host run — BASELINE.md's 2-host scaling correctness
+    half."""
+    import gzip
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    rng = np.random.default_rng(41)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    from savont_tpu.ops.encode import revcomp_bytes
+
+    t1 = bytearray(rng.choice(BASES, 1200).tobytes())
+    t2 = bytearray(t1)
+    for p in (140, 420, 760, 1100):
+        t2[p] = b"ACGT"[(b"ACGT".index(bytes([t2[p]])) + 1) % 4]
+    reads = []
+    for tpl in (bytes(t1), bytes(t2)):
+        for i in range(36):
+            b = bytearray(tpl)
+            for p in rng.choice(len(b), 2, replace=False):
+                b[p] = b"ACGT"[rng.integers(4)]
+            r = bytes(b)
+            reads.append(revcomp_bytes(r) if i % 2 else r)
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r.decode()}\n+\n{'Z' * len(r)}\n")
+
+    # single-process host reference
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.pipeline.asv import run_cluster
+
+    ref_dir = tmp_path / "ref"
+    run_cluster(ClusterArgs(input_files=[str(fq)], output_dir=str(ref_dir), threads=2, min_cluster_size=5))
+
+    worker = Path(__file__).parent / "_dist_pipeline_worker.py"
+    coord = f"localhost:{_free_port()}"
+    rank_dirs = [tmp_path / f"rank{i}" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), coord, str(fq), str(rank_dirs[i])],
+            cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+
+    for rel in ("final_asvs.fasta", "feature-table.tsv", "temp/read_to_asv_mappings.tsv"):
+        want = (ref_dir / rel).read_bytes()
+        for rd in rank_dirs:
+            got = (rd / rel).read_bytes()
+            assert got == want, f"{rel} differs on {rd.name} vs single-process host run"
