@@ -37,6 +37,14 @@ from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -20000
 
+# lax.scan unroll factor for the row scans (SAVONT_JAX_SCAN_UNROLL): on the
+# axon-tunneled v5e the scans are launch-overhead-bound (~0.58 ms/row at
+# B=1024 regardless of band/dtype), so unrolling several rows per launch
+# group is a direct multiplier.  1 = off.
+import os as _os
+
+_SCAN_UNROLL = int(_os.environ.get("SAVONT_JAX_SCAN_UNROLL", "1"))
+
 
 from .align import smooth_lo  # numpy helper shared with the native NM kernel
 
@@ -237,7 +245,7 @@ def sw_forward_meta(q, t, lo, tlens, band: int = 128, smooth: bool = True):
         jnp.swapaxes(tc_all, 0, 1),       # (Lq, B, band)
         jnp.swapaxes(valid_all, 0, 1),
     )
-    (_, _, _, _, _, _, _, _, best), _ = lax.scan(step, init, xs)
+    (_, _, _, _, _, _, _, _, best), _ = lax.scan(step, init, xs, unroll=_SCAN_UNROLL)
     bv, bqs, bts, bqe, bte, bnm = best
 
     # reduce lanes: max value; ties -> earliest row (bqe), then lowest lane
@@ -382,7 +390,7 @@ def _forward_payload(q, t, lo, tlens, band: int):
         jnp.swapaxes(tc_all, 0, 1),
         jnp.swapaxes(valid_all, 0, 1),
     )
-    (_, _, bv, brow), pay_rows = lax.scan(step, init, xs)
+    (_, _, bv, brow), pay_rows = lax.scan(step, init, xs, unroll=_SCAN_UNROLL)
     payload = jnp.swapaxes(pay_rows, 0, 1).reshape(B, Lq * band)
 
     # start cell = row-major flat argmax of H[1:]: earliest row, lowest lane
@@ -491,7 +499,7 @@ def _walk_ops(payload, dl_tab, score, ri, bj, band: int, ops_max: int,
         win = lax.dynamic_slice(payload3, (0, w0, 0), (B, K, band)).reshape(B, K * band)
         dlw = lax.dynamic_slice(dl_tab, (0, w0), (B, K))
         carry = (r, j, st, cnt, nm, nins, ndel, done, w0, win, dlw, ops)
-        carry, _ = lax.scan(stepw, carry, None, length=S)
+        carry, _ = lax.scan(stepw, carry, None, length=S, unroll=_SCAN_UNROLL)
         return carry
 
     # zero-carries derived from a varying input so the loop state's sharding
