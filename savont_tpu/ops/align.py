@@ -160,22 +160,62 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
     return out  # type: ignore[return-value]
 
 
+_IDMINI_CACHE: dict[int, list] = {}  # id(qb) -> [qb, h, pos, isf]; (w,k)=(10,15) only
+_IDMINI_CACHE_MAX = 400_000
+
+
 def window_minimizers_flat_batch(
     queries: list[bytes], w: int, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Minimizers for a batch as FLAT pools: (hash, pos, is_fwd, off[n+1]).
 
     Large batches (>= 2048 queries — one-shot planner sweeps like the
-    stage-7 tie-break slabs or whole-readset pileups) bypass _MINI_CACHE
-    entirely: hit rates are near zero there, per-query tuple/dict glue
-    costs more than the native rescan (~14 vs ~8 us/seq measured), and
-    inserting would thrash the cache for the small repeated batches that
-    actually profit from it.  Small batches go through the cached tuple
-    path and are pooled; values are bit-identical either way."""
+    stage-7 tie-break slabs or whole-readset pileups) bypass _MINI_CACHE's
+    bytes-keyed tuples and instead use a bytes-IDENTITY cache (the entry
+    holds the bytes object, so its id can't be recycled): every planner
+    stage rescans the same memoized seq_bytes() objects, and the id probe
+    is ~30x cheaper than the native rescan.  Small batches go through the
+    cached tuple path and are pooled; values are bit-identical either way."""
     n = len(queries)
     from .kmers_native import get_scan_lib, window_minimizers_flat_native
 
     if n >= 2048 and get_scan_lib() is not None:
+        if w == 10 and k == 15:  # the planner signature (cache is unkeyed on w/k)
+            if len(_IDMINI_CACHE) > _IDMINI_CACHE_MAX:
+                _IDMINI_CACHE.clear()
+            ents = [_IDMINI_CACHE.get(id(q)) for q in queries]
+            miss = [i for i, e in enumerate(ents) if e is None or e[0] is not queries[i]]
+            if len(miss) < n // 2:
+                # assemble flat pools from cache + one native scan of misses
+                if miss:
+                    moff = np.zeros(len(miss) + 1, dtype=np.int64)
+                    np.cumsum(
+                        np.fromiter((len(queries[i]) for i in miss), np.int64, len(miss)),
+                        out=moff[1:],
+                    )
+                    mcat = _ASCII_CODE[
+                        np.frombuffer(b"".join(queries[i] for i in miss), dtype=np.uint8)
+                    ]
+                    mcodes = [mcat[moff[x] : moff[x + 1]] for x in range(len(miss))]
+                    mh, mp, mf, mo = window_minimizers_flat_native(mcodes, k, w)
+                    for x, i in enumerate(miss):
+                        e = [queries[i], mh[mo[x] : mo[x + 1]], mp[mo[x] : mo[x + 1]],
+                             mf[mo[x] : mo[x + 1]]]
+                        _IDMINI_CACHE[id(queries[i])] = e
+                        ents[i] = e
+                cnt = np.fromiter((len(e[1]) for e in ents), np.int64, n)
+                off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(cnt, out=off[1:])
+                total = int(off[-1])
+                h = np.empty(total, U64)
+                pos = np.empty(total, np.int64)
+                isf = np.empty(total, bool)
+                for i, e in enumerate(ents):
+                    s, t = off[i], off[i + 1]
+                    h[s:t] = e[1]
+                    pos[s:t] = e[2]
+                    isf[s:t] = e[3]
+                return h, pos, isf, off
         off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.fromiter((len(q) for q in queries), np.int64, n), out=off[1:])
         cat = (
@@ -183,7 +223,13 @@ def window_minimizers_flat_batch(
             if int(off[-1]) else np.zeros(0, np.uint8)
         )
         codes = [cat[off[i] : off[i + 1]] for i in range(n)]
-        return window_minimizers_flat_native(codes, k, w)
+        out = window_minimizers_flat_native(codes, k, w)
+        if w == 10 and k == 15:
+            oh, op, of_, oo = out
+            for i, q in enumerate(queries):
+                _IDMINI_CACHE[id(q)] = [q, oh[oo[i] : oo[i + 1]], op[oo[i] : oo[i + 1]],
+                                        of_[oo[i] : oo[i + 1]]]
+        return out
     qmini = window_minimizers_cached_batch(queries, w, k)
     cnt = np.fromiter((len(m[0]) for m in qmini), np.int64, n)
     moff = np.zeros(n + 1, dtype=np.int64)

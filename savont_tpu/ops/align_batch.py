@@ -33,6 +33,11 @@ NEG = -20000  # int16-safe sentinel
 _QCODE_CACHE: dict[tuple[bytes, int], np.ndarray] = {}
 _QCODE_CACHE_MAX = 262144
 
+# bytes-IDENTITY keyed code cache for the big-batch planner path: entry is
+# [bytes, fwd_codes, rc_codes|None]; holding the bytes object pins its id.
+_IDCODE_CACHE: dict[int, list] = {}
+_IDCODE_CACHE_MAX = 400_000
+
 
 def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
     """Oriented query codes, memoized across planning calls: the same read
@@ -67,28 +72,72 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
         # EXCEPT U/u (revcomp_bytes leaves U unchanged while the LUT folds
         # it into T) — sequences containing U take the bytes path.  Skips
         # the second 100+ MB bytes join + LUT pass at scale.
+        #
+        # Cross-call cache keyed by BYTES IDENTITY: TwinRead.seq_bytes()
+        # memoizes one bytes object per read, and every planner stage
+        # (stage-4 votes, pileups, stage-5, stage-7) re-encodes the same
+        # reads once per slab — 4.7 s of the 100k wall before this cache.
+        # Keying by id() is safe because the entry holds the bytes object
+        # (pins it: its id can't be reused while the entry lives).
         fwd_ids: dict[bytes, int] = {}
         fwd_of = [fwd_ids.setdefault(qb, len(fwd_ids)) for qb, _st in items]
         bufs = list(fwd_ids.keys())
-        off = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
-        codes_cat = _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
-        fwd = [codes_cat[off[i] : off[i + 1]] for i in range(len(bufs))]
-        rc_cache: dict[int, np.ndarray] = {}
+        n_u = len(bufs)
+        fwd: list[np.ndarray | None] = [None] * n_u
+        if len(_IDCODE_CACHE) > _IDCODE_CACHE_MAX:
+            _IDCODE_CACHE.clear()
+        ents = [_IDCODE_CACHE.get(id(b)) for b in bufs]
+        miss = [i for i, e in enumerate(ents) if e is None or e[0] is not bufs[i]]
+        for i, e in enumerate(ents):
+            if e is not None and e[0] is bufs[i]:
+                fwd[i] = e[1]
+        if miss:
+            mbufs = [bufs[i] for i in miss]
+            moff = np.zeros(len(mbufs) + 1, dtype=np.int64)
+            np.cumsum(np.fromiter((len(b) for b in mbufs), np.int64, len(mbufs)), out=moff[1:])
+            mcat = _ASCII_CODE[np.frombuffer(b"".join(mbufs), dtype=np.uint8)]
+            for x, i in enumerate(miss):
+                c = mcat[moff[x] : moff[x + 1]]
+                fwd[i] = c
+                _IDCODE_CACHE[id(bufs[i])] = [bufs[i], c, None]
 
-        def rc_of(fi: int, qb: bytes) -> np.ndarray:
-            r = rc_cache.get(fi)
-            if r is None:
+        # reverse complements: cache hits first, the rest in ONE
+        # reversed-span gather + one vectorized complement
+        rc: dict[int, np.ndarray] = {}
+        rc_miss: list[int] = []
+        for (_qb, st), fi in zip(items, fwd_of):
+            if st == -1 and fi not in rc:
+                e = _IDCODE_CACHE.get(id(bufs[fi]))
+                if e is not None and e[0] is bufs[fi] and e[2] is not None:
+                    rc[fi] = e[2]
+                else:
+                    rc[fi] = True  # mark; filled below
+                    rc_miss.append(fi)
+        if rc_miss:
+            rl = np.fromiter((len(bufs[fi]) for fi in rc_miss), np.int64, len(rc_miss))
+            roff = np.zeros(len(rc_miss) + 1, dtype=np.int64)
+            np.cumsum(rl, out=roff[1:])
+            total = int(roff[-1])
+            fcat = np.concatenate([fwd[fi] for fi in rc_miss]) if total else np.zeros(0, np.uint8)
+            # reversed span within the concat: start at end of each seq
+            starts = roff[1:] - 1
+            idx = np.repeat(starts + roff[:-1], rl) - np.arange(total, dtype=np.int64)
+            rc_cat = fcat[idx]
+            np.subtract(3, rc_cat, out=rc_cat, where=rc_cat < 4)
+            for i, fi in enumerate(rc_miss):
+                qb = bufs[fi]
                 if b"U" in qb or b"u" in qb:
+                    # revcomp_bytes folds U/u differently than the LUT path
                     r = _ASCII_CODE[np.frombuffer(revcomp_bytes(qb), dtype=np.uint8)]
                 else:
-                    c = fwd[fi][::-1]
-                    r = np.where(c < 4, 3 - c, c)
-                rc_cache[fi] = r
-            return r
+                    r = rc_cat[roff[i] : roff[i + 1]]
+                rc[fi] = r
+                e = _IDCODE_CACHE.get(id(qb))
+                if e is not None and e[0] is qb:
+                    e[2] = r
 
         return [
-            fwd[fi] if st == 1 else rc_of(fi, qb)
+            fwd[fi] if st == 1 else rc[fi]
             for (qb, st), fi in zip(items, fwd_of)
         ]
     miss: list[int] = []

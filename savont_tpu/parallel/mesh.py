@@ -277,6 +277,105 @@ def sharded_stage7_step(
 
 
 @_functools.lru_cache(maxsize=32)
+def sharded_stage7_step_packed(
+    mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float,
+    kernel: str, C: int, Lq: int,
+):
+    """The monolithic stage-7 step with PACKED I/O for high-latency links:
+    every input panel rides ONE u8 row-major buffer (q codes, lo as two
+    byte planes, slot ids as four), the replicated target pool is one more
+    buffer, and all outputs come back as a single i32 vector — so a full
+    align + tie + EM dispatch costs 2 transfers + 1 execute + 1 fetch
+    instead of ~8 RPCs (each ~30 ms on the tunneled dev rig,
+    DEVICE_BENCH.json device_roundtrip_ms)."""
+    axis = mesh.axis_names[0]
+    align_local = _stage7_align_local(band, kernel)
+    em_local = _stage7_em_local(n_asvs, em_iters, conv, axis)
+
+    def per_shard(buf, pool_buf):
+        Rl = buf.shape[0]
+        off = [0]
+
+        def take(n):
+            part = lax.slice_in_dim(buf, off[0], off[0] + n, axis=1)
+            off[0] += n
+            return part
+
+        def take_i32(n):
+            b = [take(n).astype(jnp.uint32) for _ in range(4)]
+            v = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+            return lax.bitcast_convert_type(v, jnp.int32)
+
+        q = take(C * Lq).reshape(Rl, C, Lq)
+        lo_lo = take(C * (Lq + 1)).astype(jnp.int32)
+        lo_hi = take(C * (Lq + 1)).astype(jnp.int32)
+        lo = (lo_lo | (lo_hi << 8)).reshape(Rl, C, Lq + 1)
+        tid = take_i32(C)
+        asv = take_i32(C)
+
+        Lt = pool_buf.shape[1] - 4
+        t_pool = lax.slice_in_dim(pool_buf, 0, Lt, axis=1)
+        tb = lax.slice_in_dim(pool_buf, Lt, Lt + 4, axis=1).astype(jnp.uint32)
+        tlens = lax.bitcast_convert_type(
+            tb[:, 0] | (tb[:, 1] << 8) | (tb[:, 2] << 16) | (tb[:, 3] << 24),
+            jnp.int32,
+        )
+
+        nm, score, in_tie = align_local(q, lo, tid, asv, t_pool, tlens)
+        abund, count = em_local(in_tie, asv)
+        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
+        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
+        # ONE output vector: [abund (A) bitcast | nm (R*C) | score (R*C) | count]
+        out = jnp.concatenate([
+            lax.bitcast_convert_type(abund, jnp.int32),
+            nm_g.reshape(-1),
+            score_g.reshape(-1),
+            count.astype(jnp.int32)[None],
+        ])
+        return out
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _pack_stage7_panels(q_panel, lo_panel, slot_tid, slot_asv, R, C, Lq):
+    """Host-side row-major packing for sharded_stage7_step_packed."""
+    row_bytes = C * Lq + 2 * C * (Lq + 1) + 8 * C
+    buf = np.empty((R, row_bytes), np.uint8)
+    o = 0
+    n = C * Lq
+    buf[:, o : o + n] = q_panel.reshape(R, n).view(np.uint8) if q_panel.dtype == np.uint8 else q_panel.reshape(R, n).astype(np.uint8)
+    o += n
+    n = C * (Lq + 1)
+    lo16 = np.ascontiguousarray(lo_panel.reshape(R, n), dtype=np.int16)
+    lov = lo16.view(np.uint8).reshape(R, n, 2)
+    buf[:, o : o + n] = lov[:, :, 0]
+    o += n
+    buf[:, o : o + n] = lov[:, :, 1]
+    o += n
+    for ids in (slot_tid, slot_asv):
+        iv = np.ascontiguousarray(ids.reshape(R, C), dtype=np.int32).view(np.uint8).reshape(R, C, 4)
+        for b in range(4):
+            buf[:, o : o + C] = iv[:, :, b]
+            o += C
+    return buf
+
+
+def _pack_target_pool(t_pool, tlens_pool):
+    T, Lt = t_pool.shape
+    pool = np.empty((T, Lt + 4), np.uint8)
+    pool[:, :Lt] = t_pool.astype(np.uint8)
+    pool[:, Lt:] = tlens_pool.astype(np.int32).view(np.uint8).reshape(T, 4)
+    return pool
+
+
+@_functools.lru_cache(maxsize=32)
 def sharded_stage7_align(mesh: Mesh, band: int, kernel: str = "scan"):
     """Build the stage-7 ALIGN step: candidate-sparse banded alignment +
     per-read tie sets over one row-chunk of candidate panels.  The chunked
@@ -481,20 +580,20 @@ def mesh_stage7_tie_break(
     if not kernel:
         kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
     if n_chunks == 1:
-        # high-latency link: ONE combined align+EM dispatch, one batched
-        # fetch — every extra RPC costs a full roundtrip there
-        step = sharded_stage7_step(
-            mesh, n_asvs, band=band, em_iters=em_iters, conv=0.01, kernel=kernel
+        # high-latency link: ONE combined align+EM dispatch with PACKED I/O
+        # (2 transfers + 1 execute + 1 fetch; every extra RPC costs a full
+        # ~30 ms roundtrip on the tunneled rig)
+        step = sharded_stage7_step_packed(
+            mesh, n_asvs, band=int(band), em_iters=em_iters, conv=0.01,
+            kernel=kernel, C=C, Lq=Lq,
         )
-        abund_d, nm_d, score_d, count_d = step(
-            shard_reads(mesh, q_panel),
-            shard_reads(mesh, lo_panel),
-            shard_reads(mesh, slot_tid),
-            shard_reads(mesh, slot_asv),
-            replicate_to_mesh(mesh, t_pool),
-            replicate_to_mesh(mesh, tlens_pool),
-        )
-        abund, nm, score, count = jax.device_get((abund_d, nm_d, score_d, count_d))
+        buf = _pack_stage7_panels(q_panel, lo_panel, slot_tid, slot_asv, R, C, Lq)
+        pool = _pack_target_pool(t_pool, tlens_pool)
+        out = np.asarray(step(shard_reads(mesh, buf), replicate_to_mesh(mesh, pool)))
+        abund = out[:n_asvs].view(np.float32)
+        nm = out[n_asvs : n_asvs + R * C].reshape(R, C)
+        score = out[n_asvs + R * C : n_asvs + 2 * R * C].reshape(R, C)
+        count = int(out[-1])
     else:
         align_step = sharded_stage7_align(mesh, band=band, kernel=kernel)
         em_step = sharded_stage7_em(mesh, n_asvs, em_iters=em_iters, conv=0.01)
