@@ -507,7 +507,9 @@ def _walk_ops(payload, dl_tab, score, ri, bj, band: int, ops_max: int,
     z = score & 0
     zu8 = (z & 0).astype(jnp.uint8)
     ops0 = jnp.broadcast_to(zu8[:, None], (B, W)) + jnp.uint8(255)
-    win0 = jnp.broadcast_to(zu8[:, None], (B, K * band)) + jnp.uint8(0)
+    win0 = jnp.broadcast_to(
+        zu8.astype(payload.dtype)[:, None], (B, K * band)
+    ) + payload.dtype.type(0)
     dlw0 = jnp.broadcast_to(zu8[:, None], (B, K)) + jnp.uint8(0)
     walk0 = (ri, bj, z + ST_H, z, z, z, z, score <= 0, jnp.max(z), win0, dlw0, ops0)
     out = lax.while_loop(cond, body, walk0)
@@ -515,18 +517,12 @@ def _walk_ops(payload, dl_tab, score, ri, bj, band: int, ops_max: int,
     return ops, cnt, nm, nins, ndel
 
 
-@partial(jax.jit, static_argnames=("band", "ops_max", "maxrun"))
-def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
-    """Batched banded SW with full on-device traceback.
-
-    Inputs as sw_forward_meta; lo is the RAW planner band (arbitrary
-    non-decreasing advances — handled exactly via barrel shifts).
-    Returns dict with per-pair score/q_start/q_end/t_start/t_end/nm plus
-    cigar (B, maxrun) packed u32 and n_runs (n_runs > maxrun = overflow,
-    caller re-runs that pair on the host kernel).
-    """
-    B, Lq = q.shape
-    payload, score, ri, bj = _forward_payload(q, t, lo, tlens, band)
+def sw_traceback_from_payload(payload, lo, score, ri, bj, band: int, ops_max: int, maxrun: int):
+    """Walk + RLE half of the device traceback, shared by the XLA forward
+    (sw_traceback_full) and the Pallas payload forward
+    (align_pallas.sw_traceback_pallas_jobs)."""
+    B = payload.shape[0]
+    Lq = lo.shape[1] - 1
     dl_tab = jnp.minimum(lo[:, 1:] - lo[:, :-1], band + 1).astype(jnp.uint8)
     ops, cnt, nm, nins, ndel = _walk_ops(payload, dl_tab, score, ri, bj, band, ops_max)
     W = ops.shape[1]
@@ -566,6 +562,20 @@ def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
         "cigar": cigar,
         "n_runs": n_runs,
     }
+
+
+@partial(jax.jit, static_argnames=("band", "ops_max", "maxrun"))
+def sw_traceback_full(q, t, lo, tlens, band: int, ops_max: int, maxrun: int):
+    """Batched banded SW with full on-device traceback.
+
+    Inputs as sw_forward_meta; lo is the RAW planner band (arbitrary
+    non-decreasing advances — handled exactly via barrel shifts).
+    Returns dict with per-pair score/q_start/q_end/t_start/t_end/nm plus
+    cigar (B, maxrun) packed u32 and n_runs (n_runs > maxrun = overflow,
+    caller re-runs that pair on the host kernel).
+    """
+    payload, score, ri, bj = _forward_payload(q, t, lo, tlens, band)
+    return sw_traceback_from_payload(payload, lo, score, ri, bj, band, ops_max, maxrun)
 
 
 def sw_pileup_counts(

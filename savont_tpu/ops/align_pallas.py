@@ -110,7 +110,7 @@ def _prepare_streams(q, t, lo, tlens, band):
     return lo, new_codes, init_win
 
 
-def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False):
+def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False, emit_payload: bool = False):
     Lq = q_rows.shape[0]
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
@@ -120,11 +120,22 @@ def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_wi
     # dominated the kernel (band 64 -> 32 only changed time ~10%, measured
     # on v5e), and Mosaic requires 8-row alignment for sub-32-bit refs.
     # dl/locur replace the lo ref so no row needs two adjacent lo reads.
-    def kernel(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref):
+    def kernel(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *pay):
         _sw_kernel_with_init(
             q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref,
             band=band, n_rows=Lq, plane_i16=plane_i16, interpret=interpret,
+            pay_ref=pay[0] if pay else None,
         )
+
+    out_specs = pl.BlockSpec((4, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((4, P_total), jnp.int32)
+    if emit_payload:
+        # traceback decision payload, FOUR rows packed per i32 word (no
+        # sub-32-bit vector ops anywhere; the XLA walk unpacks bytes)
+        out_specs = (out_specs, pl.BlockSpec(
+            (Lq // 4, band, PAIR_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((Lq // 4, band, P_total), jnp.int32))
 
     return pl.pallas_call(
         kernel,
@@ -137,13 +148,13 @@ def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_wi
             pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((band, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, P_total), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win)
 
 
-_pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret", "plane_i16"))
+_pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret", "plane_i16", "emit_payload"))
 
 
 def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False):
@@ -192,7 +203,7 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
     }
 
 
-def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False):
+def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False, pay_ref=None):
     """Wrapper passing the initial window from a dedicated input ref.
     Row streams (q / new-code / dl / lo-cur) are int32, loaded as one
     (UNROLL, P) chunk per outer iteration at a provably-aligned offset —
@@ -279,6 +290,23 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
         nmh_n = jnp.where(use_g, nmg, nme)
         Hr = jnp.where(valid, Hr, NEG)
 
+        pay = None
+        if pay_ref is not None:
+            # traceback decision bits (the align_jax._forward_payload
+            # layout): bit0 use_g, bit1 g_zero, bit2 g_f, bit3 exitE
+            # (E exits to G at j-1), bit4 from_h, bit5 mismatch
+            exitE = Er == (_sub_shift_down(Gr, NEG, interpret) - (GAP_OPEN + GAP_EXT))
+            one = jnp.asarray(1, jnp.int32)
+            zero32 = jnp.asarray(0, jnp.int32)
+            pay = (
+                jnp.where(use_g, one, zero32)
+                | (jnp.where(g_zero, one, zero32) << 1)
+                | (jnp.where(g_f, one, zero32) << 2)
+                | (jnp.where(exitE, one, zero32) << 3)
+                | (jnp.where(from_h, one, zero32) << 4)
+                | (jnp.where(is_match, zero32, one) << 5)
+            )
+
         # plane-carried running best: one compare + four selects per row
         # instead of per-row cross-sublane reductions (max/min/sum shuffle
         # trees); the single lexicographic reduce happens after the loop.
@@ -289,7 +317,7 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
         best_r = jnp.where(better, lax.convert_element_type(r, pd), best_r)
         best_j = jnp.where(better, cols + 1, best_j)
         best_nm = jnp.where(better, nmh_n, best_nm)
-        return Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm
+        return (Hr, Fr, nmh_n, nmf_n, win, best_v, best_r, best_j, best_nm), pay
 
     zero = jnp.zeros((band, P), pd)
     init = (zero, zero + NEG, zero, zero, iw_ref[:, :].astype(pd), zero, zero, zero, zero)
@@ -307,9 +335,25 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
         nch = new_ref[pl.ds(base, UNROLL), :]
         dch = dl_ref[pl.ds(base, UNROLL), :]
         lch = locur_ref[pl.ds(base, UNROLL), :]
+        pays = []
         for u in range(UNROLL):
             rows = (qch[u][None, :], nch[u][None, :], dch[u][None, :], lch[u][None, :])
-            carry = body(base + u + 1, rows, carry)
+            carry, pay = body(base + u + 1, rows, carry)
+            if pay_ref is not None:
+                pays.append(pay)
+        if pay_ref is not None:
+            # FOUR payload bytes packed per i32 word (rows base..base+3 in
+            # bits 0..7, 8..15, ...), stored as one aligned chunk per outer
+            # iteration — no sub-32-bit vector ops, no dynamic single-row
+            # stores
+            words = [
+                pays[w * 4]
+                | (pays[w * 4 + 1] << 8)
+                | (pays[w * 4 + 2] << 16)
+                | (pays[w * 4 + 3] << 24)
+                for w in range(UNROLL // 4)
+            ]
+            pay_ref[pl.ds(base // 4, UNROLL // 4), :, :] = jnp.stack(words, axis=0)
         return carry
 
     H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = lax.fori_loop(
@@ -392,3 +436,144 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
         plane_i16=_plane_dtype(int(Lq), int(t.shape[1])) == jnp.int16,
     )
     return np.asarray(out).T[:B]
+
+
+@partial(jax.jit, static_argnames=("band", "ops_max", "maxrun", "interpret"))
+def _pallas_tb_combined(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win,
+                        lo_pad, band: int, ops_max: int, maxrun: int, interpret: bool):
+    """Pallas payload forward + XLA walk + RLE in one jit (one dispatch)."""
+    from .align_jax import sw_traceback_from_payload
+
+    out, pay_words = _pallas_call_traced(
+        q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win,
+        band=band, interpret=interpret, plane_i16=False, emit_payload=True,
+    )
+    score = out[0]
+    ri = out[1]
+    t_end = out[2]
+    Lq4 = lo_pad.shape[1] - 1
+    lo_ri = jnp.take_along_axis(
+        lo_pad, jnp.clip(ri, 0, Lq4)[:, None], axis=1
+    )[:, 0]
+    bj = jnp.where(score > 0, t_end - 1 - lo_ri, 0)
+    # unpack: words (W, band, P) -> payload rows (P, Lq4*band); reshape of
+    # the (W, 4, band) byte stack flattens to row-major (row, band) exactly
+    w = jnp.transpose(pay_words, (2, 0, 1))  # (P, W, band)
+    bts = jnp.stack([(w >> (8 * k)) & 0xFF for k in range(4)], axis=2)
+    payload = bts.reshape(w.shape[0], Lq4 * band)
+    return sw_traceback_from_payload(payload, lo_pad, score, ri, bj, band, ops_max, maxrun)
+
+
+def _pack_jobs_pallas_streams(cjobs, band: int):
+    """Pack AlignJobs into the kernel's row-stream layout: (q_rows, new_rows,
+    dl_rows, locur_rows, tlen_row, init_win, lo2, Lt) — pairs padded to a
+    PAIR_BLOCK multiple, rows to an UNROLL multiple (inert qc=5/dl=0 rows)."""
+    from .align_jax import _pack_jobs
+
+    q, t, lo, tlens = _pack_jobs(cjobs, band)
+    B = q.shape[0]
+    P = ((B + PAIR_BLOCK - 1) // PAIR_BLOCK) * PAIR_BLOCK
+    if P != B:
+        q = np.concatenate([q, np.full((P - B, q.shape[1]), 5, q.dtype)])
+        t = np.concatenate([t, np.full((P - B, t.shape[1]), 6, t.dtype)])
+        lo = np.concatenate([lo, np.zeros((P - B, lo.shape[1]), lo.dtype)])
+        tlens = np.concatenate([tlens, np.full(P - B, t.shape[1], tlens.dtype)])
+    lo2, new_codes, init_win = _prepare_streams(q, t, lo, tlens, band)
+    Lq = q.shape[1]
+    Lq4 = ((Lq + UNROLL - 1) // UNROLL) * UNROLL
+    if Lq4 != Lq:
+        pad = Lq4 - Lq
+        q = np.concatenate([q, np.full((P, pad), 5, q.dtype)], axis=1)
+        new_codes = np.concatenate(
+            [new_codes, np.zeros((P, pad), new_codes.dtype)], axis=1
+        )
+        lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
+    dl = lo2[:, 1:] - lo2[:, :-1]
+    locur = lo2[:, 1:]
+    return (
+        np.ascontiguousarray(q.T, np.int32),
+        np.ascontiguousarray(new_codes.T, np.int32),
+        np.ascontiguousarray(dl.T, np.int32),
+        np.ascontiguousarray(locur.T, np.int32),
+        np.asarray(tlens, np.int32)[None, :],
+        np.ascontiguousarray(init_win.T, np.int32),
+        np.asarray(lo2, np.int32),
+        int(t.shape[1]),
+    )
+
+
+def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret: bool = False):
+    """run_jobs-contract traceback via the PALLAS payload forward.
+
+    Jobs whose planner band advances are all <= 1/row (the overwhelming
+    majority on amplicon data) ride the Mosaic forward + XLA walk in one
+    dispatch; jobs with band jumps fall back to the exact barrel-shift XLA
+    kernel (align_jax.sw_traceback_numpy_jobs), so results are bit-identical
+    to the host kernels on EVERY job set."""
+    from .align_jax import _pack_jobs, sw_traceback_numpy_jobs
+
+    if not jobs:
+        return []
+    results: list[tuple | None] = [None] * len(jobs)
+    smooth_idx: list[int] = []
+    raw_idx: list[int] = []
+    for i, j in enumerate(jobs):
+        lo = np.asarray(j.lo, np.int64)
+        if len(lo) < 2 or (lo[1:] - lo[:-1] <= 1).all():
+            smooth_idx.append(i)
+        else:
+            raw_idx.append(i)
+    if raw_idx:
+        for i, r in zip(
+            raw_idx, sw_traceback_numpy_jobs([jobs[i] for i in raw_idx], band, maxrun)
+        ):
+            results[i] = r
+
+    order = sorted(smooth_idx, key=lambda i: len(jobs[i].qcodes))
+    bucket = 2 * PAIR_BLOCK
+    overflow: list[int] = []
+    for start in range(0, len(order), bucket):
+        chunk = order[start : start + bucket]
+        cjobs = [jobs[i] for i in chunk]
+        streams = _pack_jobs_pallas_streams(cjobs, band)
+        q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2, Lt = streams
+        ops_max = q_rows.shape[0] + Lt
+        host = {
+            k: np.asarray(v)
+            for k, v in _pallas_tb_combined(
+                jnp.asarray(q_rows), jnp.asarray(new_rows),
+                jnp.asarray(dl_rows), jnp.asarray(locur_rows),
+                jnp.asarray(tlen_row), jnp.asarray(init_win),
+                jnp.asarray(lo2, jnp.int32),
+                band=band, ops_max=ops_max, maxrun=maxrun, interpret=interpret,
+            ).items()
+        }
+        for x, i in enumerate(chunk):
+            if host["score"][x] <= 0:
+                results[i] = None
+            elif host["n_runs"][x] > maxrun:
+                overflow.append(i)
+            else:
+                results[i] = (
+                    int(host["score"][x]),
+                    int(host["q_start"][x]),
+                    int(host["q_end"][x]),
+                    int(host["t_start"][x]),
+                    int(host["t_end"][x]),
+                    host["cigar"][x, : host["n_runs"][x]].astype(np.uint32),
+                    int(host["nm"][x]),
+                )
+    if overflow:
+        import os
+
+        from .align_batch import run_jobs
+
+        env = os.environ.pop("SAVONT_ALIGN_BACKEND", None)
+        try:
+            host_res = run_jobs([jobs[i] for i in overflow], band=band)
+        finally:
+            if env is not None:
+                os.environ["SAVONT_ALIGN_BACKEND"] = env
+        for i, r in zip(overflow, host_res):
+            results[i] = r
+    return results

@@ -41,7 +41,8 @@ def main() -> int:
     from savont_tpu.ops.align_pallas import sw_forward_pallas, sw_forward_pallas_traced
 
     rng = np.random.default_rng(7)
-    B, Lq, Lt, band = 256, 1500, 1500, 64
+    band = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B, Lq, Lt = 256, 1500, 1500
     q = rng.integers(0, 4, (B, Lq)).astype(np.int32)
     t = rng.integers(0, 4, (B, Lt)).astype(np.int32)
     lo = np.clip(np.arange(Lq + 1)[None, :] - band // 2, 0, Lt - band).astype(np.int32) * np.ones((B, 1), np.int32)

@@ -84,6 +84,39 @@ def test_pallas_int16_matches_int32(monkeypatch):
     assert (out16[:, 0] > 0).all()
 
 
+def test_pallas_traceback_jobs_matches_host():
+    """sw_traceback_pallas_jobs (Mosaic payload forward + XLA walk) returns
+    the exact host run_jobs tuples — score/coords/NM AND full CIGARs — on a
+    mixed job set including raw-band structural-indel jobs (those route to
+    the exact XLA barrel-shift kernel; smooth jobs ride the Pallas forward
+    in interpret mode here, compiled on real TPU by the bench)."""
+    from savont_tpu.ops.align_pallas import sw_traceback_pallas_jobs
+
+    jobs = []
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        L = int(rng.integers(200, 700))
+        t = rand_seq(L)
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(0.04 * L), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        if trial % 3 == 2:  # structural indel -> raw band jump -> XLA path
+            del q[L // 2 : L // 2 + 60]
+        elif rng.random() < 0.5:
+            p = int(rng.integers(20, L - 20))
+            q[p:p] = rand_seq(int(rng.integers(1, 4)))
+        jobs.extend(plan_jobs(TargetIndex([t]), bytes(q), band=48, min_anchors=2))
+    assert jobs
+    host = run_jobs(jobs, band=48)
+    dev = sw_traceback_pallas_jobs(jobs, band=48, interpret=True)
+    for h, d in zip(host, dev):
+        assert (h is None) == (d is None)
+        if h is None:
+            continue
+        assert h[:5] == d[:5] and h[6] == d[6]
+        assert np.array_equal(np.asarray(h[5], np.uint32), np.asarray(d[5], np.uint32))
+
+
 def test_plane_dtype_guard(monkeypatch):
     """int16 is opt-in (Mosaic can't legalize it on current libtpu); long
     sequences whose scores could overflow int16 must fall back even then."""
