@@ -1142,6 +1142,25 @@ void gather_ranges(const uint8_t* src, const int64_t* src_off,
     }
 }
 
+// Reverse-complement align codes (0..3 bases, >=4 ambiguous kept as-is)
+// for n concatenated ranges: dst[off[i]:off[i+1]] = reverse of the src
+// range with c<4 mapped to 3-c.  Replaces the NumPy reversed-index
+// megagather in _qcodes_cached_batch (np.repeat + arange + fancy index
+// built three full-size temporaries at 100k-read scale).
+void revcomp_codes_ranges(const uint8_t* src, const int64_t* off, int64_t n,
+                          uint8_t* dst, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* s = src + off[i];
+        uint8_t* d = dst + off[i];
+        int64_t len = off[i + 1] - off[i];
+        for (int64_t j = 0; j < len; j++) {
+            uint8_t c = s[len - 1 - j];
+            d[j] = c < 4 ? (uint8_t)(3 - c) : c;
+        }
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -250,10 +250,12 @@ def compute_lsh_signatures_batch(trs: list["TwinRead"], threads: int = 1) -> Non
         return
     sigs, valid = res
     _LSH_MATRIX_CACHE = (trs, sigs, valid)
+    # ONE whole-matrix tolist (a single C pass); per-row .tolist() calls
+    # cost ~8 us x 100k reads of pure dispatch overhead
+    rows = sigs.tolist()
+    none_row = [None] * LSH_NUM_TABLES
     for i, tr in enumerate(trs):
-        tr.lsh_signatures = (
-            sigs[i].tolist() if valid[i] else [None] * LSH_NUM_TABLES
-        )
+        tr.lsh_signatures = rows[i] if valid[i] else none_row[:]
 
 
 @dataclass

@@ -119,11 +119,17 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
             np.cumsum(rl, out=roff[1:])
             total = int(roff[-1])
             fcat = np.concatenate([fwd[fi] for fi in rc_miss]) if total else np.zeros(0, np.uint8)
-            # reversed span within the concat: start at end of each seq
-            starts = roff[1:] - 1
-            idx = np.repeat(starts + roff[:-1], rl) - np.arange(total, dtype=np.int64)
-            rc_cat = fcat[idx]
-            np.subtract(3, rc_cat, out=rc_cat, where=rc_cat < 4)
+            from .kmers_native import revcomp_codes_ranges_native
+
+            rc_cat = revcomp_codes_ranges_native(fcat, roff, threads=4)
+            if rc_cat is None:
+                # NumPy fallback: reversed span within the concat (start at
+                # end of each seq); three full-size temporaries, so the
+                # native sweep is preferred at scale
+                starts = roff[1:] - 1
+                idx = np.repeat(starts + roff[:-1], rl) - np.arange(total, dtype=np.int64)
+                rc_cat = fcat[idx]
+                np.subtract(3, rc_cat, out=rc_cat, where=rc_cat < 4)
             for i, fi in enumerate(rc_miss):
                 qb = bufs[fi]
                 if b"U" in qb or b"u" in qb:

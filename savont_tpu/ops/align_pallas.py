@@ -137,9 +137,18 @@ def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_wi
         ))
         out_shape = (out_shape, jax.ShapeDtypeStruct((Lq // 4, band, P_total), jnp.int32))
 
+    # the payload output block (Lq/4 x band x PAIR_BLOCK i32) pushes the
+    # Mosaic scoped-VMEM footprint past the 16 MB default on v5e (measured
+    # 23.7 MB at Lq=1512/band=48); the chip has 128 MB VMEM, so raise the
+    # kernel's limit rather than shrinking the lane block
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if emit_payload else None
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),

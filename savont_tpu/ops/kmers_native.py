@@ -84,6 +84,10 @@ def get_scan_lib():
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ctypes.c_int,
     ]
+    lib.revcomp_codes_ranges.restype = None
+    lib.revcomp_codes_ranges.argtypes = [
+        u8p, i64p, ctypes.c_int64, u8p, ctypes.c_int,
+    ]
     lib.recluster_round.restype = ctypes.c_int64
     lib.recluster_round.argtypes = [
         i64p, i64p, ctypes.c_int64, u64p, i64p,
@@ -286,6 +290,25 @@ def _compact(buf: np.ndarray, src_off: np.ndarray, cnt: np.ndarray,
         threads,
     )
     return dense, dst_off
+
+
+def revcomp_codes_ranges_native(
+    fcat: np.ndarray, off: np.ndarray, threads: int = 0
+) -> np.ndarray | None:
+    """Reverse-complement align-code ranges in one native sweep:
+    out[off[i]:off[i+1]] = fcat range reversed with c<4 -> 3-c.  Returns
+    None without the native library (caller keeps its NumPy gather)."""
+    lib = get_scan_lib()
+    if lib is None or not hasattr(lib, "revcomp_codes_ranges"):
+        return None
+    fcat = np.ascontiguousarray(fcat, np.uint8)
+    off = np.ascontiguousarray(off, np.int64)
+    out = np.empty(len(fcat), dtype=np.uint8)
+    lib.revcomp_codes_ranges(
+        _ptr(fcat, ctypes.c_uint8), _ptr(off, ctypes.c_int64),
+        len(off) - 1, _ptr(out, ctypes.c_uint8), threads,
+    )
+    return out
 
 
 def _split(dense: np.ndarray, dst_off: np.ndarray) -> list[np.ndarray]:

@@ -1180,3 +1180,26 @@ def test_window_minimizers_flat_matches_tuple_paths():
         np.testing.assert_array_equal(h[off[i]:off[i + 1]], oh)
         np.testing.assert_array_equal(p[off[i]:off[i + 1]], op)
         np.testing.assert_array_equal(f[off[i]:off[i + 1]], of)
+
+
+def test_revcomp_codes_ranges_native_parity():
+    """One-sweep native reverse-complement of align-code ranges == the
+    NumPy reversed-span gather it replaces in _qcodes_cached_batch
+    (codes >= 4 pass through unchanged, empty ranges allowed)."""
+    from savont_tpu.ops.kmers_native import get_scan_lib, revcomp_codes_ranges_native
+
+    if get_scan_lib() is None:
+        import pytest
+
+        pytest.skip("native scan lib unavailable")
+    rng = np.random.default_rng(91)
+    lens = np.concatenate(([0, 1], rng.integers(0, 600, 60)))
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    cat = rng.integers(0, 6, int(off[-1])).astype(np.uint8)
+    out = revcomp_codes_ranges_native(cat, off, threads=3)
+    assert out is not None
+    for i in range(len(lens)):
+        s = cat[off[i] : off[i + 1]][::-1].copy()
+        s[s < 4] = 3 - s[s < 4]
+        assert np.array_equal(out[off[i] : off[i + 1]], s)
