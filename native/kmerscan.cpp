@@ -1142,6 +1142,22 @@ void gather_ranges(const uint8_t* src, const int64_t* src_off,
     }
 }
 
+// Scatter-gather memcpy from n independently-allocated source ranges
+// (raw pointers) into one dense buffer: range i is src_ptrs[i], holds
+// cnt[i] elements of elt bytes, lands at dst + dst_off[i]*elt.  Serves the
+// minimizer-pool cache assembly (per-entry numpy slice stores were ~1.4 s
+// of Python dispatch at 100k reads).
+void gather_ptr_ranges(const uint64_t* src_ptrs, const int64_t* cnt,
+                       const int64_t* dst_off, int64_t n, int64_t elt,
+                       uint8_t* dst, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads > 0 ? threads : 1)
+    for (int64_t i = 0; i < n; i++) {
+        if (cnt[i] > 0)
+            memcpy(dst + dst_off[i] * elt, (const uint8_t*)(uintptr_t)src_ptrs[i],
+                   (size_t)(cnt[i] * elt));
+    }
+}
+
 // Reverse-complement align codes (0..3 bases, >=4 ambiguous kept as-is)
 // for n concatenated ranges: dst[off[i]:off[i+1]] = reverse of the src
 // range with c<4 mapped to 3-c.  Replaces the NumPy reversed-index

@@ -199,8 +199,15 @@ def window_minimizers_flat_batch(
                     mcodes = [mcat[moff[x] : moff[x + 1]] for x in range(len(miss))]
                     mh, mp, mf, mo = window_minimizers_flat_native(mcodes, k, w)
                     for x, i in enumerate(miss):
-                        e = [queries[i], mh[mo[x] : mo[x + 1]], mp[mo[x] : mo[x + 1]],
-                             mf[mo[x] : mo[x + 1]]]
+                        hs = mh[mo[x] : mo[x + 1]]
+                        ps = mp[mo[x] : mo[x + 1]]
+                        fs = mf[mo[x] : mo[x + 1]]
+                        # entries carry their data pointers (valid while the
+                        # slices at [1:4] pin the parents) so pool assembly
+                        # is one native scatter-gather memcpy instead of
+                        # 3 numpy slice stores per read
+                        e = [queries[i], hs, ps, fs,
+                             hs.ctypes.data, ps.ctypes.data, fs.ctypes.data]
                         _IDMINI_CACHE[id(queries[i])] = e
                         ents[i] = e
                 cnt = np.fromiter((len(e[1]) for e in ents), np.int64, n)
@@ -210,11 +217,23 @@ def window_minimizers_flat_batch(
                 h = np.empty(total, U64)
                 pos = np.empty(total, np.int64)
                 isf = np.empty(total, bool)
+                from .kmers_native import gather_ptr_ranges_native
+
+                ptrs = np.empty((n, 3), np.uint64)
                 for i, e in enumerate(ents):
-                    s, t = off[i], off[i + 1]
-                    h[s:t] = e[1]
-                    pos[s:t] = e[2]
-                    isf[s:t] = e[3]
+                    ptrs[i, 0] = e[4]
+                    ptrs[i, 1] = e[5]
+                    ptrs[i, 2] = e[6]
+                if not (
+                    gather_ptr_ranges_native(ptrs[:, 0], cnt, off, h, threads=4)
+                    and gather_ptr_ranges_native(ptrs[:, 1], cnt, off, pos, threads=4)
+                    and gather_ptr_ranges_native(ptrs[:, 2], cnt, off, isf, threads=4)
+                ):
+                    for i, e in enumerate(ents):
+                        s, t = off[i], off[i + 1]
+                        h[s:t] = e[1]
+                        pos[s:t] = e[2]
+                        isf[s:t] = e[3]
                 return h, pos, isf, off
         off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.fromiter((len(q) for q in queries), np.int64, n), out=off[1:])
@@ -227,8 +246,11 @@ def window_minimizers_flat_batch(
         if w == 10 and k == 15:
             oh, op, of_, oo = out
             for i, q in enumerate(queries):
-                _IDMINI_CACHE[id(q)] = [q, oh[oo[i] : oo[i + 1]], op[oo[i] : oo[i + 1]],
-                                        of_[oo[i] : oo[i + 1]]]
+                hs = oh[oo[i] : oo[i + 1]]
+                ps = op[oo[i] : oo[i + 1]]
+                fs = of_[oo[i] : oo[i + 1]]
+                _IDMINI_CACHE[id(q)] = [q, hs, ps, fs,
+                                        hs.ctypes.data, ps.ctypes.data, fs.ctypes.data]
         return out
     qmini = window_minimizers_cached_batch(queries, w, k)
     cnt = np.fromiter((len(m[0]) for m in qmini), np.int64, n)

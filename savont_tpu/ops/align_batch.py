@@ -645,15 +645,22 @@ def run_jobs(jobs: list[AlignJob], band: int | None = None, bucket: int = 64) ->
     if not jobs:
         return []
     if (
-        os.environ.get("SAVONT_ALIGN_BACKEND") == "jax"
+        os.environ.get("SAVONT_ALIGN_BACKEND") in ("jax", "pallas")
         and os.environ.get("SAVONT_DEVICE_TB", "1") != "0"
     ):
         # device traceback: full CIGARs computed on-chip (direction planes +
-        # batched walk + on-device RLE), bit-identical to the host kernels on
-        # smooth bands — serves the CIGAR consumers (stage-4 votes, pileups,
-        # stage-5 adjusted errors, stage-6 chimera walks) on TPU.
+        # batched walk + on-device RLE), bit-identical to the host kernels
+        # INCLUDING raw-band jumps — serves the CIGAR consumers (stage-4
+        # votes, pileups, stage-5 adjusted errors, stage-6 chimera walks) on
+        # TPU.  The pallas backend runs the Mosaic payload forward (smooth
+        # jobs; 0.17 ms/pair on v5e vs 0.86 for the XLA forward) with the
+        # exact XLA barrel-shift kernel for band-jump jobs.
         # SAVONT_DEVICE_TB=0 keeps CIGAR sites on the host kernel (the
         # pre-round-4 behavior).
+        if os.environ.get("SAVONT_ALIGN_BACKEND") == "pallas":
+            from .align_pallas import sw_traceback_pallas_jobs
+
+            return sw_traceback_pallas_jobs(jobs, band)
         from . import align_jax
 
         return align_jax.sw_traceback_numpy_jobs(jobs, band)

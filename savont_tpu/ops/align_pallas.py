@@ -511,7 +511,7 @@ def _pack_jobs_pallas_streams(cjobs, band: int):
     )
 
 
-def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret: bool = False):
+def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret: bool | None = None):
     """run_jobs-contract traceback via the PALLAS payload forward.
 
     Jobs whose planner band advances are all <= 1/row (the overwhelming
@@ -523,6 +523,12 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
 
     if not jobs:
         return []
+    if interpret is None:
+        # Mosaic needs real TPU hardware; everywhere else (CPU test meshes,
+        # SAVONT_ALIGN_BACKEND=pallas on a dev box) runs the interpreter
+        import jax
+
+        interpret = jax.default_backend() != "tpu"
     results: list[tuple | None] = [None] * len(jobs)
     smooth_idx: list[int] = []
     raw_idx: list[int] = []

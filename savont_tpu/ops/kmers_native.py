@@ -88,6 +88,10 @@ def get_scan_lib():
     lib.revcomp_codes_ranges.argtypes = [
         u8p, i64p, ctypes.c_int64, u8p, ctypes.c_int,
     ]
+    lib.gather_ptr_ranges.restype = None
+    lib.gather_ptr_ranges.argtypes = [
+        u64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int,
+    ]
     lib.recluster_round.restype = ctypes.c_int64
     lib.recluster_round.argtypes = [
         i64p, i64p, ctypes.c_int64, u64p, i64p,
@@ -290,6 +294,28 @@ def _compact(buf: np.ndarray, src_off: np.ndarray, cnt: np.ndarray,
         threads,
     )
     return dense, dst_off
+
+
+def gather_ptr_ranges_native(
+    ptrs: np.ndarray, cnt: np.ndarray, dst_off: np.ndarray,
+    dst: np.ndarray, threads: int = 0,
+) -> bool:
+    """Scatter-gather memcpy from independently-allocated source ranges
+    (raw data pointers, u64) into a dense array: range i (cnt[i] elements)
+    lands at dst[dst_off[i]:].  The caller must keep every source array
+    alive across the call.  Returns False without the native library."""
+    lib = get_scan_lib()
+    if lib is None or not hasattr(lib, "gather_ptr_ranges"):
+        return False
+    lib.gather_ptr_ranges(
+        _ptr(np.ascontiguousarray(ptrs, np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(cnt, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(dst_off, np.int64), ctypes.c_int64),
+        len(cnt), dst.dtype.itemsize,
+        dst.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+    )
+    return True
 
 
 def revcomp_codes_ranges_native(

@@ -344,6 +344,136 @@ def sharded_stage7_step_packed(
     return jax.jit(sharded)
 
 
+@_functools.lru_cache(maxsize=32)
+def sharded_stage7_step_packed2(
+    mesh: Mesh, n_asvs: int, band: int, em_iters: int, conv: float,
+    kernel: str, C: int, Lq: int,
+):
+    """Second-generation packed stage-7 dispatch: the upload carries each
+    read's FORWARD codes once, 4-bit packed (the reverse complement is
+    derived ON DEVICE: rc[j] = 3 - fwd[qlen-1-j] for codes < 4 — exactly
+    _qcodes_cached_batch's derivation, so U-containing reads must take the
+    v1 path), and each slot's smooth band corridor as lo0 + BIT-packed
+    {0,1} deltas.  ~10x fewer bytes than v1's per-slot oriented panels
+    (10.2 MB -> ~1.0 MB on the 902-read Zymo set), one upload + one
+    execute + one fetch.
+
+    Row layout (u8): [q4 (Lq/2) | qlen u16 | per-slot: lo0 u16, delta bits
+    ceil(Lq/8), tid i16, asv i16, strand u8].
+    """
+    axis = mesh.axis_names[0]
+    align_local = _stage7_align_local(band, kernel)
+    em_local = _stage7_em_local(n_asvs, em_iters, conv, axis)
+    Lq2 = (Lq + 1) // 2
+    Lb = (Lq + 7) // 8
+    slot_bytes = 2 + Lb + 2 + 2 + 1
+
+    def per_shard(buf, pool_buf):
+        Rl = buf.shape[0]
+        off = [0]
+
+        def take(n):
+            part = lax.slice_in_dim(buf, off[0], off[0] + n, axis=1)
+            off[0] += n
+            return part
+
+        def take_u16(n):
+            b0 = take(n).astype(jnp.int32)
+            b1 = take(n).astype(jnp.int32)
+            return b0 | (b1 << 8)
+
+        q4 = take(Lq2).astype(jnp.int32)
+        fwd = jnp.stack([q4 & 0xF, q4 >> 4], axis=2).reshape(Rl, 2 * Lq2)
+        fwd = lax.slice_in_dim(fwd, 0, Lq, axis=1)
+        qlen = take_u16(1)  # (Rl, 1)
+        cols = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+        ridx = jnp.clip(qlen - 1 - cols, 0, Lq - 1)
+        g = jnp.take_along_axis(fwd, ridx, axis=1)
+        rc = jnp.where(cols < qlen, jnp.where(g < 4, 3 - g, g), 5)
+
+        lo0 = take_u16(C).reshape(Rl, C, 1)
+        dbits = take(C * Lb).reshape(Rl, C, Lb).astype(jnp.int32)
+        shifts = jnp.arange(8, dtype=jnp.int32)[None, None, None, :]
+        bits = ((dbits[:, :, :, None] >> shifts) & 1).reshape(Rl, C, Lb * 8)
+        bits = lax.slice_in_dim(bits, 0, Lq, axis=2)
+        lo = jnp.concatenate([lo0, lo0 + jnp.cumsum(bits, axis=2)], axis=2)
+
+        def take_i16(n):
+            v = take_u16(n)
+            return v - ((v >> 15) << 16)  # sign-extend
+
+        slot_tid = take_i16(C)
+        slot_asv = take_i16(C)
+        strand = take(C)
+        q = jnp.where(
+            (strand == 1)[:, :, None], fwd[:, None, :], rc[:, None, :]
+        )
+
+        Lt = pool_buf.shape[1] - 4
+        t_pool = lax.slice_in_dim(pool_buf, 0, Lt, axis=1)
+        tb = lax.slice_in_dim(pool_buf, Lt, Lt + 4, axis=1).astype(jnp.uint32)
+        tlens = lax.bitcast_convert_type(
+            tb[:, 0] | (tb[:, 1] << 8) | (tb[:, 2] << 16) | (tb[:, 3] << 24),
+            jnp.int32,
+        )
+
+        nm, score, in_tie = align_local(q, lo, slot_tid, slot_asv, t_pool, tlens)
+        abund, count = em_local(in_tie, slot_asv)
+        nm_g = lax.all_gather(nm, axis, axis=0, tiled=True)
+        score_g = lax.all_gather(score, axis, axis=0, tiled=True)
+        out = jnp.concatenate([
+            lax.bitcast_convert_type(abund, jnp.int32),
+            nm_g.reshape(-1),
+            score_g.reshape(-1),
+            count.astype(jnp.int32)[None],
+        ])
+        return out
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _pack_stage7_panels2(
+    fwd_rows, qlen_rows, lo_panel, st_panel, slot_tid, slot_asv, R, C, Lq
+):
+    """Host-side packing for sharded_stage7_step_packed2.
+
+    fwd_rows: (R, Lq) int8 forward codes (pad 5); qlen_rows: (R,) int;
+    lo_panel: (R, C, Lq+1) SMOOTHED corridors; st_panel: (R, C) strand
+    (+1/-1, empty slots any).
+    """
+    Lq2 = (Lq + 1) // 2
+    Lb = (Lq + 7) // 8
+    fwd = fwd_rows.astype(np.uint8)
+    if Lq % 2:
+        fwd = np.concatenate([fwd, np.full((R, 1), 5, np.uint8)], axis=1)
+    q4 = fwd[:, 0::2] | (fwd[:, 1::2] << 4)
+    qlen = np.ascontiguousarray(qlen_rows, np.uint16).view(np.uint8).reshape(R, 2)
+    lo0 = np.ascontiguousarray(lo_panel[:, :, 0], np.uint16).view(np.uint8).reshape(R, 2 * C)
+    deltas = (lo_panel[:, :, 1:] - lo_panel[:, :, :-1]).astype(np.uint8)
+    dbits = np.packbits(deltas, axis=2, bitorder="little").reshape(R, C * Lb)
+    tid = np.ascontiguousarray(slot_tid, np.int16).view(np.uint8).reshape(R, 2 * C)
+    asv = np.ascontiguousarray(slot_asv, np.int16).view(np.uint8).reshape(R, 2 * C)
+    st = (st_panel == 1).astype(np.uint8)
+    # u16/i16 planes are stored as [all-low-bytes | all-high-bytes] (the
+    # device reads them as two column slices)
+    return np.concatenate([
+        q4,
+        qlen[:, 0::2], qlen[:, 1::2],
+        lo0[:, 0::2], lo0[:, 1::2],
+        dbits,
+        tid[:, 0::2], tid[:, 1::2],
+        asv[:, 0::2], asv[:, 1::2],
+        st,
+    ], axis=1)
+
+
 def _pack_stage7_panels(q_panel, lo_panel, slot_tid, slot_asv, R, C, Lq):
     """Host-side row-major packing for sharded_stage7_step_packed."""
     row_bytes = C * Lq + 2 * C * (Lq + 1) + 8 * C
@@ -551,7 +681,14 @@ def mesh_stage7_tie_break(
     # narrow upload dtypes (widened on device): codes are 0..6, lo < 2^14
     # (planner guard), slot ids fit int16 up to 32k targets/ASVs
     sid_dt = np.int16 if max(n_asvs, len(t_pool)) < 32000 else np.int32
-    q_panel = np.full((R * C, Lq), 5, dtype=np.int8)
+    # v2 packing ships per-READ fwd codes (the q panel is decoded on
+    # device), so skip the largest host scatter when it's taken
+    use_v2 = (
+        n_chunks == 1
+        and os.environ.get("SAVONT_MESH_PACK") != "v1"
+        and not any(b"U" in qb or b"u" in qb for qb in qry_ids)
+    )
+    q_panel = None if use_v2 else np.full((R * C, Lq), 5, dtype=np.int8)
     lo_panel = np.zeros((R * C, Lq + 1), dtype=np.int16)
     slot_tid = np.full((R, C), -1, dtype=sid_dt)
     slot_asv = np.full((R, C), -1, dtype=sid_dt)
@@ -565,7 +702,8 @@ def mesh_stage7_tie_break(
                 np.repeat(rows_flat * width, lens) + col0 + within
             ] = src[np.repeat(src_off, lens) + within]
 
-        _scatter(q_panel, Lq, nq, q_off_j[order], q_cat.astype(np.int8), 0)
+        if not use_v2:
+            _scatter(q_panel, Lq, nq, q_off_j[order], q_cat.astype(np.int8), 0)
         _scatter(lo_panel, Lq + 1, nq, lo_off_j[order], lo_flat.astype(np.int16), 1)
         lo_panel[rows_flat, 0] = lo_panel[rows_flat, 1]
         # pad tail: lo is non-decreasing per job (maximum.accumulate in the
@@ -574,7 +712,8 @@ def mesh_stage7_tie_break(
         slot_tid.reshape(-1)[rows_flat] = tid_j[order]
         slot_asv.reshape(-1)[rows_flat] = pair_asv[owner_j[order]]
     lo_panel = smooth_lo(lo_panel).reshape(R, C, Lq + 1)
-    q_panel = q_panel.reshape(R, C, Lq)
+    if q_panel is not None:
+        q_panel = q_panel.reshape(R, C, Lq)
 
     kernel = os.environ.get("SAVONT_MESH_KERNEL")
     if not kernel:
@@ -582,13 +721,40 @@ def mesh_stage7_tie_break(
     if n_chunks == 1:
         # high-latency link: ONE combined align+EM dispatch with PACKED I/O
         # (2 transfers + 1 execute + 1 fetch; every extra RPC costs a full
-        # ~30 ms roundtrip on the tunneled rig)
-        step = sharded_stage7_step_packed(
-            mesh, n_asvs, band=int(band), em_iters=em_iters, conv=0.01,
-            kernel=kernel, C=C, Lq=Lq,
-        )
-        buf = _pack_stage7_panels(q_panel, lo_panel, slot_tid, slot_asv, R, C, Lq)
+        # ~30 ms roundtrip on the tunneled rig).  v2 packing ships each
+        # read's fwd codes once (4-bit) + bit-packed corridor deltas (~10x
+        # fewer bytes than the per-slot panels); reads containing U/u fall
+        # back to v1 (their rc ENCODING differs from the device's 3-c
+        # derivation, see _qcodes_cached_batch).
         pool = _pack_target_pool(t_pool, tlens_pool)
+        if use_v2:
+            from ..ops.align_batch import _qcodes_cached_batch
+
+            fwd_rows = np.full((R, Lq), 5, np.int8)
+            qlen_rows = np.zeros(R, np.int64)
+            st_panel = np.ones((R, C), np.int8)
+            if len(owner_j):
+                fwd_codes = _qcodes_cached_batch([(qb, 1) for qb in qry_ids])
+                uq_of_read = np.zeros(R, np.int64)
+                uq_of_read[jr_s] = _uq_j[order]
+                for r in np.unique(jr_s).tolist():
+                    c = fwd_codes[uq_of_read[r]]
+                    fwd_rows[r, : len(c)] = c
+                    qlen_rows[r] = len(c)
+                st_panel.reshape(-1)[rows_flat] = _st_j[order]
+            step = sharded_stage7_step_packed2(
+                mesh, n_asvs, band=int(band), em_iters=em_iters, conv=0.01,
+                kernel=kernel, C=C, Lq=Lq,
+            )
+            buf = _pack_stage7_panels2(
+                fwd_rows, qlen_rows, lo_panel, st_panel, slot_tid, slot_asv, R, C, Lq
+            )
+        else:
+            step = sharded_stage7_step_packed(
+                mesh, n_asvs, band=int(band), em_iters=em_iters, conv=0.01,
+                kernel=kernel, C=C, Lq=Lq,
+            )
+            buf = _pack_stage7_panels(q_panel, lo_panel, slot_tid, slot_asv, R, C, Lq)
         out = np.asarray(step(shard_reads(mesh, buf), replicate_to_mesh(mesh, pool)))
         abund = out[:n_asvs].view(np.float32)
         nm = out[n_asvs : n_asvs + R * C].reshape(R, C)

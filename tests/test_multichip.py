@@ -318,3 +318,45 @@ def test_stage7_mesh_legacy_fallback_matches_soa(monkeypatch):
     assert best_s == best_l
     assert count_s == count_l
     assert np.allclose(abund_s, abund_l, atol=1e-6)
+
+
+def test_stage7_mesh_packed_v2_matches_v1(monkeypatch):
+    """The v2 packed dispatch (per-read 4-bit fwd codes + device-derived rc
+    + bit-packed corridor deltas) decodes to exactly the panels v1 ships:
+    winners, count and abundances must match bit-for-bit."""
+    import numpy as np
+
+    from savont_tpu.parallel.mesh import make_mesh
+
+    pairs, rr, ca, n_reads, A = _mesh_workload(seed=37)
+    mesh = make_mesh(4)
+    monkeypatch.setenv("SAVONT_MESH_CHUNKS", "1")
+    monkeypatch.setenv("SAVONT_MESH_PACK", "v1")
+    best_1, abund_1, count_1 = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    monkeypatch.delenv("SAVONT_MESH_PACK")
+    best_2, abund_2, count_2 = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    assert best_1 == best_2
+    assert count_1 == count_2
+    assert np.array_equal(abund_1, abund_2)
+
+
+def test_stage7_mesh_packed_v2_u_reads_fall_back(monkeypatch):
+    """Reads containing U take the v1 packed path (device rc derivation
+    would diverge from revcomp_bytes' U handling); results identical."""
+    import numpy as np
+
+    from savont_tpu.parallel.mesh import make_mesh
+
+    pairs, rr, ca, n_reads, A = _mesh_workload(seed=41)
+    # splice a U into one read (both its pairs share the bytes object)
+    qb = bytearray(pairs[0][0])
+    qb[5] = ord("U")
+    pairs = [(bytes(qb) if p[0] is pairs[0][0] else p[0], p[1]) for p in pairs]
+    mesh = make_mesh(4)
+    monkeypatch.setenv("SAVONT_MESH_CHUNKS", "1")
+    monkeypatch.setenv("SAVONT_MESH_PACK", "v1")
+    best_1, abund_1, count_1 = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    monkeypatch.delenv("SAVONT_MESH_PACK")
+    best_2, abund_2, count_2 = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
+    assert best_1 == best_2 and count_1 == count_2
+    assert np.array_equal(abund_1, abund_2)
