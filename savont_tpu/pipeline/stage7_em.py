@@ -388,12 +388,32 @@ def refine_asv_depths_with_em(
     # accumulation row order matches dict iteration order, and f64 addition
     # order changes last-ulp abundances.  Keep the first-occurrence-in-read-
     # order dict build; do not replace with np.unique (which sorts).
-    eq_counts: dict[bytes, int] = {}
-    for s, e, bl in zip(starts, ends, best_len):
-        key = aa[s : s + bl].tobytes()
-        eq_counts[key] = eq_counts.get(key, 0) + 1
-    for key, count in eq_counts.items():
-        eq_classes[tuple(np.frombuffer(key, dtype=aa.dtype).tolist())] = count
+    bits = max(1, int(len(consensuses) + 1).bit_length())
+    if int(best_len.max()) * bits <= 63:
+        # pack each read's (ascending-ASV) tied-best set into one int64
+        # ((a+1) per position, 0-terminated) and count with a dict over
+        # ints — same first-occurrence order, no 100k-iteration slice loop
+        rows_b = np.flatnonzero(in_best)
+        seg_start = np.zeros(len(best_len), np.int64)
+        np.cumsum(best_len[:-1], out=seg_start[1:])
+        pos = np.arange(len(rows_b), dtype=np.int64) - np.repeat(seg_start, best_len)
+        vals = (aa[rows_b].astype(np.int64) + 1) << (pos * bits)
+        packed = np.add.reduceat(vals, seg_start)
+        from collections import Counter
+
+        for key, count in Counter(packed.tolist()).items():
+            t = []
+            while key:
+                t.append((key & ((1 << bits) - 1)) - 1)
+                key >>= bits
+            eq_classes[tuple(t)] = count
+    else:
+        eq_counts: dict[bytes, int] = {}
+        for s, e, bl in zip(starts, ends, best_len):
+            key = aa[s : s + bl].tobytes()
+            eq_counts[key] = eq_counts.get(key, 0) + 1
+        for key, count in eq_counts.items():
+            eq_classes[tuple(np.frombuffer(key, dtype=aa.dtype).tolist())] = count
 
     if sample_filter is None:
         _write_read_asv_mappings(
