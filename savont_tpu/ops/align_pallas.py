@@ -480,6 +480,16 @@ def _pack_jobs_pallas_streams(cjobs, band: int):
     from .align_jax import _pack_jobs
 
     q, t, lo, tlens = _pack_jobs(cjobs, band)
+    # pad dims to multiples of 128 rows / 256 target cols: bounds the number
+    # of distinct Mosaic shapes across buckets (each costs a multi-minute
+    # remote compile on the dev rig)
+    Lqp = -(-q.shape[1] // 128) * 128
+    Ltp = -(-t.shape[1] // 256) * 256
+    if Lqp > q.shape[1]:
+        lo = np.pad(lo, ((0, 0), (0, Lqp - lo.shape[1] + 1)), mode="edge")
+        q = np.pad(q, ((0, 0), (0, Lqp - q.shape[1])), constant_values=5)
+    if Ltp > t.shape[1]:
+        t = np.pad(t, ((0, 0), (0, Ltp - t.shape[1])), constant_values=6)
     B = q.shape[0]
     P = ((B + PAIR_BLOCK - 1) // PAIR_BLOCK) * PAIR_BLOCK
     if P != B:
