@@ -110,6 +110,16 @@ _MINI_CACHE: dict[tuple[bytes, int, int], tuple] = {}
 _MINI_CACHE_MAX = 131072
 
 
+def evict_half(cache: dict) -> None:
+    """Drop the OLDEST half of a bounded memo dict (insertion order =
+    iteration order).  A wholesale clear at capacity caused a re-encode /
+    re-scan storm right at the working-set boundary."""
+    from itertools import islice
+
+    for k in list(islice(iter(cache), len(cache) // 2)):
+        del cache[k]
+
+
 def window_minimizers_cached(qbytes: bytes, w: int, k: int):
     """Memoized _window_minimizers over raw ASCII bytes (reads are re-seeded
     by several pipeline stages)."""
@@ -118,7 +128,7 @@ def window_minimizers_cached(qbytes: bytes, w: int, k: int):
     if hit is None:
         hit = _window_minimizers(ascii_to_align_codes(qbytes), w, k)
         if len(_MINI_CACHE) >= _MINI_CACHE_MAX:
-            _MINI_CACHE.clear()
+            evict_half(_MINI_CACHE)
         _MINI_CACHE[key] = hit
     return hit
 
@@ -153,7 +163,7 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
         else:
             computed = [_window_minimizers_numpy(c, w, k) for c in codes]
         if len(_MINI_CACHE) + len(miss_idx) >= _MINI_CACHE_MAX:
-            _MINI_CACHE.clear()
+            evict_half(_MINI_CACHE)
         for i, res in zip(miss_idx, computed):
             _MINI_CACHE[(queries[i], w, k)] = res
             out[i] = res
@@ -182,7 +192,7 @@ def window_minimizers_flat_batch(
     if n >= 2048 and get_scan_lib() is not None:
         if w == 10 and k == 15:  # the planner signature (cache is unkeyed on w/k)
             if len(_IDMINI_CACHE) > _IDMINI_CACHE_MAX:
-                _IDMINI_CACHE.clear()
+                evict_half(_IDMINI_CACHE)
             ents = [_IDMINI_CACHE.get(id(q)) for q in queries]
             miss = [i for i, e in enumerate(ents) if e is None or e[0] is not queries[i]]
             if len(miss) < n // 2:

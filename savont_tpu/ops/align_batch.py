@@ -47,7 +47,7 @@ def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
     hit = _QCODE_CACHE.get(key)
     if hit is None:
         if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
-            _QCODE_CACHE.clear()
+            evict_half(_QCODE_CACHE)
         hit = ascii_to_align_codes(qb if strand == 1 else revcomp_bytes(qb))
         _QCODE_CACHE[key] = hit
     return hit
@@ -85,7 +85,7 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
         n_u = len(bufs)
         fwd: list[np.ndarray | None] = [None] * n_u
         if len(_IDCODE_CACHE) > _IDCODE_CACHE_MAX:
-            _IDCODE_CACHE.clear()
+            evict_half(_IDCODE_CACHE)
         ents = [_IDCODE_CACHE.get(id(b)) for b in bufs]
         miss = [i for i, e in enumerate(ents) if e is None or e[0] is not bufs[i]]
         for i, e in enumerate(ents):
@@ -163,7 +163,7 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
         codes_cat = _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
         for i, x in enumerate(miss):
             if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
-                _QCODE_CACHE.clear()
+                evict_half(_QCODE_CACHE)
             # views, not copies: every byte of the concat buffer IS a cache
             # entry (all misses are inserted), so pinning it wastes nothing
             # — and the per-miss .copy() was ~3 us x 100k reads
