@@ -790,48 +790,56 @@ def _run_soa_slabs(
     pairs: list[tuple[bytes, bytes]], band: int | None,
     traceback: bool, coords: bool = True,
 ) -> list[Mapping | None] | None:
-    """Slabbed SoA alignment with a 2-deep slab pipeline.
+    """Slabbed SoA alignment with a 2-stage plan/DP pipeline.
 
     Slabs bound the planning/DP transients (band tables, code pools) to
     ~100 MB at any input scale; owners never span slabs, so winner
-    selection stays slab-local.  Two worker threads overlap one slab's
-    Python planning with the previous slab's native DP/scan calls (which
-    release the GIL); scan scratch is thread-local.  Returns None when the
-    SoA path is unavailable (caller falls back to the AlignJob path)."""
+    selection stays slab-local.  The main thread plans slab i+1 while ONE
+    worker runs slab i's DP — the DP batch is OMP-parallel internally and
+    releases the GIL, so fused per-slab workers only oversubscribed cores.
+    Returns None when the SoA path is unavailable (caller falls back to the
+    AlignJob path)."""
     import os
 
     slab = 8192
     if len(pairs) <= slab:
         return _align_pairs_nm_soa(pairs, band, traceback=traceback, coords=coords)
-    workers = int(os.environ.get("SAVONT_SLAB_WORKERS", "2"))
-    if workers <= 1:
+    spans = [(s, min(s + slab, len(pairs))) for s in range(0, len(pairs), slab)]
+    pipelined = os.environ.get("SAVONT_SLAB_WORKERS", "2") != "1"
+    if not pipelined:
         out_seq: list[Mapping | None] = []
-        for s in range(0, len(pairs), slab):
-            part = _align_pairs_nm_soa(
-                pairs[s : s + slab], band, traceback=traceback, coords=coords
-            )
+        for s, e in spans:
+            part = _align_pairs_nm_soa(pairs[s:e], band, traceback=traceback, coords=coords)
             if part is None:
                 return None
             out_seq.extend(part)
         return out_seq
     from concurrent.futures import ThreadPoolExecutor
 
-    spans = range(0, len(pairs), slab)
-    out_all: list[Mapping | None] = []
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = [
-            pool.submit(
-                _align_pairs_nm_soa, pairs[s : s + slab], band,
-                traceback=traceback, coords=coords,
-            )
-            for s in spans
-        ]
-        for f in futs:
-            part = f.result()
+    parts: list[list[Mapping | None] | None] = []
+    failed = False
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for s, e in spans:
+            ctx = _plan_pairs_soa(pairs[s:e], band)
+            if fut is not None:
+                part = fut.result()
+                if part is None:
+                    failed = True
+                parts.append(part)
+                fut = None
+            if failed or ctx[4] is None:
+                failed = True
+                break
+            fut = pool.submit(_soa_core_dp, ctx, traceback, coords, False)
+        if fut is not None:
+            part = fut.result()
             if part is None:
-                return None
-            out_all.extend(part)
-    return out_all
+                failed = True
+            parts.append(part)
+    if failed:
+        return None
+    return [m for p in parts for m in p]
 
 
 def align_pairs_nm_indexed(
@@ -889,20 +897,27 @@ def _run_indexed_slabs(
     qi: np.ndarray, ti: np.ndarray, band: int | None, coords: bool,
     nm_values: bool = False, traceback: bool = False,
 ) -> list[Mapping | None] | np.ndarray | None:
-    """Slabbed indexed SoA alignment (same slab/threading scheme as
-    _run_soa_slabs).  Each slab's pools are restricted to the sequences it
-    references, so the per-slab minimizer scans stay proportional to slab
-    size."""
+    """Slabbed indexed SoA alignment with a 2-stage plan/DP pipeline.
+
+    Each slab's pools are restricted to the sequences it references, so the
+    per-slab minimizer scans stay proportional to slab size.  The main
+    thread plans slab i+1 while ONE worker runs slab i's DP: the DP batch
+    is OMP-parallel internally, so fused per-slab workers (the old scheme)
+    only oversubscribed cores — measured at 100k-read stage 7, plan ~4.5 s
+    and DP ~2 s run mostly disjoint, and overlapping them takes the call
+    from ~6.6 s to ~max(plan, dp)."""
     import os
 
-    def one_slab(s: int, e: int):
+    def plan_slab(s: int, e: int):
         uq, qi2 = np.unique(qi[s:e], return_inverse=True)
         ut, ti2 = np.unique(ti[s:e], return_inverse=True)
         q_sub = [queries[i] for i in uq.tolist()]
         t_sub = [targets[i] for i in ut.tolist()]
-        return _align_soa_core(q_sub, t_sub, qi2.astype(np.int64),
-                               ti2.astype(np.int64), band, traceback, coords,
-                               nm_values=nm_values)
+        return _soa_core_plan(q_sub, t_sub, qi2.astype(np.int64),
+                              ti2.astype(np.int64), band)
+
+    def dp_slab(ctx):
+        return _soa_core_dp(ctx, traceback, coords, nm_values)
 
     def join(parts):
         return np.concatenate(parts) if nm_values else [m for p in parts for m in p]
@@ -910,13 +925,13 @@ def _run_indexed_slabs(
     slab = 8192
     n = len(qi)
     if n <= slab:
-        return one_slab(0, n)
-    workers = int(os.environ.get("SAVONT_SLAB_WORKERS", "2"))
+        return dp_slab(plan_slab(0, n))
     spans = [(s, min(s + slab, n)) for s in range(0, n, slab)]
-    if workers <= 1:
+    pipelined = os.environ.get("SAVONT_SLAB_WORKERS", "2") != "1"
+    if not pipelined:
         parts = []
         for s, e in spans:
-            part = one_slab(s, e)
+            part = dp_slab(plan_slab(s, e))
             if part is None:
                 return None
             parts.append(part)
@@ -924,13 +939,29 @@ def _run_indexed_slabs(
     from concurrent.futures import ThreadPoolExecutor
 
     parts = []
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = [pool.submit(one_slab, s, e) for s, e in spans]
-        for f in futs:
-            part = f.result()
+    failed = False
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for s, e in spans:
+            ctx = plan_slab(s, e)
+            if fut is not None:
+                part = fut.result()
+                if part is None:
+                    failed = True
+                parts.append(part)
+                fut = None
+            if failed or ctx[4] is None:
+                # planner prerequisite missing: whole call falls back
+                failed = True
+                break
+            fut = pool.submit(dp_slab, ctx)
+        if fut is not None:
+            part = fut.result()
             if part is None:
-                return None
+                failed = True
             parts.append(part)
+    if failed:
+        return None
     return join(parts)
 
 
@@ -950,6 +981,11 @@ def _align_pairs_nm_soa(
     buffer are re-done on the legacy per-pair path (identical results)."""
     if not pairs:
         return []
+    return _soa_core_dp(_plan_pairs_soa(pairs, band), traceback, coords, False)
+
+
+def _plan_pairs_soa(pairs: list[tuple[bytes, bytes]], band: int | None):
+    """Dedup + planning half of _align_pairs_nm_soa (ctx for _soa_core_dp)."""
     # unique targets and unique queries, both keyed by bytes; one flat
     # "job" per input pair (job id = pair index)
     tgt_ids: dict[bytes, int] = {}
@@ -961,11 +997,53 @@ def _align_pairs_nm_soa(
         qb = bytes(qa) if isinstance(qa, (bytes, bytearray)) else np.asarray(qa, dtype=np.uint8).tobytes()
         job_ti_list.append(tgt_ids.setdefault(tb, len(tgt_ids)))
         job_uq_list.append(qry_ids.setdefault(qb, len(qry_ids)))
-    return _align_soa_core(
+    return _soa_core_plan(
         list(qry_ids.keys()), list(tgt_ids.keys()),
         np.asarray(job_uq_list, dtype=np.int64),
         np.asarray(job_ti_list, dtype=np.int64),
-        band, traceback, coords,
+        band,
+    )
+
+
+def _soa_core_plan(
+    qry_bytes: list[bytes], tgt_bytes: list[bytes],
+    job_uq_arr: np.ndarray, job_ti_arr: np.ndarray, band: int | None,
+):
+    """Planning half of _align_soa_core: returns an opaque ctx for
+    _soa_core_dp.  Split out so slab runners can overlap one slab's
+    planning with the previous slab's DP (the DP batch releases the GIL
+    and is OMP-parallel internally)."""
+    plan = _plan_soa_indexed(qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, band)
+    return (qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, plan)
+
+
+def _soa_core_dp(
+    ctx, traceback: bool, coords: bool, nm_values: bool,
+) -> list[Mapping | None] | np.ndarray | None:
+    """DP + winner-selection half of _align_soa_core over a _soa_core_plan
+    ctx.  Returns None when the planner prerequisite was missing (caller
+    falls back to the per-pair path)."""
+    qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, plan = ctx
+    n_pairs = len(job_uq_arr)
+    _miss = np.full(n_pairs, -1, dtype=np.int64) if nm_values else None
+    if nm_values:
+        assert not traceback
+    if plan is None:
+        if nm_values:
+            return None if n_pairs else _miss
+        return None if n_pairs else []
+    if plan == "empty":
+        return _miss if nm_values else [None] * n_pairs
+    (owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+     t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all, band) = plan
+    from .native_build import get_lib
+
+    lib = get_lib()
+    return _soa_dp_and_winners(
+        lib, qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, n_pairs, band,
+        traceback, coords, nm_values, _miss,
+        owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
+        t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all,
     )
 
 
@@ -981,28 +1059,8 @@ def _align_soa_core(
     sequences.  Returns one Mapping|None per job (or, with nm_values=True,
     one flat int64 NM array with -1 = unaligned — no Mapping objects), or
     None when a prerequisite is missing (caller falls back)."""
-    if nm_values:
-        assert not traceback
-        _miss = np.full(len(job_uq_arr), -1, dtype=np.int64)
-    n_pairs = len(job_uq_arr)
-    plan = _plan_soa_indexed(qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, band)
-    if plan is None:
-        if nm_values:
-            return None if n_pairs else _miss
-        return None if n_pairs else []
-    if plan == "empty":
-        return _miss if nm_values else [None] * n_pairs
-    (owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
-     t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all, band) = plan
-    from .native_build import get_lib
-
-    lib = get_lib()
-    return _soa_dp_and_winners(
-        lib, qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, n_pairs, band,
-        traceback, coords, nm_values, _miss if nm_values else None,
-        owner_j, uq_j, st_j, tid_j, q_cat, q_off_j, q_lens_j,
-        t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, qlens_all,
-    )
+    ctx = _soa_core_plan(qry_bytes, tgt_bytes, job_uq_arr, job_ti_arr, band)
+    return _soa_core_dp(ctx, traceback, coords, nm_values)
 
 
 def _plan_soa_indexed(
