@@ -1194,6 +1194,29 @@ def solid_filter_batch_native(
 ) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
     """Per-read solid masks for minimizers (multiplicity + high-freq) and
     SNPmers (high-freq) — native twin of _apply_solid_filters' mask math."""
+    r = solid_filter_flat_native(
+        mini_lists, snp_lists, high_freq_sorted, max_count, threads
+    )
+    if r is None:
+        return None
+    mb, m_off, sb, s_off, m_counts, _minis, _snps = r
+    n = len(mini_lists)
+    return (
+        [mb[m_off[i] : m_off[i + 1]] for i in range(n)],
+        [sb[s_off[i] : s_off[i + 1]] for i in range(n)],
+        m_counts,
+    )
+
+
+def solid_filter_flat_native(
+    mini_lists: list[np.ndarray], snp_lists: list[np.ndarray],
+    high_freq_sorted: np.ndarray, max_count: int, threads: int,
+):
+    """Flat-pool twin of solid_filter_batch_native: returns
+    (mb bool flat, m_off i64[n+1], sb bool flat, s_off i64[n+1],
+    m_counts i64[n], minis_flat u64, snps_flat u64) so callers can apply
+    the masks with ONE boolean gather over the pools instead of a per-read
+    fancy-index loop (the stage-1.5 hotspot at 100k reads)."""
     lib = get_scan_lib()
     if lib is None:
         return None
@@ -1228,8 +1251,4 @@ def solid_filter_batch_native(
     cs = np.zeros(len(mb) + 1, dtype=np.int64)
     np.cumsum(mb, out=cs[1:])
     m_counts = cs[m_off[1:]] - cs[m_off[:-1]]
-    return (
-        [mb[m_off[i] : m_off[i + 1]] for i in range(n)],
-        [sb[s_off[i] : s_off[i + 1]] for i in range(n)],
-        m_counts,
-    )
+    return mb, m_off, sb, s_off, m_counts, minis, snps

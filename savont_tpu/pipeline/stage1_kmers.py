@@ -806,40 +806,67 @@ def twin_reads_from_files(
                 for rec in recs
             ]
         live = [tr for tr in trs if tr is not None]
-        masks = None
+        flat = None
         if live:
-            from ..ops.kmers_native import solid_filter_batch_native
+            from ..ops.kmers_native import solid_filter_flat_native
 
-            masks = solid_filter_batch_native(
+            flat = solid_filter_flat_native(
                 [t.mini_kmers_all for t in live],
                 [t.snp_kmers_all for t in live],
                 high_freq, MAX_KMER_COUNT_IN_READ, args.threads,
             )
-        for li, tr in enumerate(live):
-            if masks is not None:
-                solid, solid_snp = masks[0][li], masks[1][li]
-                if int(masks[2][li]) < tr.base_length // args.c // 20:
-                    n_repetitive += 1
-                    continue
-                # fill the minimizers_vec/snpmers_vec caches from the scan
-                # k-mers while masking: the scan already produced the exact
-                # canonical k-mers kmer_at_position would recompute
-                # (empirically equal; minimizers_vec parity is test-pinned),
-                # so the whole _prime_vec_caches rolling pass disappears
-                mini_k = tr.mini_kmers_all[solid]
-                tr.mini_pos = tr.mini_pos[solid]
-                tr._mini_vec_cache = (tr.mini_pos, mini_k)
-                if len(tr.snp_kmers_all) and len(high_freq):
-                    snp_k = tr.snp_kmers_all[solid_snp]
-                    tr.snp_pos = tr.snp_pos[solid_snp]
-                    tr._snp_vec_cache = (tr.snp_pos, snp_k)
+        if flat is not None:
+            # batched mask application: ONE boolean gather per pool (the
+            # per-read fancy-index loop was ~1.5 s of stage 1.5 at 100k).
+            # The vec caches are filled from the scan k-mers while masking:
+            # the scan already produced the exact canonical k-mers
+            # kmer_at_position would recompute (empirically equal;
+            # minimizers_vec parity is test-pinned), so the whole
+            # _prime_vec_caches rolling pass disappears.
+            mb, m_off, sb, s_off, m_counts, minis_flat, snps_flat = flat
+            mpos_flat = (
+                np.concatenate([t.mini_pos for t in live])
+                if live else np.zeros(0, np.uint32)
+            )
+            fm_k = minis_flat[mb]
+            fm_p = mpos_flat[mb]
+            nm_off = np.zeros(len(live) + 1, dtype=np.int64)
+            np.cumsum(m_counts, out=nm_off[1:])
+            snp_filtering = bool(len(high_freq))
+            if snp_filtering:
+                spos_flat = np.concatenate([t.snp_pos for t in live])
+                fs_k = snps_flat[sb]
+                fs_p = spos_flat[sb]
+                css = np.zeros(len(sb) + 1, dtype=np.int64)
+                np.cumsum(sb, out=css[1:])
+                s_counts = css[s_off[1:]] - css[s_off[:-1]]
+                ns_off = np.zeros(len(live) + 1, dtype=np.int64)
+                np.cumsum(s_counts, out=ns_off[1:])
+                soff = ns_off.tolist()
+            base_lens = np.fromiter((len(t.codes) for t in live), np.int64, len(live))
+            keep = m_counts >= (base_lens // args.c // 20)
+            n_repetitive += int(len(live) - keep.sum())
+            moff = nm_off.tolist()
+            for li in np.flatnonzero(keep).tolist():
+                tr = live[li]
+                mp = fm_p[moff[li] : moff[li + 1]]
+                tr.mini_pos = mp
+                tr._mini_vec_cache = (mp, fm_k[moff[li] : moff[li + 1]])
+                if snp_filtering:
+                    sp = fs_p[soff[li] : soff[li + 1]]
+                    tr.snp_pos = sp
+                    tr._snp_vec_cache = (sp, fs_k[soff[li] : soff[li + 1]])
                 else:
                     tr._snp_vec_cache = (tr.snp_pos, tr.snp_kmers_all)
-            elif not _apply_solid_filters(tr, args, high_freq):
-                n_repetitive += 1
-                continue
-            tr.file_idx = file_idx
-            twin_reads.append(tr)
+                tr.file_idx = file_idx
+                twin_reads.append(tr)
+        else:
+            for tr in live:
+                if not _apply_solid_filters(tr, args, high_freq):
+                    n_repetitive += 1
+                    continue
+                tr.file_idx = file_idx
+                twin_reads.append(tr)
         if log.isEnabledFor(5):  # TRACE: per-read SNPmer dump
             for tr in trs:
                 if tr is not None:
