@@ -19,6 +19,12 @@ from .ops.encode import (
 )
 from .ops.kmers import kmer_at_position, kmer_at_position_oriented
 
+_EMPTY_U32 = np.zeros(0, np.uint32)
+_EMPTY_U64 = np.zeros(0, U64)
+_EMPTY_BOOL = np.zeros(0, bool)
+for _e in (_EMPTY_U32, _EMPTY_U64, _EMPTY_BOOL):
+    _e.setflags(write=False)
+
 
 @dataclass
 class SnpmerInfo:
@@ -75,12 +81,16 @@ class TwinRead:
     l: int
     qual_levels: np.ndarray | None = None  # QualCompact3 levels (one per 4-base bin)
     est_id: float | None = None
-    mini_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
-    mini_kmers_all: np.ndarray = field(default_factory=lambda: np.zeros(0, U64))
-    snp_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
-    snp_kmers_all: np.ndarray = field(default_factory=lambda: np.zeros(0, U64))
-    blockmer_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
-    blockmer_canonical: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    # shared read-only empties: a fresh np.zeros(0) per default-factory call
+    # was 200k allocations per 100k-read construction pass.  These fields
+    # are only ever REPLACED (never mutated in place), so one frozen empty
+    # per dtype is safe to share.
+    mini_pos: np.ndarray = field(default_factory=lambda: _EMPTY_U32)
+    mini_kmers_all: np.ndarray = field(default_factory=lambda: _EMPTY_U64)
+    snp_pos: np.ndarray = field(default_factory=lambda: _EMPTY_U32)
+    snp_kmers_all: np.ndarray = field(default_factory=lambda: _EMPTY_U64)
+    blockmer_pos: np.ndarray = field(default_factory=lambda: _EMPTY_U32)
+    blockmer_canonical: np.ndarray = field(default_factory=lambda: _EMPTY_BOOL)
     lsh_signatures: list[int | None] = field(default_factory=list)
     file_idx: int = 0
 
@@ -250,12 +260,33 @@ def compute_lsh_signatures_batch(trs: list["TwinRead"], threads: int = 1) -> Non
         return
     sigs, valid = res
     _LSH_MATRIX_CACHE = (trs, sigs, valid)
-    # ONE whole-matrix tolist (a single C pass); per-row .tolist() calls
-    # cost ~8 us x 100k reads of pure dispatch overhead
-    rows = sigs.tolist()
-    none_row = [None] * LSH_NUM_TABLES
-    for i, tr in enumerate(trs):
-        tr.lsh_signatures = rows[i] if valid[i] else none_row[:]
+    # per-read signature LISTS are only consumed by the no-native Python
+    # greedy path in stage 2 (which can't run when lsh_batch_native just
+    # succeeded — both are gated on the same scan lib); the native greedy
+    # consumes the matrix cache directly, and a cache miss recomputes the
+    # matrix natively (stage23_cluster._lsh_matrices).  Materializing the
+    # lists was ~1.5 s of tolist + 100k assignments at 100k reads.
+
+
+def ensure_lsh_signature_lists(trs: list["TwinRead"]) -> None:
+    """Materialize per-read lsh_signatures LISTS for list-representation
+    consumers (the no-native Python greedy path in stage 2).  No-op for
+    reads whose lists are already filled; uses the batch matrix cache when
+    it covers this exact list, else the per-read compute."""
+    need = [t for t in trs if not t.lsh_signatures]
+    if not need:
+        return
+    cached = cached_lsh_matrix(trs)
+    if cached is not None:
+        sigs, valid = cached
+        rows = sigs.tolist()
+        none_row = [None] * LSH_NUM_TABLES
+        for i, tr in enumerate(trs):
+            if not tr.lsh_signatures:
+                tr.lsh_signatures = rows[i] if valid[i] else none_row[:]
+        return
+    for tr in need:
+        tr.compute_lsh_signatures()
 
 
 @dataclass

@@ -12,7 +12,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import ClusterArgs
-from ..constants import KMER_CLUSTER_THRESHOLD, LSH_NUM_TABLES, TOP_N_LSH_CANDIDATES
+from ..constants import (
+    KMER_CLUSTER_THRESHOLD,
+    LSH_BUCKET_SIZE,
+    LSH_NUM_TABLES,
+    TOP_N_LSH_CANDIDATES,
+)
 from ..core import TwinRead
 from ..ops.encode import U64
 
@@ -45,6 +50,11 @@ def cluster_reads_by_kmers(twin_reads: list[TwinRead], args: ClusterArgs) -> lis
         )
         return clusters
 
+    # Python greedy path consumes per-read signature LISTS, which the
+    # native batch compute no longer materializes — fill them on demand
+    from ..core import ensure_lsh_signature_lists
+
+    ensure_lsh_signature_lists(twin_reads)
     bucket_index: list[dict[int, list[int]]] = [dict() for _ in range(LSH_NUM_TABLES)]
     assignment: dict[int, int] = {}
     representatives: list[int] = []
@@ -133,13 +143,29 @@ def _cluster_native(twin_reads: list[TwinRead], k: int) -> np.ndarray | None:
         sigs = m_sigs
         valid = np.repeat(m_valid[:, None], LSH_NUM_TABLES, axis=1)
     else:
-        sigs = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint64)
-        valid = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint8)
-        for i, tr in enumerate(twin_reads):
-            for t, s in enumerate(tr.lsh_signatures[:LSH_NUM_TABLES]):
-                if s is not None:
-                    sigs[i, t] = s
-                    valid[i, t] = 1
+        # cache miss (different list object than the batch compute saw):
+        # recompute the matrices natively — compute_lsh_signatures_batch no
+        # longer materializes per-read lists when the native lib exists, so
+        # the list walk below only serves reads whose signatures were
+        # filled by the per-read Python fallback
+        from ..ops.kmers_native import lsh_batch_native
+
+        res = lsh_batch_native(
+            [tr.mini_kmers_all for tr in twin_reads],
+            LSH_NUM_TABLES, LSH_BUCKET_SIZE, 1,
+        )
+        if res is not None:
+            m_sigs, m_valid = res
+            sigs = m_sigs
+            valid = np.repeat(m_valid[:, None], LSH_NUM_TABLES, axis=1)
+        else:
+            sigs = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint64)
+            valid = np.zeros((n, LSH_NUM_TABLES), dtype=np.uint8)
+            for i, tr in enumerate(twin_reads):
+                for t, s in enumerate(tr.lsh_signatures[:LSH_NUM_TABLES]):
+                    if s is not None:
+                        sigs[i, t] = s
+                        valid[i, t] = 1
     return lsh_greedy_cluster_native(
         sigs, valid, [tr.minimizer_kmers() for tr in twin_reads],
         KMER_CLUSTER_THRESHOLD**k, TOP_N_LSH_CANDIDATES,

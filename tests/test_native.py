@@ -228,9 +228,19 @@ def test_lsh_batch_native_matches_python():
         want.append(list(tr.lsh_signatures))
         tr.lsh_signatures = []
     compute_lsh_signatures_batch(trs, threads=3)
-    got = [list(tr.lsh_signatures) for tr in trs]
     if get_scan_lib() is None:
-        return  # fallback path exercised; equality is trivial
+        # fallback path materializes per-read lists; equality is trivial
+        assert [list(tr.lsh_signatures) for tr in trs] == want
+        return
+    # native path fills the MATRIX cache only (stage 2 consumes it); the
+    # per-read lists stay empty by design
+    from savont_tpu.core import cached_lsh_matrix
+
+    sigs, valid = cached_lsh_matrix(trs)
+    got = [
+        (sigs[i].tolist() if valid[i] else [None] * len(want[i]))
+        for i in range(len(trs))
+    ]
     assert got == want
 
 
