@@ -156,3 +156,69 @@ extern "C" void pileup_accum_batch(
         }
     }
 }
+
+// ── Stage-5 adjusted-error counting (alignment.rs:101-188) ─────────────────
+// Exact semantic twin of pipeline/stage5_merge.calculate_adjusted_errors:
+// per job, walk the packed CIGAR once against the RAW ASCII sequences.
+// Replaces the NumPy batch path's per-base M-run expansion (~1.5 GB of
+// index streams at the 100k-read all-vs-all) and the per-indel-run Python
+// loop.  Parity is test-pinned against the NumPy twin.
+
+static inline bool hp_context(const uint8_t* s, int64_t n, int64_t pos) {
+    // run of length > 2 within +-2 of pos (_has_homopolymer_context, w=2)
+    if (n == 0) return false;
+    int64_t start = pos - 2; if (start < 0) start = 0;
+    int64_t end = pos + 3; if (end > n) end = n;
+    if (end <= start + 2) return false;
+    int64_t stop = end - 2; if (stop < start) stop = start;
+    for (int64_t i = start; i < stop; i++) {
+        if (i + 2 < n && s[i] == s[i + 1] && s[i] == s[i + 2]) return true;
+    }
+    return false;
+}
+
+extern "C" void adjusted_errors_batch(
+    const uint32_t* cig_cat, const int64_t* cig_off,   // per job (n+1)
+    const uint8_t* q_cat, const int64_t* q_off, const int64_t* q_len,
+    const uint8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* q_start, const int64_t* t_start,
+    int64_t n, int64_t buf, int64_t* errors, int threads)
+{
+    const int nt_ = (threads > 0) ? threads : omp_get_max_threads();
+#pragma omp parallel for schedule(dynamic, 16) num_threads(nt_)
+    for (int64_t j = 0; j < n; j++) {
+        const uint8_t* q = q_cat + q_off[j];
+        const uint8_t* t = t_cat + t_off[j];
+        const int64_t qlen = q_len[j], tlen = t_len[j];
+        int64_t qp = q_start[j], tp = t_start[j];
+        int64_t err = 0;
+        for (int64_t r = cig_off[j]; r < cig_off[j + 1]; r++) {
+            const int64_t len = (int64_t)(cig_cat[r] >> 4);
+            const int op = (int)(cig_cat[r] & 0xF);
+            if (op == 0) {  // M: mismatches outside the end buffer, no Ns
+                for (int64_t i = 0; i < len; i++) {
+                    const int64_t qi = qp + i, ti = tp + i;
+                    if (qi < qlen && ti < tlen) {
+                        const uint8_t qb = q[qi], tb = t[ti];
+                        if (qb != tb && qb != 'N' && tb != 'N'
+                            && qi > buf && qi + buf < qlen) err++;
+                    }
+                }
+                qp += len; tp += len;
+            } else if (op == 1) {  // I
+                const bool in_hp = hp_context(q, qlen, qp) || hp_context(t, tlen, tp);
+                if (!in_hp && qp > buf && qp + len + buf < qlen)
+                    err += (len < 10) ? 1 : len;
+                qp += len;
+            } else {  // D (and, like the NumPy twin, any other non-M op)
+                const bool in_hp = hp_context(q, qlen, qp) || hp_context(t, tlen, tp);
+                if (!in_hp && tp > buf && tp + len + buf < tlen)
+                    err += (len < 10) ? 1 : len;
+                // NumPy twin: q advances for op != 2, t for op != 1
+                if (op != 2) qp += len;
+                tp += len;
+            }
+        }
+        errors[j] = err;
+    }
+}

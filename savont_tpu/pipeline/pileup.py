@@ -206,6 +206,12 @@ def _get_pileup_lib():
         ctypes.c_int64, u8p, i64p, ctypes.c_int32,
         i64p, i64p, i64p, i64p, ctypes.c_int32,
     ]
+    if hasattr(lib, "adjusted_errors_batch"):  # older cached .so may lack it
+        lib.adjusted_errors_batch.restype = None
+        lib.adjusted_errors_batch.argtypes = [
+            u32p, i64p, u8p, i64p, i64p, u8p, i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int32,
+        ]
     _PILEUP_LIB = lib
     return lib
 

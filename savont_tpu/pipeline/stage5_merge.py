@@ -83,6 +83,61 @@ def calculate_adjusted_errors(
     return errors
 
 
+def _adjusted_errors_native(
+    cigars, q_arrs, t_arrs, q_starts, t_starts, n_runs: np.ndarray, buffer: int
+) -> np.ndarray | None:
+    """ONE native CIGAR walk per job (native/pileup.cpp adjusted_errors_batch)
+    — no per-base M-run index streams.  None -> NumPy batch path."""
+    import ctypes
+
+    from .pileup import _get_pileup_lib
+
+    lib = _get_pileup_lib()
+    if lib is None or not hasattr(lib, "adjusted_errors_batch"):
+        return None
+    n = len(cigars)
+    cig_off = np.zeros(n + 1, np.int64)
+    np.cumsum(n_runs, out=cig_off[1:])
+    cig_cat = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, np.uint32) for c in cigars])
+    )
+
+    def _pool(arrs):
+        ids: dict[int, int] = {}
+        idx = np.empty(n, np.int64)
+        uniq: list[np.ndarray] = []
+        for i, a in enumerate(arrs):
+            j = ids.get(id(a))
+            if j is None:
+                j = ids[id(a)] = len(uniq)
+                uniq.append(np.ascontiguousarray(a, np.uint8))
+            idx[i] = j
+        plens = np.fromiter((len(a) for a in uniq), np.int64, len(uniq))
+        off = np.zeros(len(uniq) + 1, np.int64)
+        np.cumsum(plens, out=off[1:])
+        cat = np.concatenate(uniq) if uniq else np.zeros(0, np.uint8)
+        return cat, np.ascontiguousarray(off[:-1][idx]), np.ascontiguousarray(plens[idx])
+
+    q_cat, q_off_j, q_len_j = _pool(q_arrs)
+    t_cat, t_off_j, t_len_j = _pool(t_arrs)
+    qs = np.ascontiguousarray(np.asarray(q_starts, np.int64))
+    ts = np.ascontiguousarray(np.asarray(t_starts, np.int64))
+    errors = np.zeros(n, np.int64)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    lib.adjusted_errors_batch(
+        ptr(cig_cat, ctypes.c_uint32), ptr(cig_off, ctypes.c_int64),
+        ptr(q_cat, ctypes.c_uint8), ptr(q_off_j, ctypes.c_int64), ptr(q_len_j, ctypes.c_int64),
+        ptr(t_cat, ctypes.c_uint8), ptr(t_off_j, ctypes.c_int64), ptr(t_len_j, ctypes.c_int64),
+        ptr(qs, ctypes.c_int64), ptr(ts, ctypes.c_int64),
+        ctypes.c_int64(n), ctypes.c_int64(buffer),
+        ptr(errors, ctypes.c_int64), ctypes.c_int32(0),
+    )
+    return errors
+
+
 def calculate_adjusted_errors_batch(
     cigars: list, q_arrs: list[np.ndarray], t_arrs: list[np.ndarray],
     q_starts, t_starts,
@@ -102,6 +157,9 @@ def calculate_adjusted_errors_batch(
     n_runs = np.fromiter((len(c) for c in cigars), np.int64, n)
     if int(n_runs.sum()) == 0:
         return errors
+    native = _adjusted_errors_native(cigars, q_arrs, t_arrs, q_starts, t_starts, n_runs, buffer)
+    if native is not None:
+        return native
     cg = np.concatenate([np.asarray(c, np.uint32) for c in cigars])
     run_job = np.repeat(np.arange(n), n_runs)
     lens, ops = cigar_lens_ops(cg)

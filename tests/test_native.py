@@ -1064,6 +1064,58 @@ def test_adjusted_errors_batch_matches_per_call():
     assert len(expected) > 10
     got = calculate_adjusted_errors_batch(cigs, q_arrs, t_arrs, qs, ts)
     assert got.tolist() == expected
+    # native CIGAR-walk kernel vs the NumPy batch fallback (same inputs)
+    from savont_tpu.pipeline import stage5_merge as s5
+
+    nat = s5._adjusted_errors_native(
+        cigs, q_arrs, t_arrs, qs, ts,
+        np.fromiter((len(c) for c in cigs), np.int64, len(cigs)), 35,
+    )
+    if nat is not None:
+        assert nat.tolist() == expected
+
+
+def test_adjusted_errors_native_with_ns_and_homopolymers():
+    """Native adjusted-errors kernel vs BOTH the NumPy batch path and the
+    scalar per-call on sequences salted with Ns and long homopolymer runs
+    (the branches the real-alignment test rarely hits)."""
+    from savont_tpu.pipeline import stage5_merge as s5
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    cigs, q_arrs, t_arrs, qs, ts, expected = [], [], [], [], [], []
+    for i in range(40):
+        L = int(rng.integers(200, 900))
+        t = rng.choice(bases, L, p=[0.23, 0.23, 0.23, 0.23, 0.08])
+        # salt homopolymer runs
+        for p in rng.choice(L - 8, 6, replace=False):
+            t[p : p + int(rng.integers(3, 7))] = t[p]
+        q = t.copy()
+        # synthetic CIGAR: alternating M/I/D runs with varied lengths
+        cig, ops = [], [0, 1, 2, 0, 2, 1, 0]
+        for j, op in enumerate(ops):
+            ln = int(rng.integers(1, 60)) if op else int(rng.integers(20, 120))
+            if op == 1 and rng.random() < 0.3:
+                ln = int(rng.integers(10, 15))  # >=10: counts full length
+            cig.append((ln << 4) | op)
+        cigs.append(np.array(cig, np.uint32))
+        q_arrs.append(q)
+        t_arrs.append(t)
+        qs.append(int(rng.integers(0, 40)))
+        ts.append(int(rng.integers(0, 40)))
+        expected.append(
+            s5.calculate_adjusted_errors(cigs[-1], q, t, qs[-1], ts[-1])
+        )
+    n_runs = np.fromiter((len(c) for c in cigs), np.int64, len(cigs))
+    nat = s5._adjusted_errors_native(cigs, q_arrs, t_arrs, qs, ts, n_runs, 35)
+    if nat is not None:
+        assert nat.tolist() == expected
+    # NumPy batch fallback on the same inputs
+    import unittest.mock as mock
+
+    with mock.patch.object(s5, "_adjusted_errors_native", lambda *a, **k: None):
+        got = s5.calculate_adjusted_errors_batch(cigs, q_arrs, t_arrs, qs, ts)
+    assert got.tolist() == expected
 
 
 def test_parent_span_c_probe_matches_python():
