@@ -34,6 +34,9 @@ import numpy as np
 from jax import lax
 
 from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
+from .jax_init import ensure_jax_cache
+
+ensure_jax_cache()
 
 NEG = -20000
 

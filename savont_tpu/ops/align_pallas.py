@@ -23,6 +23,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .jax_init import ensure_jax_cache
+
+ensure_jax_cache()
+
 from .align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 import os as _os

@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .jax_init import ensure_jax_cache
+
+ensure_jax_cache()
+
 U32 = jnp.uint32
 
 
