@@ -401,10 +401,33 @@ def syncmer_scan_native(
 ):
     """Batched syncmer+SNPmer scan; per read returns
     (mini_pos u32, mini_kmers u64, snp_pos u32, snp_kmers u64)."""
+    mp, mk, sp, sk, m_off, s_off = syncmer_scan_flat_native(
+        reads, phreds, k, c, min_bq, snpmer_sorted, threads
+    )
+    return [
+        (
+            mp[m_off[i] : m_off[i + 1]],
+            mk[m_off[i] : m_off[i + 1]],
+            sp[s_off[i] : s_off[i + 1]],
+            sk[s_off[i] : s_off[i + 1]],
+        )
+        for i in range(len(reads))
+    ]
+
+
+def syncmer_scan_flat_native(
+    reads: list[np.ndarray], phreds, k: int, c: int, min_bq: int,
+    snpmer_sorted: np.ndarray, threads: int = 0,
+):
+    """Flat-pool syncmer+SNPmer scan: returns
+    (mini_pos u32, mini_kmers u64, snp_pos u32, snp_kmers u64,
+    m_off i64[n+1], s_off i64[n+1]) over all reads — stage 1.5 consumes the
+    pools directly (per-read views, one solid-filter pass over the pools)
+    instead of materializing 100k 4-array tuples."""
     lib = get_scan_lib()
     assert lib is not None
     snp_sorted = np.ascontiguousarray(snpmer_sorted, dtype=np.uint64)
-    out_all: list[tuple] = []
+    parts: list[tuple] = []
     for s, e in _chunk_spans(reads, k):
         sub = reads[s:e]
         codes, ph, off = _concat(sub, phreds[s:e] if phreds is not None else None)
@@ -430,16 +453,27 @@ def syncmer_scan_native(
         mk, _ = _compact(mini_kmer, out_off, mini_cnt, threads)
         sp, sp_off = _compact(snp_pos, out_off, snp_cnt, threads)
         sk, _ = _compact(snp_kmer, out_off, snp_cnt, threads)
-        out_all.extend(
-            (
-                mp[mp_off[i] : mp_off[i + 1]],
-                mk[mp_off[i] : mp_off[i + 1]],
-                sp[sp_off[i] : sp_off[i + 1]],
-                sk[sp_off[i] : sp_off[i + 1]],
-            )
-            for i in range(len(sub))
-        )
-    return out_all
+        parts.append((mp, mk, sp, sk, mp_off, sp_off))
+    if len(parts) == 1:
+        mp, mk, sp, sk, mp_off, sp_off = parts[0]
+        return mp, mk, sp, sk, mp_off.astype(np.int64, copy=False), sp_off.astype(np.int64, copy=False)
+    n = len(reads)
+    mp = np.concatenate([p[0] for p in parts])
+    mk = np.concatenate([p[1] for p in parts])
+    sp = np.concatenate([p[2] for p in parts])
+    sk = np.concatenate([p[3] for p in parts])
+    m_off = np.zeros(n + 1, np.int64)
+    s_off = np.zeros(n + 1, np.int64)
+    pos = 0
+    mbase = sbase = 0
+    for p in parts:
+        cn = len(p[4]) - 1
+        m_off[pos + 1 : pos + cn + 1] = p[4][1:].astype(np.int64) + mbase
+        s_off[pos + 1 : pos + cn + 1] = p[5][1:].astype(np.int64) + sbase
+        mbase += int(p[4][-1])
+        sbase += int(p[5][-1])
+        pos += cn
+    return mp, mk, sp, sk, m_off, s_off
 
 
 def qual_fields_batch_native(
@@ -1234,6 +1268,28 @@ def solid_filter_flat_native(
         np.ascontiguousarray(np.concatenate(snp_lists), dtype=np.uint64)
         if n else np.zeros(0, np.uint64)
     )
+    r = solid_filter_pools_native(minis, m_off, snps, s_off, high_freq_sorted, max_count, threads)
+    if r is None:
+        return None
+    mb, sb, m_counts = r
+    return mb, m_off, sb, s_off, m_counts, minis, snps
+
+
+def solid_filter_pools_native(
+    minis: np.ndarray, m_off: np.ndarray, snps: np.ndarray, s_off: np.ndarray,
+    high_freq_sorted: np.ndarray, max_count: int, threads: int,
+):
+    """solid_filter over pre-flattened pools (the stage-1.5 flat-scan path
+    hands these straight from syncmer_scan_flat_native — no re-concat).
+    Returns (mb bool flat, sb bool flat, m_counts i64[n])."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    n = len(m_off) - 1
+    minis = np.ascontiguousarray(minis, dtype=np.uint64)
+    snps = np.ascontiguousarray(snps, dtype=np.uint64)
+    m_off = np.ascontiguousarray(m_off, dtype=np.int64)
+    s_off = np.ascontiguousarray(s_off, dtype=np.int64)
     hf = np.ascontiguousarray(high_freq_sorted, dtype=np.uint64)
     m_solid = np.zeros(len(minis), dtype=np.uint8)
     s_solid = np.zeros(len(snps), dtype=np.uint8)
@@ -1251,4 +1307,4 @@ def solid_filter_flat_native(
     cs = np.zeros(len(mb) + 1, dtype=np.int64)
     np.cumsum(mb, out=cs[1:])
     m_counts = cs[m_off[1:]] - cs[m_off[:-1]]
-    return mb, m_off, sb, s_off, m_counts, minis, snps
+    return mb, sb, m_counts

@@ -752,7 +752,7 @@ def twin_reads_from_files(
 ) -> list[TwinRead]:
     """Third pass over the FASTQ: TwinRead construction + filters
     (kmer_comp.rs:68-258 + driver sort at main.rs:533)."""
-    from ..ops.kmers_native import get_scan_lib, syncmer_scan_native
+    from ..ops.kmers_native import get_scan_lib
 
     snpmer_sorted = kmer_info.snpmer_set_sorted()
     high_freq = kmer_info.high_freq_kmers
@@ -772,11 +772,17 @@ def twin_reads_from_files(
         recs = [recs_all[i] for i in keep]
         codes_list = [enc_c[i] for i in keep]
         phred_list = [enc_p[i] for i in keep]
+        scan_pools = None
         if use_native:
-            scans = syncmer_scan_native(
+            from ..ops.kmers_native import syncmer_scan_flat_native
+
+            scan_pools = syncmer_scan_flat_native(
                 codes_list, phred_list, args.kmer_size, args.c,
                 args.minimum_base_quality, snpmer_sorted,
             )
+            mp_all, mk_all, sp_all, sk_all, sm_off, ss_off = scan_pools
+            smoff = sm_off.tolist()
+            ssoff = ss_off.tolist()
             ests, levels = _batched_qual_fields([r.qual for r in recs])
             trs = [
                 TwinRead(
@@ -787,12 +793,14 @@ def twin_reads_from_files(
                     l=args.blockmer_length,
                     qual_levels=ql,
                     est_id=est,
-                    mini_pos=scan[0],
-                    mini_kmers_all=scan[1],
-                    snp_pos=scan[2],
-                    snp_kmers_all=scan[3],
+                    mini_pos=mp_all[smoff[i] : smoff[i + 1]],
+                    mini_kmers_all=mk_all[smoff[i] : smoff[i + 1]],
+                    snp_pos=sp_all[ssoff[i] : ssoff[i + 1]],
+                    snp_kmers_all=sk_all[ssoff[i] : ssoff[i + 1]],
                 )
-                for rec, scan, codes, est, ql in zip(recs, scans, codes_list, ests, levels)
+                for i, (rec, codes, est, ql) in enumerate(
+                    zip(recs, codes_list, ests, levels)
+                )
             ]
             if blockmer_sorted is not None and len(blockmer_sorted):
                 for tr, codes, phred in zip(trs, codes_list, phred_list):
@@ -807,14 +815,31 @@ def twin_reads_from_files(
             ]
         live = [tr for tr in trs if tr is not None]
         flat = None
-        if live:
+        if live and scan_pools is not None:
+            # the scan pools already ARE the concatenated per-read k-mer
+            # lists in `live` order (the native path never drops reads)
+            from ..ops.kmers_native import solid_filter_pools_native
+
+            r = solid_filter_pools_native(
+                mk_all, sm_off, sk_all, ss_off,
+                high_freq, MAX_KMER_COUNT_IN_READ, args.threads,
+            )
+            if r is not None:
+                mb, sb, m_counts = r
+                flat = (mb, sm_off, sb, ss_off, m_counts, mk_all, sk_all, mp_all, sp_all)
+        elif live:
             from ..ops.kmers_native import solid_filter_flat_native
 
-            flat = solid_filter_flat_native(
+            r = solid_filter_flat_native(
                 [t.mini_kmers_all for t in live],
                 [t.snp_kmers_all for t in live],
                 high_freq, MAX_KMER_COUNT_IN_READ, args.threads,
             )
+            if r is not None:
+                mb, m_off, sb, s_off, m_counts, minis_flat, snps_flat = r
+                mpos_flat = np.concatenate([t.mini_pos for t in live])
+                spos_flat = np.concatenate([t.snp_pos for t in live])
+                flat = (mb, m_off, sb, s_off, m_counts, minis_flat, snps_flat, mpos_flat, spos_flat)
         if flat is not None:
             # batched mask application: ONE boolean gather per pool (the
             # per-read fancy-index loop was ~1.5 s of stage 1.5 at 100k).
@@ -823,18 +848,13 @@ def twin_reads_from_files(
             # kmer_at_position would recompute (empirically equal;
             # minimizers_vec parity is test-pinned), so the whole
             # _prime_vec_caches rolling pass disappears.
-            mb, m_off, sb, s_off, m_counts, minis_flat, snps_flat = flat
-            mpos_flat = (
-                np.concatenate([t.mini_pos for t in live])
-                if live else np.zeros(0, np.uint32)
-            )
+            mb, m_off, sb, s_off, m_counts, minis_flat, snps_flat, mpos_flat, spos_flat = flat
             fm_k = minis_flat[mb]
             fm_p = mpos_flat[mb]
             nm_off = np.zeros(len(live) + 1, dtype=np.int64)
             np.cumsum(m_counts, out=nm_off[1:])
             snp_filtering = bool(len(high_freq))
             if snp_filtering:
-                spos_flat = np.concatenate([t.snp_pos for t in live])
                 fs_k = snps_flat[sb]
                 fs_p = spos_flat[sb]
                 css = np.zeros(len(sb) + 1, dtype=np.int64)
