@@ -195,7 +195,11 @@ def window_minimizers_flat_batch(
                 evict_half(_IDMINI_CACHE)
             ents = [_IDMINI_CACHE.get(id(q)) for q in queries]
             miss = [i for i, e in enumerate(ents) if e is None or e[0] is not queries[i]]
-            if len(miss) < n // 2:
+            if len(miss) < n:
+                # ANY hit: scan only the misses and assemble pools from the
+                # cache — the native rescan is ~30x the id-probe cost, so a
+                # partial-hit batch never benefits from the full-scan path
+                # below (which rescans hits too)
                 # assemble flat pools from cache + one native scan of misses
                 if miss:
                     moff = np.zeros(len(miss) + 1, dtype=np.int64)

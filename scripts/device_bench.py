@@ -52,19 +52,45 @@ def main() -> int:
         # first run pays the XLA compiles (and any residual tunnel warmup);
         # the steady-state number is the best of 4 warm runs (tunnel RPC
         # times vary 26-36 ms and the VM shows ~8% steal)
-        walls = []
-        for _ in range(5):
-            shutil.rmtree(out, ignore_errors=True)
-            from savont_tpu.pipeline import stage1_kmers
+        def _run_pipeline_walls(n_runs: int) -> list[float]:
+            walls = []
+            for _ in range(n_runs):
+                shutil.rmtree(out, ignore_errors=True)
+                from savont_tpu.pipeline import stage1_kmers
 
-            stage1_kmers._READ_CACHE.clear()
-            t0 = time.time()
-            run_cluster(ClusterArgs(input_files=[READS], output_dir=str(out), threads=4))
-            walls.append(time.time() - t0)
+                stage1_kmers._READ_CACHE.clear()
+                t0 = time.time()
+                run_cluster(ClusterArgs(input_files=[READS], output_dir=str(out), threads=4))
+                walls.append(time.time() - t0)
+            return walls
+
+        walls = _run_pipeline_walls(6)
         wall = min(walls[1:])
         results = validate_asvs(str(out / "final_asvs.fasta"), REF_ASVS)
         ok = bool(results) and all(r.nm == 0 for r in results)
         print(f"pipeline: cold {walls[0]:.1f}s, warm {wall:.1f}s, {len(results)} ASVs, all_nm0={ok}", flush=True)
+
+        # FULL-device configuration: every CIGAR/NM-producing alignment in
+        # stages 4-6 routed through the device kernels (run_jobs via
+        # SAVONT_ALIGN_BACKEND=jax, byte-identical per
+        # tests/test_device_traceback.py), stage-4 pileups + stage-7 on the
+        # mesh.  Honest number THROUGH THE TUNNEL: stages 4-6 issue many
+        # small dispatches, each paying the ~30 ms RPC floor, so this
+        # config only wins on locally-attached chips.
+        os.environ["SAVONT_ALIGN_BACKEND"] = "jax"
+        os.environ["SAVONT_STAGE4_BACKEND"] = "mesh"
+        try:
+            walls_fd = _run_pipeline_walls(3)
+            wall_fd = min(walls_fd[1:])
+            results_fd = validate_asvs(str(out / "final_asvs.fasta"), REF_ASVS)
+            ok_fd = bool(results_fd) and all(r.nm == 0 for r in results_fd)
+        finally:
+            os.environ.pop("SAVONT_ALIGN_BACKEND", None)
+            os.environ.pop("SAVONT_STAGE4_BACKEND", None)
+        print(
+            f"pipeline FULL-device: cold {walls_fd[0]:.1f}s, warm {wall_fd:.1f}s, "
+            f"{len(results_fd)} ASVs, all_nm0={ok_fd}", flush=True,
+        )
 
         # steady-state kernel pairs/s at Zymo-like shapes
         from savont_tpu.parallel.mesh import (
@@ -173,6 +199,16 @@ def main() -> int:
             "devices": devices,
             "stage7_backend": "mesh",
             "pipeline_wall_s": round(wall, 2),
+            "pipeline_full_device_wall_s": round(wall_fd, 2),
+            "pipeline_full_device_all_nm0": ok_fd,
+            "full_device_note": (
+                "SAVONT_ALIGN_BACKEND=jax + SAVONT_STAGE4_BACKEND=mesh + "
+                "stage-7 mesh: every alignment (CIGARs incl.) on device; "
+                "stages 4-6 issue many small dispatches so the tunneled "
+                "rig pays the ~30 ms RPC floor per call — wins only with "
+                "locally-attached chips"
+            ),
+            "jax_persistent_cache": True,
             "device_kmers_reads_per_s": round(n_dk / dk_wall, 1),
             "device_kmers_wall_s": round(dk_wall, 2),
             "device_kmers_bytes_in": bytes_in,
