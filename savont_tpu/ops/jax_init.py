@@ -26,6 +26,13 @@ def ensure_jax_cache() -> None:
     try:
         import jax
 
+        # CPU excluded: XLA:CPU AOT entries embed host machine-feature
+        # lists that vary across processes (prefer-no-scatter etc.), and a
+        # mismatched load warns about possible SIGILL — CPU compiles are
+        # seconds anyway.  TPU/axon is where the cache pays (remote kernel
+        # compiles are minutes; measured 385 s -> 4 s fresh-process start).
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "savont_tpu", "jax"),
