@@ -736,15 +736,23 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
                     results[i] = (score, 0, qe, 0, te, [], nm)
         return results
     if backend == "jax" or _JAX_BACKEND is not None:
+        import jax as _jax
+
         from . import align_jax
 
-        out = []
         bucket = 256
         order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
         results: list[tuple | None] = [None] * len(jobs)
-        for start in range(0, len(order), bucket):
-            chunk = order[start : start + bucket]
-            res = align_jax.sw_scores_numpy_jobs([jobs[i] for i in chunk], band)
+        # dispatch every bucket async, then ONE batched device_get (each
+        # separate fetch pays a full roundtrip on tunneled rigs)
+        chunks = [order[s : s + bucket] for s in range(0, len(order), bucket)]
+        outs = [
+            align_jax.sw_scores_dispatch([jobs[i] for i in chunk], band)
+            for chunk in chunks
+        ]
+        hosts = _jax.device_get(outs)
+        for chunk, host in zip(chunks, hosts):
+            res = align_jax._scores_host_to_dicts(host, len(chunk))
             for i, r in zip(chunk, res):
                 if r is None:
                     results[i] = None

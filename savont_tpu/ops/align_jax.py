@@ -711,6 +711,11 @@ def sw_traceback_numpy_jobs(jobs, band: int = 128, maxrun: int = 512):
     order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
     bucket = 256
     overflow: list[int] = []
+    # dispatch every bucket before blocking on any result, then ONE batched
+    # device_get: per-array np.asarray fetches paid a full ~30 ms tunnel
+    # roundtrip per output key per bucket (7 keys x n_buckets RPCs)
+    chunks: list[list[int]] = []
+    outs: list[dict] = []
     for start in range(0, len(order), bucket):
         chunk = order[start : start + bucket]
         cjobs = [jobs[i] for i in chunk]
@@ -730,11 +735,13 @@ def sw_traceback_numpy_jobs(jobs, band: int = 128, maxrun: int = 512):
             t = np.pad(t, ((0, pad), (0, 0)), constant_values=6)
             lo = np.pad(lo, ((0, pad), (0, 0)))
             tlens = np.pad(tlens, (0, pad), constant_values=Lt)
-        out = sw_traceback_full(
+        chunks.append(chunk)
+        outs.append(sw_traceback_full(
             jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens),
             band=band, ops_max=Lq + Lt, maxrun=maxrun,
-        )
-        host = {k: np.asarray(v) for k, v in out.items()}
+        ))
+    hosts = jax.device_get(outs)
+    for chunk, host in zip(chunks, hosts):
         for x, i in enumerate(chunk):
             if host["score"][x] <= 0:
                 results[i] = None
@@ -791,13 +798,11 @@ def _sharded_forward(band: int):
     return jax.jit(sharded)
 
 
-def sw_scores_numpy_jobs(jobs, band: int = 128):
-    """Run AlignJobs through the device kernel; returns per-job dicts
-    (score<=0 -> None).  Used by NM-only call sites.  Raw planner bands —
-    results are bit-identical to the host kernels on ANY job set (the
-    barrel-shift forward handles arbitrary band advances)."""
-    if not jobs:
-        return []
+def sw_scores_dispatch(jobs, band: int = 128):
+    """Dispatch AlignJobs to the device forward kernel WITHOUT fetching:
+    returns the on-device output dict (callers batch several dispatches
+    into one jax.device_get — each separate fetch pays a full tunnel
+    roundtrip)."""
     q, t, lo, tlens = _pack_jobs(jobs, band)
     B = len(jobs)
     n_dev = jax.device_count()
@@ -818,8 +823,11 @@ def sw_scores_numpy_jobs(jobs, band: int = 128):
             jnp.asarray(q), jnp.asarray(t), jnp.asarray(lo), jnp.asarray(tlens),
             band=band, smooth=False,
         )
-    host = {k: np.asarray(v) for k, v in out.items()}
-    res = []
+    return out
+
+
+def _scores_host_to_dicts(host, B: int) -> list[dict | None]:
+    res: list[dict | None] = []
     for i in range(B):
         if host["score"][i] <= 0:
             res.append(None)
@@ -835,3 +843,14 @@ def sw_scores_numpy_jobs(jobs, band: int = 128):
                 }
             )
     return res
+
+
+def sw_scores_numpy_jobs(jobs, band: int = 128):
+    """Run AlignJobs through the device kernel; returns per-job dicts
+    (score<=0 -> None).  Used by NM-only call sites.  Raw planner bands —
+    results are bit-identical to the host kernels on ANY job set (the
+    barrel-shift forward handles arbitrary band advances)."""
+    if not jobs:
+        return []
+    out = sw_scores_dispatch(jobs, band)
+    return _scores_host_to_dicts(jax.device_get(out), len(jobs))

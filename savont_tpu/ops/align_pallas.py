@@ -540,8 +540,6 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
     if interpret is None:
         # Mosaic needs real TPU hardware; everywhere else (CPU test meshes,
         # SAVONT_ALIGN_BACKEND=pallas on a dev box) runs the interpreter
-        import jax
-
         interpret = jax.default_backend() != "tpu"
     results: list[tuple | None] = [None] * len(jobs)
     smooth_idx: list[int] = []
@@ -561,22 +559,26 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
     order = sorted(smooth_idx, key=lambda i: len(jobs[i].qcodes))
     bucket = 2 * PAIR_BLOCK
     overflow: list[int] = []
+    # dispatch every bucket, then ONE batched device_get (a per-key
+    # np.asarray fetch paid a full tunnel roundtrip per output per bucket)
+    chunks: list[list[int]] = []
+    outs: list[dict] = []
     for start in range(0, len(order), bucket):
         chunk = order[start : start + bucket]
         cjobs = [jobs[i] for i in chunk]
         streams = _pack_jobs_pallas_streams(cjobs, band)
         q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2, Lt = streams
         ops_max = q_rows.shape[0] + Lt
-        host = {
-            k: np.asarray(v)
-            for k, v in _pallas_tb_combined(
-                jnp.asarray(q_rows), jnp.asarray(new_rows),
-                jnp.asarray(dl_rows), jnp.asarray(locur_rows),
-                jnp.asarray(tlen_row), jnp.asarray(init_win),
-                jnp.asarray(lo2, jnp.int32),
-                band=band, ops_max=ops_max, maxrun=maxrun, interpret=interpret,
-            ).items()
-        }
+        chunks.append(chunk)
+        outs.append(_pallas_tb_combined(
+            jnp.asarray(q_rows), jnp.asarray(new_rows),
+            jnp.asarray(dl_rows), jnp.asarray(locur_rows),
+            jnp.asarray(tlen_row), jnp.asarray(init_win),
+            jnp.asarray(lo2, jnp.int32),
+            band=band, ops_max=ops_max, maxrun=maxrun, interpret=interpret,
+        ))
+    hosts = jax.device_get(outs)
+    for chunk, host in zip(chunks, hosts):
         for x, i in enumerate(chunk):
             if host["score"][x] <= 0:
                 results[i] = None
