@@ -817,7 +817,9 @@ def twin_reads_from_files(
         flat = None
         if live and scan_pools is not None:
             # the scan pools already ARE the concatenated per-read k-mer
-            # lists in `live` order (the native path never drops reads)
+            # lists in `live` order (the native path never drops reads);
+            # guard the alignment in case a future native path filters
+            assert len(live) == len(trs), "scan pools misaligned with live reads"
             from ..ops.kmers_native import solid_filter_pools_native
 
             r = solid_filter_pools_native(
