@@ -380,9 +380,13 @@ def refine_asv_depths_with_em(
         # ascending-NM order, columns = read, asv, SNPmer mismatches, NM
         pos_in_seg = np.arange(len(rr)) - starts[seg_id]
         bi = np.flatnonzero(pos_in_seg < 5)
+        # plain-int rows via tolist: str() of np scalars is ~3x a python
+        # int, and the per-row attribute chain cost ~0.5 s at 100k reads
         mapping_lines.extend(
-            f"{read_list[rr[i]].id}\tasv:{cons_ids[aa[i]]}\t{mm[i]}\t{nm[i]}\n"
-            for i in bi
+            f"{read_list[r].id}\tasv:{cons_ids[a]}\t{m}\t{n}\n"
+            for r, a, m, n in zip(
+                rr[bi].tolist(), aa[bi].tolist(), mm[bi].tolist(), nm[bi].tolist()
+            )
         )
     # NOTE: eq-class insertion order is LOAD-BEARING — _run_em's bincount
     # accumulation row order matches dict iteration order, and f64 addition
