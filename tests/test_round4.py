@@ -120,3 +120,50 @@ def test_use_hpc_pipeline_runs_and_recovers(tmp_path):
     asvs = {e.split("\n", 1)[1].replace("\n", "") for e in fasta}
     want = {bytes(t1).decode(), bytes(t2).decode()}
     assert want <= asvs, "templates not recovered exactly under --use-hpc"
+
+
+def test_indexed_slab_pipeline_fallback(monkeypatch):
+    """The pipelined multi-slab runner (plan i+1 overlapping DP i) must
+    (a) produce results identical to the serial runner, and (b) fall back
+    to the tuple path for the WHOLE call when a mid-stream slab's planner
+    prerequisite is missing."""
+    import numpy as np
+
+    from savont_tpu.ops import align_batch as ab
+
+    rng = np.random.default_rng(3)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    targets = [rng.choice(BASES, 600).tobytes() for _ in range(4)]
+    n = 20000  # > 2 slabs of 8192
+    reps = []
+    for i in range(64):
+        b = bytearray(targets[i % 4])
+        for p in rng.choice(len(b), 6, replace=False):
+            b[p] = b"ACGT"[rng.integers(4)]
+        reps.append(bytes(b))
+    queries = [reps[i % 64] for i in range(n)]
+    qi = np.arange(n, dtype=np.int64)
+    ti = (qi % 4).astype(np.int64)
+
+    monkeypatch.setenv("SAVONT_SLAB_WORKERS", "1")  # serial reference
+    want = ab.align_pairs_nm_values_indexed(queries, targets, qi, ti, 48)
+    monkeypatch.delenv("SAVONT_SLAB_WORKERS")
+    got = ab.align_pairs_nm_values_indexed(queries, targets, qi, ti, 48)
+    assert np.array_equal(got, want)
+
+    # fail the planner on the SECOND slab only: the runner must signal
+    # fallback and the public wrapper must still return correct values
+    calls = {"n": 0}
+    orig = ab._plan_soa_indexed
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return None
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ab, "_plan_soa_indexed", flaky)
+    assert ab._run_indexed_slabs(queries, targets, qi, ti, 48, False, nm_values=True) is None
+    calls["n"] = 0
+    got2 = ab.align_pairs_nm_values_indexed(queries, targets, qi, ti, 48)
+    assert np.array_equal(got2, want)
