@@ -60,7 +60,7 @@ class KmerGlobalInfo:
         return np.unique(np.array(vs, dtype=U64)) if vs else np.zeros(0, dtype=U64)
 
 
-@dataclass
+@dataclass(slots=True)
 class TwinRead:
     """Positions-only seed storage over a 2-bit sequence (types.rs:385-412).
 
@@ -93,6 +93,13 @@ class TwinRead:
     blockmer_canonical: np.ndarray = field(default_factory=lambda: _EMPTY_BOOL)
     lsh_signatures: list[int | None] = field(default_factory=list)
     file_idx: int = 0
+    # memo slots (slots=True: dynamic attributes are gone, so the caches
+    # are declared fields — init/repr/compare-excluded, default None)
+    _seq_bytes_cache: bytes | None = field(default=None, init=False, repr=False, compare=False)
+    _qual_ascii_cache: np.ndarray | None = field(default=None, init=False, repr=False, compare=False)
+    _mini_vec_cache: tuple | None = field(default=None, init=False, repr=False, compare=False)
+    _snp_vec_cache: tuple | None = field(default=None, init=False, repr=False, compare=False)
+    _avg_qual_cache: float | None = field(default=None, init=False, repr=False, compare=False)
 
     @property
     def base_length(self) -> int:
