@@ -233,15 +233,16 @@ def window_minimizers_flat_batch(
                 isf = np.empty(total, bool)
                 from .kmers_native import gather_ptr_ranges_native
 
-                ptrs = np.empty((n, 3), np.uint64)
-                for i, e in enumerate(ents):
-                    ptrs[i, 0] = e[4]
-                    ptrs[i, 1] = e[5]
-                    ptrs[i, 2] = e[6]
+                # one fromiter per pointer column (~60 ns/elem); the old
+                # per-entry ptrs[i, j] scalar stores cost ~2-3 us each,
+                # ~0.6 s at 100k reads
+                p_h = np.fromiter((e[4] for e in ents), np.uint64, n)
+                p_p = np.fromiter((e[5] for e in ents), np.uint64, n)
+                p_f = np.fromiter((e[6] for e in ents), np.uint64, n)
                 if not (
-                    gather_ptr_ranges_native(ptrs[:, 0], cnt, off, h, threads=4)
-                    and gather_ptr_ranges_native(ptrs[:, 1], cnt, off, pos, threads=4)
-                    and gather_ptr_ranges_native(ptrs[:, 2], cnt, off, isf, threads=4)
+                    gather_ptr_ranges_native(p_h, cnt, off, h, threads=4)
+                    and gather_ptr_ranges_native(p_p, cnt, off, pos, threads=4)
+                    and gather_ptr_ranges_native(p_f, cnt, off, isf, threads=4)
                 ):
                     for i, e in enumerate(ents):
                         s, t = off[i], off[i + 1]
