@@ -167,3 +167,47 @@ def test_indexed_slab_pipeline_fallback(monkeypatch):
     calls["n"] = 0
     got2 = ab.align_pairs_nm_values_indexed(queries, targets, qi, ti, 48)
     assert np.array_equal(got2, want)
+
+
+def test_seq_bytes_prefill_matches_decode(tmp_path):
+    """Stage-1.5 hands pure-ACGT reads the parsed bytes object as the
+    seq_bytes memo; reads with Ns must still decode (N->A sanitized)."""
+    import gzip
+
+    import numpy as np
+
+    from savont_tpu.config import ClusterArgs
+    from savont_tpu.ops.encode import decode_seq
+    from savont_tpu.pipeline import stage1_kmers as s1
+
+    from savont_tpu.ops.encode import revcomp_bytes
+
+    rng = np.random.default_rng(9)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    tpl = rng.choice(BASES, 1300).tobytes()
+    reads = []
+    for i in range(30):
+        b = bytearray(tpl)
+        for p in rng.choice(len(b), 3, replace=False):
+            b[p] = b"ACGT"[rng.integers(4)]
+        if i % 5 == 0:
+            b[600] = ord("N")  # sanitized to A at encode
+        r = bytes(b)
+        reads.append(revcomp_bytes(r) if i % 2 else r)
+    fq = tmp_path / "r.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+    args = ClusterArgs(input_files=[str(fq)], output_dir=str(tmp_path / "o"),
+                       min_read_length=100, max_read_length=5000)
+    kmers, counts = s1.read_to_split_kmers(args)
+    info = s1.get_snpmers(kmers, counts, args)
+    trs = s1.twin_reads_from_files(info, args)
+    assert len(trs) == 30
+    by_id = {t.id: t for t in trs}
+    for i, r in enumerate(reads):
+        tr = by_id[f"r{i}"]
+        want = decode_seq(tr.codes)
+        assert tr.seq_bytes() == want
+        if b"N" not in r:
+            assert tr.seq_bytes() == r
