@@ -140,9 +140,14 @@ def _pure_acgt_batch(seqs: list[bytes]) -> np.ndarray:
     if int(off[-1]) == 0:
         return np.ones(n, dtype=bool)
     good = _PURE_ACGT[np.frombuffer(b"".join(seqs), np.uint8)]
-    cs = np.zeros(len(good) + 1, np.int64)
-    np.cumsum(good, out=cs[1:])
-    return (cs[off[1:]] - cs[off[:-1]]) == lens
+    # non-ACGT bytes are rare: locate them and mark their owner reads
+    # (cumsum/reduceat with u8->int64 casting is a ~40-74 ns/elem buffered
+    # path — 5-11 s at 150 MB)
+    bad = np.flatnonzero(good == 0)
+    pure = np.ones(n, dtype=bool)
+    if len(bad):
+        pure[np.searchsorted(off, bad, side="right") - 1] = False
+    return pure
 
 
 def _iter_reads_for_counting(files: list[str]):
@@ -888,7 +893,7 @@ def twin_reads_from_files(
                 fs_k = snps_flat[sb]
                 fs_p = spos_flat[sb]
                 css = np.zeros(len(sb) + 1, dtype=np.int64)
-                np.cumsum(sb, out=css[1:])
+                np.cumsum(sb.astype(np.int64), out=css[1:])  # bool out=int64 cumsum is ~74 ns/elem
                 s_counts = css[s_off[1:]] - css[s_off[:-1]]
                 ns_off = np.zeros(len(live) + 1, dtype=np.int64)
                 np.cumsum(s_counts, out=ns_off[1:])
