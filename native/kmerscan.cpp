@@ -408,7 +408,7 @@ void chain_band_batch(
     const int64_t* grp_off, int64_t n_groups,
     const int64_t* qlen, const int64_t* tlen,
     int band, int min_anchors,
-    int64_t* out_lo, const int64_t* out_off, int64_t* out_nchain,
+    int32_t* out_lo, const int64_t* out_off, int64_t* out_nchain,
     int n_threads) {
 #ifdef _OPENMP
     const int nt = (n_threads > 0) ? n_threads
@@ -477,7 +477,7 @@ void chain_band_batch(
             const int64_t tl = tlen[g];
             const int64_t b = std::min<int64_t>(band, std::max<int64_t>(8, tl));
             const int64_t lo_max = std::max<int64_t>(tl - b, 0);
-            int64_t* lo = out_lo + out_off[g];
+            int32_t* lo = out_lo + out_off[g];
             cbuf.resize(m);
             int64_t* cb = cbuf.data();
             // head: x < cq[0], diagonal extrapolation
@@ -521,9 +521,9 @@ void chain_band_batch(
                 // later (after all groups) by the DP kernel — no reuse to
                 // cache, and the write volume is ~qlen*8B per kept group
 #if defined(__x86_64__)
-                _mm_stream_si64((long long*)&lo[x], (long long)run_lo);
+                _mm_stream_si32((int*)&lo[x], (int)run_lo);
 #else
-                lo[x] = run_lo;
+                lo[x] = (int32_t)run_lo;
 #endif
             }
         }

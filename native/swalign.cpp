@@ -41,7 +41,7 @@ struct Scratch {
 };
 
 void align_one(const uint8_t* q, int32_t m, const uint8_t* t, int32_t n,
-               const int64_t* lo_full /* m+1 */, int32_t band,
+               const int32_t* lo_full /* m+1 */, int32_t band,
                Result* res, uint32_t* cigar_out, int32_t max_cigar,
                Scratch& sc) {
     res->score = 0;
@@ -289,7 +289,7 @@ extern "C" {
 void sw_banded_batch(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
-    const int64_t* lo, const int64_t* lo_off,
+    const int32_t* lo, const int64_t* lo_off,
     int32_t n_pairs, int32_t band,
     int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
     int32_t n_threads) {
@@ -734,7 +734,7 @@ template <bool COORDS>
 inline void nm_block(
     const uint8_t* const* q, const int32_t* qlen,
     const uint8_t* const* t, const int32_t* tlen,
-    const int64_t* const* lo_raw,  // planner lo, len qlen per pair
+    const int32_t* const* lo_raw,  // planner lo, len qlen per pair
     int np, int band, int32_t* out /* (PBLK, 6) */, NmScratch& sc) {
     const int stride = PBLK;
     const size_t plane = (size_t)(band + 1) * stride;
@@ -894,7 +894,7 @@ template <bool COORDS>
 static void sw_nm_batch_impl(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
-    const int64_t* lo, const int64_t* lo_off,
+    const int32_t* lo, const int64_t* lo_off,
     int32_t n_pairs, int32_t band,
     int32_t* out_meta, int32_t n_threads) {
     const int32_t n_blocks = (n_pairs + PBLK - 1) / PBLK;
@@ -907,7 +907,7 @@ static void sw_nm_batch_impl(
         NmScratch sc;
         const uint8_t* qp[PBLK];
         const uint8_t* tp[PBLK];
-        const int64_t* lop[PBLK];
+        const int32_t* lop[PBLK];
         int32_t ql[PBLK], tl[PBLK];
         int32_t blk_out[PBLK * 6];
 #ifdef _OPENMP
@@ -936,7 +936,7 @@ extern "C" {
 void sw_nm_batch(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
-    const int64_t* lo, const int64_t* lo_off,
+    const int32_t* lo, const int64_t* lo_off,
     int32_t n_pairs, int32_t band,
     int32_t* out_meta, int32_t n_threads) {
     sw_nm_batch_impl<true>(q, q_off, q_len, t, t_off, t_len, lo, lo_off,
@@ -947,7 +947,7 @@ void sw_nm_batch(
 void sw_nm_batch_nc(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
-    const int64_t* lo, const int64_t* lo_off,
+    const int32_t* lo, const int64_t* lo_off,
     int32_t n_pairs, int32_t band,
     int32_t* out_meta, int32_t n_threads) {
     sw_nm_batch_impl<false>(q, q_off, q_len, t, t_off, t_len, lo, lo_off,
@@ -1206,7 +1206,7 @@ inline void fused_tb_row_pass(
 inline void tb_block(
     const uint8_t* const* q, const int32_t* qlen,
     const uint8_t* const* t, const int32_t* tlen,
-    const int64_t* const* lo_raw,  // planner lo, len qlen per pair
+    const int32_t* const* lo_raw,  // planner lo, len qlen per pair
     int np, int band, Result* res /* PBLK */,
     uint32_t* cigars /* PBLK * max_cigar */, int32_t max_cigar,
     TbScratch& sc) {
@@ -1324,7 +1324,7 @@ inline void tb_block(
         rs->cigar_len = 0;
         rs->overflow = 0;
         if (bv[p] <= 0) continue;
-        const int64_t* lp = lo_raw[p];
+        const int32_t* lp = lo_raw[p];
         auto lo_full = [&](int32_t rr) -> int64_t {
             return (rr <= 0) ? lp[0] : lp[rr - 1];
         };
@@ -1407,7 +1407,7 @@ extern "C" {
 void sw_tb_batch(
     const uint8_t* q, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* t, const int64_t* t_off, const int32_t* t_len,
-    const int64_t* lo, const int64_t* lo_off,
+    const int32_t* lo, const int64_t* lo_off,
     int32_t n_pairs, int32_t band,
     int32_t* out_meta, uint32_t* out_cigar, int32_t max_cigar,
     int32_t n_threads) {
@@ -1421,7 +1421,7 @@ void sw_tb_batch(
         TbScratch sc;
         const uint8_t* qp[PBLK];
         const uint8_t* tp[PBLK];
-        const int64_t* lop[PBLK];
+        const int32_t* lop[PBLK];
         int32_t ql[PBLK], tl[PBLK];
         Result blk_res[PBLK];
         std::vector<uint32_t> blk_cig;
