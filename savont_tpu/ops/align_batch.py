@@ -179,7 +179,7 @@ class AlignJob:
 
     qcodes: np.ndarray  # oriented query codes (0..4)
     tcodes: np.ndarray  # target codes
-    lo: np.ndarray  # per-row band lower bound (int64, len == len(qcodes))
+    lo: np.ndarray  # per-row band lower bound (int32, len == len(qcodes))
     # metadata to build the Mapping afterwards
     target_id: int
     strand: int
@@ -225,7 +225,9 @@ def plan_jobs(
         tcodes = index.targets[tid]
         n = len(tcodes)
         b = min(band, max(8, n))
-        lo = np.maximum.accumulate(np.clip(centers - b // 2, 0, max(n - b, 0)))
+        lo = np.maximum.accumulate(
+            np.clip(centers - b // 2, 0, max(n - b, 0))
+        ).astype(np.int32)
         jobs.append(AlignJob(qcodes, tcodes, lo, tid, strand, qlen))
     return jobs
 
@@ -379,7 +381,9 @@ def plan_jobs_batch(
         tcodes = index.targets[tid]
         n = len(tcodes)
         b = min(band, max(8, n))
-        lo = np.maximum.accumulate(np.clip(centers - b // 2, 0, max(n - b, 0)))
+        lo = np.maximum.accumulate(
+            np.clip(centers - b // 2, 0, max(n - b, 0))
+        ).astype(np.int32)
         jobs.append(AlignJob(qcodes, tcodes, lo, tid, st, int(qlens[qi])))
         owners.append(qi)
     return jobs, owners
@@ -547,12 +551,12 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
     if use_simd:
         # raw planner lo, len q_len per pair; per-JOB offsets (q_off may
         # point shared/deduped queries, but every job has its own lo)
-        lo_cat = np.ascontiguousarray(np.concatenate([j.lo for j in sjobs]), dtype=np.int64)
+        lo_cat = np.ascontiguousarray(np.concatenate([j.lo for j in sjobs]), dtype=np.int32)
         lo_off = np.concatenate(([0], np.cumsum(q_lens[:-1], dtype=np.int64)))
         lib.sw_tb_batch(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
-            ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+            ptr(lo_cat, ctypes.c_int32), ptr(lo_off, ctypes.c_int64),
             ctypes.c_int32(B), ctypes.c_int32(band),
             ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
             ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
@@ -560,7 +564,7 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
     else:
         lo_parts, lo_lens = [], []
         for j in sjobs:
-            lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int64)
+            lo_full = np.concatenate(([j.lo[0]], j.lo)).astype(np.int32)
             lo_parts.append(lo_full)
             lo_lens.append(len(lo_full))
         lo_cat = np.concatenate(lo_parts)
@@ -568,7 +572,7 @@ def _run_native(jobs: list[AlignJob], band: int, lib, n_threads: int = 0,
         lib.sw_banded_batch(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
-            ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+            ptr(lo_cat, ctypes.c_int32), ptr(lo_off, ctypes.c_int64),
             ctypes.c_int32(B), ctypes.c_int32(band),
             ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
             ctypes.c_int32(max_cigar), ctypes.c_int32(n_threads),
@@ -605,7 +609,7 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     # raw planner lo (len q_len per pair); per-JOB offsets (q_off may point
     # shared/deduped queries, but every job has its own lo)
     lo_cat = np.ascontiguousarray(
-        np.concatenate([j.lo for j in sjobs]), dtype=np.int64
+        np.concatenate([j.lo for j in sjobs]), dtype=np.int32
     )
     lo_off = np.concatenate(([0], np.cumsum(q_lens[:-1], dtype=np.int64)))
     out_meta = np.zeros((B, 6), dtype=np.int32)
@@ -616,7 +620,7 @@ def _run_native_nm(jobs: list[AlignJob], band: int, lib) -> list[tuple | None]:
     lib.sw_nm_batch(
         ptr(q_cat, ctypes.c_uint8), ptr(q_off, ctypes.c_int64), ptr(q_lens, ctypes.c_int32),
         ptr(t_cat, ctypes.c_uint8), ptr(t_off, ctypes.c_int64), ptr(t_lens, ctypes.c_int32),
-        ptr(lo_cat, ctypes.c_int64), ptr(lo_off, ctypes.c_int64),
+        ptr(lo_cat, ctypes.c_int32), ptr(lo_off, ctypes.c_int64),
         ctypes.c_int32(B), ctypes.c_int32(band),
         ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
     )
@@ -1281,7 +1285,7 @@ def _soa_dp_and_winners(
         lib.sw_tb_batch(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
-            ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
+            ptr(lo_flat, ctypes.c_int32), ptr(lo_off_s, ctypes.c_int64),
             ctypes.c_int32(B), ctypes.c_int32(band),
             ptr(out_meta, ctypes.c_int32), ptr(out_cigar, ctypes.c_uint32),
             ctypes.c_int32(max_cigar), ctypes.c_int32(0),
@@ -1296,7 +1300,7 @@ def _soa_dp_and_winners(
         nm_fn(
             ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
             ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
-            ptr(lo_flat, ctypes.c_int64), ptr(lo_off_s, ctypes.c_int64),
+            ptr(lo_flat, ctypes.c_int32), ptr(lo_off_s, ctypes.c_int64),
             ctypes.c_int32(B), ctypes.c_int32(band),
             ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
         )

@@ -49,7 +49,8 @@ def get_scan_lib():
     lib.chain_band_batch.restype = None
     lib.chain_band_batch.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, i64p, i64p,
-        ctypes.c_int, ctypes.c_int, i64p, i64p, i64p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), i64p, i64p, ctypes.c_int,
     ]
     lib.lsh_batch.restype = None
     lib.lsh_batch.argtypes = [
@@ -599,14 +600,14 @@ def chain_band_native(
     np.cumsum(qlen, out=lo_off[1:])
     # lo regions are only read for groups with nchain >= min_anchors, which
     # the kernel fully writes, so no zero-fill is needed
-    lo_flat = np.empty(int(lo_off[-1]), dtype=np.int64)
+    lo_flat = np.empty(int(lo_off[-1]), dtype=np.int32)
     nchain = np.zeros(n_groups, dtype=np.int64)
     lib.chain_band_batch(
         _ptr(qa, ctypes.c_int64), _ptr(ta, ctypes.c_int64),
         _ptr(grp_off, ctypes.c_int64), n_groups,
         _ptr(qlen, ctypes.c_int64), _ptr(tlen, ctypes.c_int64),
         band, min_anchors,
-        _ptr(lo_flat, ctypes.c_int64), _ptr(lo_off, ctypes.c_int64),
+        _ptr(lo_flat, ctypes.c_int32), _ptr(lo_off, ctypes.c_int64),
         _ptr(nchain, ctypes.c_int64), 0,
     )
     return lo_flat, lo_off, nchain

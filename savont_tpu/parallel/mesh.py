@@ -634,7 +634,7 @@ def mesh_stage7_tie_break(
         owner_j = np.zeros(0, dtype=np.int64)
         q_cat = np.zeros(0, dtype=np.uint8)
         q_off_j = q_lens_j = tid_j = lo_off_j = np.zeros(0, dtype=np.int64)
-        lo_flat = np.zeros(0, dtype=np.int64)
+        lo_flat = np.zeros(0, dtype=np.int32)
     else:
         (owner_j, _uq_j, _st_j, tid_j, q_cat, q_off_j, q_lens_j,
          _t_cat, _t_off_j, _t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
