@@ -113,6 +113,9 @@ class TwinRead:
         if b is None:
             b = decode_seq(self.codes)
             self._seq_bytes_cache = b
+            from .ops.encode import register_planner_codes
+
+            register_planner_codes(b, self.codes)
         return b
 
     @staticmethod
@@ -131,8 +134,12 @@ class TwinRead:
         np.cumsum(lens, out=off[1:])
         buf = _CODE_TO_BYTE[np.concatenate([t.codes for t in miss])].tobytes()
         offs = off.tolist()
+        from .ops.encode import register_planner_codes
+
         for i, t in enumerate(miss):
-            t._seq_bytes_cache = buf[offs[i] : offs[i + 1]]
+            b = buf[offs[i] : offs[i + 1]]
+            t._seq_bytes_cache = b
+            register_planner_codes(b, t.codes)
 
     @staticmethod
     def warm_qual_ascii(trs: list["TwinRead"]) -> None:

@@ -133,6 +133,34 @@ def window_minimizers_cached(qbytes: bytes, w: int, k: int):
     return hit
 
 
+def _encode_queries_registry(bufs: list[bytes]) -> list[np.ndarray]:
+    """Planner 0..4 codes for a list of ASCII buffers: registered
+    TwinRead-backed bytes reuse their stored 2-bit codes (bit-identical to
+    the LUT by construction); the rest go through ONE concatenated LUT
+    gather."""
+    from .encode import registered_planner_codes
+
+    out: list[np.ndarray | None] = [None] * len(bufs)
+    lut_idx: list[int] = []
+    for j, b in enumerate(bufs):
+        c = registered_planner_codes(b)
+        if c is not None:
+            out[j] = c
+        else:
+            lut_idx.append(j)
+    if lut_idx:
+        lbufs = [bufs[j] for j in lut_idx]
+        off = np.zeros(len(lbufs) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter((len(b) for b in lbufs), np.int64, len(lbufs)), out=off[1:])
+        cat = (
+            _ASCII_CODE[np.frombuffer(b"".join(lbufs), dtype=np.uint8)]
+            if int(off[-1]) else np.zeros(0, np.uint8)
+        )
+        for x, j in enumerate(lut_idx):
+            out[j] = cat[off[x] : off[x + 1]]
+    return out  # type: ignore[return-value]
+
+
 def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list[tuple]:
     """Cache-backed minimizers for many queries; cache misses are computed in
     ONE native batch call (threads across sequences, one ctypes round-trip)."""
@@ -149,15 +177,10 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
 
         # one LUT gather for every miss (the per-query encode loop was
         # ~10 us x 100k reads); views share one parent, so the native
-        # batch's concat takes its zero-copy parent-span fast path
-        bufs = [bytes(queries[i]) for i in miss_idx]
-        off = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum(np.fromiter((len(b) for b in bufs), np.int64, len(bufs)), out=off[1:])
-        cat = (
-            _ASCII_CODE[np.frombuffer(b"".join(bufs), dtype=np.uint8)]
-            if int(off[-1]) else np.zeros(0, np.uint8)
-        )
-        codes = [cat[off[j] : off[j + 1]] for j in range(len(bufs))]
+        # batch's concat takes its zero-copy parent-span fast path.
+        # TwinRead-backed bytes skip the LUT: their 0..3 codes are
+        # registered at decode time and re-encoding is the exact inverse.
+        codes = _encode_queries_registry([bytes(queries[i]) for i in miss_idx])
         if get_scan_lib() is not None:
             computed = window_minimizers_native(codes, k, w)
         else:
@@ -202,15 +225,7 @@ def window_minimizers_flat_batch(
                 # below (which rescans hits too)
                 # assemble flat pools from cache + one native scan of misses
                 if miss:
-                    moff = np.zeros(len(miss) + 1, dtype=np.int64)
-                    np.cumsum(
-                        np.fromiter((len(queries[i]) for i in miss), np.int64, len(miss)),
-                        out=moff[1:],
-                    )
-                    mcat = _ASCII_CODE[
-                        np.frombuffer(b"".join(queries[i] for i in miss), dtype=np.uint8)
-                    ]
-                    mcodes = [mcat[moff[x] : moff[x + 1]] for x in range(len(miss))]
+                    mcodes = _encode_queries_registry([queries[i] for i in miss])
                     mh, mp, mf, mo = window_minimizers_flat_native(mcodes, k, w)
                     for x, i in enumerate(miss):
                         hs = mh[mo[x] : mo[x + 1]]
@@ -250,13 +265,7 @@ def window_minimizers_flat_batch(
                         pos[s:t] = e[2]
                         isf[s:t] = e[3]
                 return h, pos, isf, off
-        off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(np.fromiter((len(q) for q in queries), np.int64, n), out=off[1:])
-        cat = (
-            _ASCII_CODE[np.frombuffer(b"".join(queries), dtype=np.uint8)]
-            if int(off[-1]) else np.zeros(0, np.uint8)
-        )
-        codes = [cat[off[i] : off[i + 1]] for i in range(n)]
+        codes = _encode_queries_registry(list(queries))
         out = window_minimizers_flat_native(codes, k, w)
         if w == 10 and k == 15:
             oh, op, of_, oo = out
@@ -427,6 +436,20 @@ def smooth_lo(lo):
     downstream)."""
     ar = np.arange(lo.shape[-1])
     return (ar + np.minimum.accumulate(lo - ar, axis=-1)).astype(lo.dtype)
+
+
+def smooth_lo_max_lag(lo) -> np.ndarray:
+    """Per-row worst-case corridor lag of smooth_lo vs the raw planner
+    band: max_i (lo[i] - smooth_lo(lo)[i]), vectorized over leading axes.
+
+    The smoothed corridor misses the TOP `lag` columns of the raw window at
+    the lagging rows; when lag >= band/2 the device result can diverge from
+    the host oracle on large structural indels, so device dispatchers gate
+    on this and realign flagged pairs on the host path (bit-identity for
+    every input, not just smooth ones)."""
+    ar = np.arange(lo.shape[-1])
+    d = lo - ar
+    return (d - np.minimum.accumulate(d, axis=-1)).max(axis=-1)
 
 
 def _chain_anchors(qpos: np.ndarray, tpos: np.ndarray) -> np.ndarray:

@@ -48,7 +48,12 @@ def _qcodes_cached(qb: bytes, strand: int) -> np.ndarray:
     if hit is None:
         if len(_QCODE_CACHE) >= _QCODE_CACHE_MAX:
             evict_half(_QCODE_CACHE)
-        hit = ascii_to_align_codes(qb if strand == 1 else revcomp_bytes(qb))
+        if strand == 1:
+            from .encode import registered_planner_codes
+
+            hit = registered_planner_codes(qb)
+        if hit is None:
+            hit = ascii_to_align_codes(qb if strand == 1 else revcomp_bytes(qb))
         _QCODE_CACHE[key] = hit
     return hit
 
@@ -92,12 +97,12 @@ def _qcodes_cached_batch(items: list[tuple[bytes, int]]) -> list[np.ndarray]:
             if e is not None and e[0] is bufs[i]:
                 fwd[i] = e[1]
         if miss:
-            mbufs = [bufs[i] for i in miss]
-            moff = np.zeros(len(mbufs) + 1, dtype=np.int64)
-            np.cumsum(np.fromiter((len(b) for b in mbufs), np.int64, len(mbufs)), out=moff[1:])
-            mcat = _ASCII_CODE[np.frombuffer(b"".join(mbufs), dtype=np.uint8)]
-            for x, i in enumerate(miss):
-                c = mcat[moff[x] : moff[x + 1]]
+            # TwinRead-backed bytes reuse their registered 0..3 codes (the
+            # LUT is its exact inverse); only the rest take the join+LUT
+            from .align import _encode_queries_registry
+
+            mcodes = _encode_queries_registry([bufs[i] for i in miss])
+            for c, i in zip(mcodes, miss):
                 fwd[i] = c
                 _IDCODE_CACHE[id(bufs[i])] = [bufs[i], c, None]
 
@@ -706,12 +711,19 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
         return []
     backend = os.environ.get("SAVONT_ALIGN_BACKEND")
     if backend == "pallas":
-        from . import align_pallas
+        import jax as _jax
 
+        from . import align_pallas
+        from .align import smooth_lo_max_lag
+
+        # Mosaic needs real TPU hardware; CPU (test meshes, dev boxes)
+        # runs the interpreter — same results, same gate
+        interpret = _jax.default_backend() != "tpu"
         out = []
         order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
         results: list[tuple | None] = [None] * len(jobs)
         bucket = align_pallas.PAIR_BLOCK
+        gated: list[int] = []
         for start in range(0, len(order), bucket):
             chunk = order[start : start + bucket]
             cjobs = [jobs[i] for i in chunk]
@@ -730,7 +742,14 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
                 if len(j.lo) < Lq:
                     lo[x, len(j.lo) + 1 :] = j.lo[-1]
                 tl[x] = len(j.tcodes)
-            res = align_pallas.sw_forward_pallas(qa, ta, lo, tl, band=band)
+            res = align_pallas.sw_forward_pallas(
+                qa, ta, lo, tl, band=band, interpret=interpret
+            )
+            # corridor-lag gate (smooth_lo caveat): jobs whose smoothed
+            # corridor lags >= band/2 behind the raw planner band are
+            # realigned on the host raw-band kernel below
+            lag = smooth_lo_max_lag(lo)
+            gated.extend(chunk[x] for x in np.flatnonzero(lag >= band // 2))
             for x, i in enumerate(chunk):
                 score, qe, te, nm = (int(v) for v in res[x])
                 if score <= 0:
@@ -738,6 +757,19 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
                 else:
                     # starts unknown in the pallas variant: span-only record
                     results[i] = (score, 0, qe, 0, te, [], nm)
+        if gated:
+            from .native_build import get_lib
+
+            lib = get_lib()
+            fj = [jobs[i] for i in gated]
+            host = (
+                _run_native_nm(fj, band, lib) if lib is not None
+                else _run_bucket(fj, band)
+            )
+            for i, r in zip(gated, host):
+                results[i] = None if r is None else (
+                    r[0], r[1], r[2], r[3], r[4], [], r[6]
+                )
         return results
     if backend == "jax" or _JAX_BACKEND is not None:
         import jax as _jax
@@ -1446,6 +1478,42 @@ def _plan_pairs(pairs: list[tuple[bytes, bytes]], band: int) -> tuple[list[Align
         all_jobs.extend(jobs)
         owner.extend(pair_ids[o] for o in owners_local)
     return all_jobs, owner
+
+
+def nm_score_for_plan_jobs(plan, sel: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Host-native (score, nm) for SELECTED jobs of a _plan_soa_indexed
+    plan, on the RAW planner corridors (the host oracle).  Used by device
+    dispatchers to realign pairs whose smoothed corridor lags too far
+    behind the raw band (smooth_lo_max_lag gate) — returns None when the
+    native kernel is unavailable (callers keep the ungated device result)."""
+    import ctypes
+
+    from .native_build import get_lib
+
+    lib = get_lib()
+    if lib is None or len(sel) == 0:
+        return None
+    (_owner_j, _uq_j, _st_j, _tid_j, q_cat, q_off_j, q_lens_j,
+     t_cat, t_off_j, t_lens_j, lo_flat, lo_off_j, _qlens_all, band) = plan
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    B = len(sel)
+    q_off_s = np.ascontiguousarray(q_off_j[sel])
+    q_lens_s = np.ascontiguousarray(q_lens_j[sel])
+    t_off_s = np.ascontiguousarray(t_off_j[sel])
+    t_lens_s = np.ascontiguousarray(t_lens_j[sel])
+    lo_off_s = np.ascontiguousarray(lo_off_j[sel])
+    out_meta = np.zeros((B, 6), dtype=np.int32)
+    lib.sw_nm_batch_nc(
+        ptr(q_cat, ctypes.c_uint8), ptr(q_off_s, ctypes.c_int64), ptr(q_lens_s, ctypes.c_int32),
+        ptr(t_cat, ctypes.c_uint8), ptr(t_off_s, ctypes.c_int64), ptr(t_lens_s, ctypes.c_int32),
+        ptr(lo_flat, ctypes.c_int32), ptr(lo_off_s, ctypes.c_int64),
+        ctypes.c_int32(B), ctypes.c_int32(band),
+        ptr(out_meta, ctypes.c_int32), ctypes.c_int32(0),
+    )
+    return out_meta[:, 0].astype(np.int64), out_meta[:, 5].astype(np.int64)
 
 
 def align_pairs_indexed(

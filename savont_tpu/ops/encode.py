@@ -36,6 +36,31 @@ def decode_seq(codes: np.ndarray) -> bytes:
     return _CODE_TO_BYTE[codes].tobytes()
 
 
+# bytes-IDENTITY -> pre-encoded 0..4 planner codes.  decode_seq emits only
+# "ACGT", and ascii_to_align_codes inverts _CODE_TO_BYTE exactly, so for any
+# bytes produced from a TwinRead's 2-bit codes the planner's re-encode is
+# guaranteed to reproduce those codes.  TwinRead.seq_bytes registers its
+# memoized bytes here so the aligner planner (minimizer scans + query
+# encoding) can skip the ASCII->code LUT pass entirely.  Entries pin the
+# bytes object, so ids can't be recycled while an entry lives.
+_CODES_REG: dict[int, tuple] = {}
+_CODES_REG_MAX = 400_000
+
+
+def register_planner_codes(b: bytes, codes: np.ndarray) -> None:
+    if len(_CODES_REG) > _CODES_REG_MAX:
+        from itertools import islice
+
+        for k in list(islice(iter(_CODES_REG), len(_CODES_REG) // 2)):
+            del _CODES_REG[k]
+    _CODES_REG[id(b)] = (b, codes)
+
+
+def registered_planner_codes(b) -> np.ndarray | None:
+    e = _CODES_REG.get(id(b))
+    return e[1] if e is not None and e[0] is b else None
+
+
 def revcomp_bytes(seq: bytes) -> bytes:
     """Reverse complement of an ASCII sequence (non-ACGT -> N), utils.rs:51-65."""
     return seq.translate(_RC_TABLE)[::-1]

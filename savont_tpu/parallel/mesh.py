@@ -711,6 +711,17 @@ def mesh_stage7_tie_break(
         np.maximum.accumulate(lo_panel, axis=1, out=lo_panel)
         slot_tid.reshape(-1)[rows_flat] = tid_j[order]
         slot_asv.reshape(-1)[rows_flat] = pair_asv[owner_j[order]]
+    # corridor-lag gate (smooth_lo caveat): slots whose smoothed corridor
+    # lags >= band/2 columns behind the raw planner band (large structural
+    # indels) are realigned on the host raw-band kernel after the device
+    # pass, so the returned (score, nm) match the host oracle for EVERY
+    # input, not just smooth ones
+    from ..ops.align import smooth_lo_max_lag
+
+    lag_flag = np.zeros(0, dtype=np.int64)
+    if len(owner_j):
+        lag = smooth_lo_max_lag(lo_panel.astype(np.int32))
+        lag_flag = np.flatnonzero(lag[rows_flat] >= band // 2)
     lo_panel = smooth_lo(lo_panel).reshape(R, C, Lq + 1)
     if q_panel is not None:
         q_panel = q_panel.reshape(R, C, Lq)
@@ -803,6 +814,15 @@ def mesh_stage7_tie_break(
     if len(owner_j):
         s_flat = score.reshape(-1)[rows_flat]
         nm_flat = nm.reshape(-1)[rows_flat]
+        if len(lag_flag):
+            # host raw-band realign of the lag-gated jobs (plan order is
+            # `order`; position p in the panel is plan job order[p])
+            from ..ops.align_batch import nm_score_for_plan_jobs
+
+            patched = nm_score_for_plan_jobs(plan, order[lag_flag])
+            if patched is not None:
+                s_flat[lag_flag] = patched[0]
+                nm_flat[lag_flag] = patched[1]
         owner_s = owner_j[order]
         ok = np.flatnonzero(s_flat > 0)
         if len(ok):
