@@ -113,11 +113,15 @@ _MINI_CACHE_MAX = 131072
 def evict_half(cache: dict) -> None:
     """Drop the OLDEST half of a bounded memo dict (insertion order =
     iteration order).  A wholesale clear at capacity caused a re-encode /
-    re-scan storm right at the working-set boundary."""
-    from itertools import islice
+    re-scan storm right at the working-set boundary.
 
-    for k in list(islice(iter(cache), len(cache) // 2)):
-        del cache[k]
+    Thread-tolerant: list(cache) snapshots atomically under the GIL and
+    pop() ignores keys another planner thread already evicted (the slab
+    pipeline plans two slabs concurrently; double-compute of a cache
+    entry is benign, a del KeyError is not)."""
+    keys = list(cache)
+    for k in keys[: len(keys) // 2]:
+        cache.pop(k, None)
 
 
 def window_minimizers_cached(qbytes: bytes, w: int, k: int):

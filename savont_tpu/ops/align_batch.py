@@ -971,8 +971,13 @@ def _run_indexed_slabs(
     if n <= slab:
         return dp_slab(plan_slab(0, n))
     spans = [(s, min(s + slab, n)) for s in range(0, n, slab)]
-    pipelined = os.environ.get("SAVONT_SLAB_WORKERS", "2") != "1"
-    if not pipelined:
+    # default "2": plan(i+1) on the main thread || DP(i) on one worker.
+    # "3" (2 plan workers + 1 DP worker) was measured WORSE on this 4-core
+    # VM (100k interleaved A/B: 24.2/24.8 s -> 27.1/34.1 s wall, cpu
+    # 52-54 -> 65-80 s): two concurrent OMP-parallel native planner calls
+    # thrash the small core count.  Left as an opt-in for larger hosts.
+    workers = os.environ.get("SAVONT_SLAB_WORKERS", "2")
+    if workers == "1":
         parts = []
         for s, e in spans:
             part = dp_slab(plan_slab(s, e))
@@ -982,28 +987,84 @@ def _run_indexed_slabs(
         return join(parts)
     from concurrent.futures import ThreadPoolExecutor
 
-    parts = []
-    failed = False
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = None
-        for s, e in spans:
-            ctx = plan_slab(s, e)
+    if workers == "2":
+        # legacy scheme: main thread plans slab i+1 while ONE worker runs
+        # slab i's DP
+        parts = []
+        failed = False
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for s, e in spans:
+                ctx = plan_slab(s, e)
+                if fut is not None:
+                    part = fut.result()
+                    if part is None:
+                        failed = True
+                    parts.append(part)
+                    fut = None
+                if failed or ctx[4] is None:
+                    # planner prerequisite missing: whole call falls back
+                    failed = True
+                    break
+                fut = pool.submit(dp_slab, ctx)
             if fut is not None:
                 part = fut.result()
                 if part is None:
                     failed = True
                 parts.append(part)
-                fut = None
-            if failed or ctx[4] is None:
-                # planner prerequisite missing: whole call falls back
+        if failed:
+            return None
+        return join(parts)
+
+    # default: TWO plan workers + ONE DP worker.  Slab plans are fully
+    # independent (thread-local native scratch, race-tolerant memo dicts),
+    # and a plan is ~1/3 GIL-held numpy/dict glue and ~2/3 GIL-released
+    # OMP native calls — so two plans in flight interleave one slab's glue
+    # with the other's native sections while the DP worker (OMP-internal)
+    # drains contexts.  AHEAD bounds in-flight plan contexts (~tens of MB
+    # each).  Slab-local winner selection keeps results order-exact.
+    n_slabs = len(spans)
+    AHEAD = 3
+    parts = [None] * n_slabs
+    plan_futs: list = [None] * n_slabs
+    dp_futs: list = [None] * n_slabs
+    failed = False
+    with ThreadPoolExecutor(max_workers=2) as plan_pool, \
+            ThreadPoolExecutor(max_workers=1) as dp_pool:
+        next_plan = 0
+
+        def pump(limit):
+            nonlocal next_plan
+            while next_plan < n_slabs and next_plan < limit:
+                s, e = spans[next_plan]
+                plan_futs[next_plan] = plan_pool.submit(plan_slab, s, e)
+                next_plan += 1
+
+        pump(AHEAD)
+        for i in range(n_slabs):
+            ctx = plan_futs[i].result()
+            plan_futs[i] = None
+            if ctx[4] is None:
                 failed = True
                 break
-            fut = pool.submit(dp_slab, ctx)
-        if fut is not None:
-            part = fut.result()
-            if part is None:
+            dp_futs[i] = dp_pool.submit(dp_slab, ctx)
+            pump(i + 1 + AHEAD)
+            if i >= 1:
+                parts[i - 1] = dp_futs[i - 1].result()
+                dp_futs[i - 1] = None
+                if parts[i - 1] is None:
+                    failed = True
+                    break
+        if not failed:
+            parts[n_slabs - 1] = dp_futs[n_slabs - 1].result()
+            dp_futs[n_slabs - 1] = None
+            if parts[n_slabs - 1] is None:
                 failed = True
-            parts.append(part)
+        else:
+            # drain stragglers so the pools can shut down cleanly
+            for f in plan_futs + dp_futs:
+                if f is not None:
+                    f.result()
     if failed:
         return None
     return join(parts)

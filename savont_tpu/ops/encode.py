@@ -49,14 +49,24 @@ _CODES_REG_MAX = 400_000
 
 def register_planner_codes(b: bytes, codes: np.ndarray) -> None:
     if len(_CODES_REG) > _CODES_REG_MAX:
-        from itertools import islice
-
-        for k in list(islice(iter(_CODES_REG), len(_CODES_REG) // 2)):
-            del _CODES_REG[k]
+        # atomic snapshot + pop: tolerate concurrent planner threads
+        keys = list(_CODES_REG)
+        for k in keys[: len(keys) // 2]:
+            _CODES_REG.pop(k, None)
     _CODES_REG[id(b)] = (b, codes)
 
 
+_CODES_REG_OFF = None  # resolved lazily: SAVONT_NO_CODES_REG=1 disables
+
+
 def registered_planner_codes(b) -> np.ndarray | None:
+    global _CODES_REG_OFF
+    if _CODES_REG_OFF is None:
+        import os
+
+        _CODES_REG_OFF = bool(os.environ.get("SAVONT_NO_CODES_REG"))
+    if _CODES_REG_OFF:
+        return None
     e = _CODES_REG.get(id(b))
     return e[1] if e is not None and e[0] is b else None
 
