@@ -775,8 +775,10 @@ def run_jobs_nm(jobs: list[AlignJob], band: int | None = None) -> list[tuple | N
         import jax as _jax
 
         from . import align_jax
+        from ..parallel.mesh import device_roundtrip_ms
 
-        bucket = 256
+        # bigger buckets on high-latency links (see sw_traceback_numpy_jobs)
+        bucket = 1024 if device_roundtrip_ms() > 5.0 else 256
         order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
         results: list[tuple | None] = [None] * len(jobs)
         # dispatch every bucket async, then ONE batched device_get (each

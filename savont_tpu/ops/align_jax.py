@@ -709,7 +709,14 @@ def sw_traceback_numpy_jobs(jobs, band: int = 128, maxrun: int = 512):
         return []
     results: list[tuple | None] = [None] * len(jobs)
     order = sorted(range(len(jobs)), key=lambda i: len(jobs[i].qcodes))
-    bucket = 256
+    # high-latency links (tunneled dev rigs): executes do not overlap and
+    # every scan step pays a fixed overhead, so fewer/bigger dispatches
+    # win — 4x the bucket quarters the number of Lq-step forward scans and
+    # (Lq+Lt)-step walks (~300 MB/plane at 1024x1500x48 i32, well inside
+    # HBM).  Chunk boundaries only change padding; results are identical.
+    from ..parallel.mesh import device_roundtrip_ms
+
+    bucket = 1024 if device_roundtrip_ms() > 5.0 else 256
     overflow: list[int] = []
     # dispatch every bucket before blocking on any result, then ONE batched
     # device_get: per-array np.asarray fetches paid a full ~30 ms tunnel

@@ -1198,8 +1198,18 @@ def mesh_stage4_pileups(twin_reads, consensuses, args, mesh: Mesh | None = None)
         Lt = t_pool.shape[1]
         ops_max = Lq + Lt
         # chunk pair rows (payload planes are rows*Lq*band i32 on device);
-        # each chunk a multiple of the mesh size
-        pair_chunk = max(n_dev, (-(-512 // max(C, 1)) // n_dev) * n_dev)
+        # each chunk a multiple of the mesh size.  On high-latency links
+        # (tunneled rigs: executes do NOT overlap) every chunk re-pays the
+        # Lq-step forward scan and the ops_max-step walk overheads, so put
+        # EVERYTHING in one dispatch as long as the DP planes fit
+        # comfortably (rows*C x Lq x band i32 ~ 0.3 MB/row-slot; cap ~4 GB)
+        target_rows = 512
+        if device_roundtrip_ms() > 5.0:
+            # bytes per panel ROW across the ~4 live DP/walk planes
+            row_bytes = (Lq + 1) * (int(band) + 1) * 4 * 4
+            cap_rows = max(512, int((4 << 30) // max(row_bytes, 1)))
+            target_rows = max(512, min(Pn * max(C, 1), cap_rows))
+        pair_chunk = max(n_dev, (-(-target_rows // max(C, 1)) // n_dev) * n_dev)
 
         step = _stage4_step(mesh, int(band), total_L, NQ, ops_max, C, use_hp)
         accs = [

@@ -833,14 +833,17 @@ def twin_reads_from_files(
             # bytes object instead of re-decoding 100+ MB later
             # (TwinRead.warm_seq_bytes was ~0.9 s at 100k reads)
             pure = _pure_acgt_batch([rec.seq for rec in recs])
-            from ..ops.encode import register_planner_codes
+            from ..ops.encode import register_planner_codes_many
 
-            for i in np.flatnonzero(pure).tolist():
+            pure_idx = np.flatnonzero(pure).tolist()
+            for i in pure_idx:
                 trs[i]._seq_bytes_cache = recs[i].seq
-                # keep the planner-codes registry in sync with the prefill
-                # (pure-ACGT: encode/decode round-trips, so the stored
-                # codes ARE ascii_to_align_codes(rec.seq))
-                register_planner_codes(recs[i].seq, codes_list[i])
+            # keep the planner-codes registry in sync with the prefill
+            # (pure-ACGT: encode/decode round-trips, so the stored codes
+            # ARE ascii_to_align_codes(rec.seq))
+            register_planner_codes_many(
+                [recs[i].seq for i in pure_idx], [codes_list[i] for i in pure_idx]
+            )
             if blockmer_sorted is not None and len(blockmer_sorted):
                 for tr, codes, phred in zip(trs, codes_list, phred_list):
                     tr.blockmer_pos, tr.blockmer_canonical = blockmer_hits_scan(
