@@ -203,10 +203,13 @@ def main() -> int:
             "pipeline_full_device_all_nm0": ok_fd,
             "full_device_note": (
                 "SAVONT_ALIGN_BACKEND=jax + SAVONT_STAGE4_BACKEND=mesh + "
-                "stage-7 mesh: every alignment (CIGARs incl.) on device; "
-                "stages 4-6 issue many small dispatches so the tunneled "
-                "rig pays the ~30 ms RPC floor per call — wins only with "
-                "locally-attached chips"
+                "stage-7 mesh: every alignment (CIGARs incl.) on device. "
+                "Round 5: stage 4-6 dispatches are megabatched on "
+                "high-latency links (1024-job tb buckets; stage-4 pileups "
+                "one dispatch), so the remaining wall is on-device EXECUTE "
+                "of the traceback forward+walk scans (~2.3 s stage-4 "
+                "pileups + ~2.0 s vote-round tb), not RPC count — further "
+                "gains need a Mosaic traceback walk kernel"
             ),
             "jax_persistent_cache": True,
             "device_kmers_reads_per_s": round(n_dk / dk_wall, 1),
