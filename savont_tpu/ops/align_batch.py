@@ -847,7 +847,7 @@ def _run_soa_slabs(
     AlignJob path)."""
     import os
 
-    slab = 8192
+    slab = int(os.environ.get("SAVONT_SLAB_SIZE", "8192"))
     if len(pairs) <= slab:
         return _align_pairs_nm_soa(pairs, band, traceback=traceback, coords=coords)
     spans = [(s, min(s + slab, len(pairs))) for s in range(0, len(pairs), slab)]
@@ -968,7 +968,7 @@ def _run_indexed_slabs(
     def join(parts):
         return np.concatenate(parts) if nm_values else [m for p in parts for m in p]
 
-    slab = 8192
+    slab = int(os.environ.get("SAVONT_SLAB_SIZE", "8192"))
     n = len(qi)
     if n <= slab:
         return dp_slab(plan_slab(0, n))
