@@ -197,8 +197,27 @@ def window_minimizers_cached_batch(queries: list[bytes], w: int, k: int) -> list
     return out  # type: ignore[return-value]
 
 
-_IDMINI_CACHE: dict[int, list] = {}  # id(qb) -> [qb, h, pos, isf]; (w,k)=(10,15) only
+_IDMINI_CACHE: dict[int, list] = {}  # id(qb) -> entry, see _mini_entries; (w,k)=(10,15) only
 _IDMINI_CACHE_MAX = 400_000
+
+
+def _mini_entries(queries, idx, h_par, p_par, f_par, off):
+    """Id-cache entries for the x-th span off[x]:off[x+1] of each listed
+    query: [qb, h_parent, p_parent, f_parent, ptr_h, ptr_p, ptr_f, count,
+    start].  Entries pin the PARENT pool arrays (no per-read slices) and
+    the pointer/length columns are computed vectorized — the per-read
+    slice+.ctypes.data construction cost ~3-4 us x 100k reads."""
+    off = np.asarray(off, dtype=np.int64)
+    starts = off[:-1]
+    ph = (h_par.ctypes.data + starts * h_par.dtype.itemsize).tolist()
+    pp = (p_par.ctypes.data + starts * p_par.dtype.itemsize).tolist()
+    pf = (f_par.ctypes.data + starts * f_par.dtype.itemsize).tolist()
+    cl = np.diff(off).tolist()
+    sl = starts.tolist()
+    return [
+        [queries[i], h_par, p_par, f_par, ph[x], pp[x], pf[x], cl[x], sl[x]]
+        for x, i in enumerate(idx)
+    ]
 
 
 def window_minimizers_flat_batch(
@@ -231,19 +250,15 @@ def window_minimizers_flat_batch(
                 if miss:
                     mcodes = _encode_queries_registry([queries[i] for i in miss])
                     mh, mp, mf, mo = window_minimizers_flat_native(mcodes, k, w)
-                    for x, i in enumerate(miss):
-                        hs = mh[mo[x] : mo[x + 1]]
-                        ps = mp[mo[x] : mo[x + 1]]
-                        fs = mf[mo[x] : mo[x + 1]]
-                        # entries carry their data pointers (valid while the
-                        # slices at [1:4] pin the parents) so pool assembly
-                        # is one native scatter-gather memcpy instead of
-                        # 3 numpy slice stores per read
-                        e = [queries[i], hs, ps, fs,
-                             hs.ctypes.data, ps.ctypes.data, fs.ctypes.data]
+                    # entries carry PARENT arrays + precomputed data
+                    # pointers (parents pinned by the entry) so pool
+                    # assembly is one native scatter-gather memcpy; the
+                    # pointer/length columns are built vectorized — the
+                    # per-read slice construction cost ~3-4 us x 100k
+                    for i, e in zip(miss, _mini_entries(queries, miss, mh, mp, mf, mo)):
                         _IDMINI_CACHE[id(queries[i])] = e
                         ents[i] = e
-                cnt = np.fromiter((len(e[1]) for e in ents), np.int64, n)
+                cnt = np.fromiter((e[7] for e in ents), np.int64, n)
                 off = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(cnt, out=off[1:])
                 total = int(off[-1])
@@ -265,20 +280,17 @@ def window_minimizers_flat_batch(
                 ):
                     for i, e in enumerate(ents):
                         s, t = off[i], off[i + 1]
-                        h[s:t] = e[1]
-                        pos[s:t] = e[2]
-                        isf[s:t] = e[3]
+                        src = e[8]
+                        h[s:t] = e[1][src : src + e[7]]
+                        pos[s:t] = e[2][src : src + e[7]]
+                        isf[s:t] = e[3][src : src + e[7]]
                 return h, pos, isf, off
         codes = _encode_queries_registry(list(queries))
         out = window_minimizers_flat_native(codes, k, w)
         if w == 10 and k == 15:
             oh, op, of_, oo = out
-            for i, q in enumerate(queries):
-                hs = oh[oo[i] : oo[i + 1]]
-                ps = op[oo[i] : oo[i + 1]]
-                fs = of_[oo[i] : oo[i + 1]]
-                _IDMINI_CACHE[id(q)] = [q, hs, ps, fs,
-                                        hs.ctypes.data, ps.ctypes.data, fs.ctypes.data]
+            for q, e in zip(queries, _mini_entries(queries, range(n), oh, op, of_, oo)):
+                _IDMINI_CACHE[id(q)] = e
         return out
     qmini = window_minimizers_cached_batch(queries, w, k)
     cnt = np.fromiter((len(m[0]) for m in qmini), np.int64, n)

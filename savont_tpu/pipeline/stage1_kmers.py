@@ -946,7 +946,9 @@ def twin_reads_from_files(
             )
         log.info("Number of reads removed due to length filtering: %d.", n_file_removed)
 
-    twin_reads.sort(key=lambda t: t.id)
+    from operator import attrgetter
+
+    twin_reads.sort(key=attrgetter("id"))
     n_below = sum(1 for t in twin_reads if t.est_id is not None and t.est_id < args.quality_value_cutoff)
     log.info(
         "valid reads %d; %d below quality cutoff; %d length-filtered; %d repetitive",
