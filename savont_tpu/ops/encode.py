@@ -199,16 +199,17 @@ def error_probs_from_phred(phred: np.ndarray) -> np.ndarray:
 def estimate_sequence_identity(phred: np.ndarray | None) -> float | None:
     """Mean-error-probability identity estimate in percent (seeding.rs:801-817).
 
-    The sum is SEQUENTIAL (add.reduceat), not np.mean's pairwise blocking,
-    so the batched per-segment variant in stage1_kmers produces bit-identical
-    values — est_id is a sort key and appears in outputs, so every path must
-    agree."""
+    The sum is strictly SEQUENTIAL (np.cumsum's scan order — bit-identical
+    to the reference's Rust accumulation loop and to the native
+    qual_fields_batch kernel), not np.mean's pairwise blocking, so the
+    batched variants in stage1_kmers produce bit-identical values — est_id
+    is a sort key and appears in outputs, so every path must agree."""
     if phred is None:
         return None
     p = error_probs_from_phred(phred)
     if len(p) == 0:
         return float("nan")
-    total = np.add.reduceat(p, np.array([0], dtype=np.int64))[0]
+    total = np.cumsum(p)[-1]
     return float(100.0 - total / len(p) * 100.0)
 
 

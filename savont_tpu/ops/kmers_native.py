@@ -104,9 +104,15 @@ def get_scan_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u64p, u64p, i64p,
         ctypes.c_int,
     ]
+    f64p = ctypes.POINTER(ctypes.c_double)
     lib.qual_fields_batch.restype = None
     lib.qual_fields_batch.argtypes = [
-        u8p, i64p, ctypes.c_int64, u8p, u8p, i64p, ctypes.c_int,
+        u8p, i64p, ctypes.c_int64, f64p, u8p, u8p, i64p, f64p, ctypes.c_int,
+    ]
+    lib.pure_acgt_batch.restype = None
+    lib.pure_acgt_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), i64p, ctypes.c_int64, u8p,
+        ctypes.c_int,
     ]
     lib.sort_unique_batch.restype = None
     lib.sort_unique_batch.argtypes = [
@@ -479,12 +485,15 @@ def syncmer_scan_flat_native(
 
 def qual_fields_batch_native(
     flat: np.ndarray, off: np.ndarray, threads: int = 0
-) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """eq flags + QualCompact3 levels for many ASCII quality strings in one
-    native pass over the concatenated buffer (bit-exact twin of the integer
-    half of stage1_kmers._batched_qual_fields; the float est_id half stays
-    in NumPy to preserve np.add.reduceat's summation order).  Returns
-    (eq u8, levels_flat u8, lvl_off i64) or None without the library."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """eq flags + QualCompact3 levels + sequential error-prob sums for many
+    ASCII quality strings in one native pass over the concatenated buffer
+    (bit-exact twin of stage1_kmers._batched_qual_fields: the est sums use
+    the strictly sequential order every Python path mirrors via np.cumsum).
+    Returns (eq u8, levels_flat u8, lvl_off i64, est_sums f64) or None
+    without the library."""
+    from .encode import _ERR_PROB_LUT
+
     lib = get_scan_lib()
     if lib is None:
         return None
@@ -495,12 +504,32 @@ def qual_fields_batch_native(
     np.cumsum(nbins, out=lvl_off[1:])
     eq = np.zeros(n, dtype=np.uint8)
     levels = np.empty(int(lvl_off[-1]), dtype=np.uint8)
+    est_sums = np.empty(n, dtype=np.float64)
     lib.qual_fields_batch(
         _ptr(flat, ctypes.c_uint8), _ptr(np.ascontiguousarray(off, np.int64), ctypes.c_int64),
-        n, _ptr(eq, ctypes.c_uint8),
-        _ptr(levels, ctypes.c_uint8), _ptr(lvl_off, ctypes.c_int64), threads,
+        n, _ptr(np.ascontiguousarray(_ERR_PROB_LUT), ctypes.c_double),
+        _ptr(eq, ctypes.c_uint8),
+        _ptr(levels, ctypes.c_uint8), _ptr(lvl_off, ctypes.c_int64),
+        _ptr(est_sums, ctypes.c_double), threads,
     )
-    return eq, levels, lvl_off
+    return eq, levels, lvl_off, est_sums
+
+
+def pure_acgt_batch_native(seqs: list[bytes], threads: int = 4) -> np.ndarray | None:
+    """Per-read pure-uppercase-ACGT flags straight off the parsed bytes
+    objects (ctypes packs the buffer pointers; no concatenation).  Returns
+    bool[n] or None without the library."""
+    lib = get_scan_lib()
+    if lib is None or not hasattr(lib, "pure_acgt_batch"):
+        return None
+    n = len(seqs)
+    ptrs = (ctypes.c_char_p * n)(*seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    out = np.empty(n, dtype=np.uint8)
+    lib.pure_acgt_batch(
+        ptrs, _ptr(lens, ctypes.c_int64), n, _ptr(out, ctypes.c_uint8), threads
+    )
+    return out.astype(bool)
 
 
 def sort_unique_batch_flat_native(

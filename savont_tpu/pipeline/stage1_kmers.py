@@ -131,9 +131,15 @@ for _b in b"ACGT":
 
 
 def _pure_acgt_batch(seqs: list[bytes]) -> np.ndarray:
-    """Per-read flag: every byte is uppercase ACGT.  One LUT gather +
+    """Per-read flag: every byte is uppercase ACGT.  Native one-pass scan
+    straight off the bytes objects when available, else one LUT gather +
     segment reduction over the concatenated buffer."""
+    from ..ops.kmers_native import pure_acgt_batch_native
+
     n = len(seqs)
+    nat = pure_acgt_batch_native(seqs) if n else None
+    if nat is not None:
+        return nat
     lens = np.fromiter((len(s) for s in seqs), np.int64, n)
     off = np.zeros(n + 1, np.int64)
     np.cumsum(lens, out=off[1:])
@@ -688,10 +694,12 @@ def _batched_qual_fields(quals: list[bytes | None]):
 
     BIT-IDENTICAL to the per-read path in _build_twin_read_from_scan: the
     error-probability powers, the per-bin mins and the QualCompact3
-    quantization are elementwise, and the per-segment np.add.reduceat sums
-    match estimate_sequence_identity, which reduces sequentially too.
-    Uses the one-pass native kernel when available (same math, same order;
-    parity-tested in tests/test_native.py)."""
+    quantization are elementwise, and the per-segment error-prob sums use
+    the strictly SEQUENTIAL order of estimate_sequence_identity (np.cumsum
+    == the native kernel's scalar loop == the reference's Rust
+    accumulation, seeding.rs:801-817).  Uses the one-pass native kernel
+    when available (same math, same order; parity-tested in
+    tests/test_native.py)."""
     from ..ops.encode import _ERR_PROB_LUT
     from ..ops.kmers_native import qual_fields_batch_native
 
@@ -704,35 +712,55 @@ def _batched_qual_fields(quals: list[bytes | None]):
 
     lens = np.array([len(quals[i]) for i in idx], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nonempty = lens > 0
+
+    off = np.concatenate((starts, [int(lens.sum())]))
+    native = None
+    flat_q = None
+    from ..ops.kmers_native import get_scan_lib
+
+    if get_scan_lib() is not None:
+        flat_q = (
+            np.frombuffer(b"".join(quals[i] for i in idx), dtype=np.uint8)
+            if lens.sum()
+            else np.zeros(0, np.uint8)
+        )
+        native = qual_fields_batch_native(flat_q, off, threads=4)
+    if native is not None:
+        n_eq, n_levels, n_off, sums = native
+        eq = n_eq.astype(bool)
+        est_vals = np.full(len(idx), np.nan)
+        ne = np.flatnonzero(nonempty)
+        if len(ne):
+            # elementwise — identical per read to 100.0 - total/len*100.0
+            est_vals[ne] = 100.0 - sums[ne] / lens[ne] * 100.0
+        for j, i in enumerate(idx):
+            if not eq[j]:
+                est[i] = float(est_vals[j])
+        for j, i in enumerate(idx):
+            levels[i] = n_levels[n_off[j] : n_off[j + 1]]
+        return est, levels
+
     flat_q = (
         np.frombuffer(b"".join(quals[i] for i in idx), dtype=np.uint8)
         if lens.sum()
         else np.zeros(0, np.uint8)
     )
-    nonempty = lens > 0
-
-    off = np.concatenate((starts, [int(lens.sum())]))
-    native = qual_fields_batch_native(flat_q, off, threads=4)
-    if native is not None:
-        n_eq, n_levels, n_off = native
-        eq = n_eq.astype(bool)
-    else:
-        # all-equal-quality detection: min == max per segment (exact; ASCII
-        # order == phred order)
-        eq = np.zeros(len(idx), dtype=bool)
-        if nonempty.any():
-            ne_starts = starts[nonempty]
-            mins = np.minimum.reduceat(flat_q, ne_starts)
-            maxs = np.maximum.reduceat(flat_q, ne_starts)
-            eq[nonempty] = mins == maxs
+    # all-equal-quality detection: min == max per segment (exact; ASCII
+    # order == phred order)
+    eq = np.zeros(len(idx), dtype=bool)
+    if nonempty.any():
+        ne_starts = starts[nonempty]
+        mins = np.minimum.reduceat(flat_q, ne_starts)
+        maxs = np.maximum.reduceat(flat_q, ne_starts)
+        eq[nonempty] = mins == maxs
 
     # per-segment sums: bit-identical to the per-read
     # estimate_sequence_identity (LUT[ascii] == LUT[(phred+33)&0xFF], and
-    # both use np.add.reduceat, i.e. the same summation order — this float
-    # half stays in NumPy even when the native integer half is used).
-    # Chunked at read boundaries: the f64 LUT expansion is 8x the input
-    # (1.2 GB at 100k reads) and page-faulting it dominated stage 1.5;
-    # per-read sums are unchanged because reduceat runs per segment.
+    # both sum SEQUENTIALLY — np.cumsum per segment here).  Chunked at
+    # read boundaries: the f64 LUT expansion is 8x the input (1.2 GB at
+    # 100k reads) and page-faulting it dominated stage 1.5; per-read sums
+    # are unchanged because the cumsum runs per segment.
     est_vals = np.full(len(idx), np.nan)
     ne_idx = np.flatnonzero(nonempty)
     if len(ne_idx) and len(flat_q):
@@ -742,16 +770,15 @@ def _batched_qual_fields(quals: list[bytes | None]):
             sel = ne_idx[s : s + CHUNK]
             lo_b, hi_b = int(starts[sel[0]]), int(ends[sel[-1]])
             flat_p = _ERR_PROB_LUT[flat_q[lo_b:hi_b]]
-            sums = np.add.reduceat(flat_p, starts[sel] - lo_b)
+            sums = np.empty(len(sel), dtype=np.float64)
+            for t, (rs, re) in enumerate(
+                zip((starts[sel] - lo_b).tolist(), (ends[sel] - lo_b).tolist())
+            ):
+                sums[t] = np.cumsum(flat_p[rs:re])[-1]
             est_vals[sel] = 100.0 - sums / lens[sel] * 100.0
     for j, i in enumerate(idx):
         if not eq[j]:
             est[i] = float(est_vals[j])
-
-    if native is not None:
-        for j, i in enumerate(idx):
-            levels[i] = n_levels[n_off[j] : n_off[j + 1]]
-        return est, levels
 
     # QualCompact3: per-read padding to bin_size=4 with 255, min per bin,
     # then one quantization pass over all bins
