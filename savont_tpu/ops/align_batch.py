@@ -1205,10 +1205,14 @@ def _plan_soa_indexed(
 
     if n_pairs >= (1 << 21):
         return None  # job id field: key bits 43..63
-    if any(len(q) > 32000 for q in qry_bytes) or any(len(t) > 32000 for t in tgt_bytes):
+    # ONE length pass per pool (the any()/max() genexpr quartet re-walked
+    # every bytes object four times per slab)
+    qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
+    tlens_all = np.fromiter((len(t) for t in tgt_bytes), np.int64, len(tgt_bytes))
+    max_qlen = int(qlens_all.max()) if len(qlens_all) else 0
+    max_tlen = int(tlens_all.max()) if len(tlens_all) else 0
+    if max_qlen > 32000 or max_tlen > 32000:
         return None  # int16 metadata planes in sw_nm_batch
-    max_qlen = max(len(q) for q in qry_bytes)
-    max_tlen = max(len(t) for t in tgt_bytes)
     if max_qlen >= (1 << 14) + 15 or max_tlen >= (1 << 14):
         return None  # packed anchor key field widths
 
@@ -1218,8 +1222,6 @@ def _plan_soa_indexed(
     pool_h, pool_p, pool_f, q_moff = window_minimizers_flat_batch(qry_bytes, 10, 15)
     indexes = TargetIndex.build_singletons(tgt_bytes)
     from .kmers_native import anchor_search_multi_native
-
-    qlens_all = np.fromiter((len(q) for q in qry_bytes), np.int64, len(qry_bytes))
 
     # concatenated per-target tables (singleton tables carry tid = 0, so the
     # packed keys' tid field stays 0 and group identity lives in the job id)
@@ -1297,7 +1299,6 @@ def _plan_soa_indexed(
     uq_g = job_uq_arr[g_job]
     st_g = np.where((kb >> np.uint64(28)) & np.uint64(1), 1, -1).astype(np.int8)
     tid_g = job_ti_arr[g_job]
-    tlens_all = np.fromiter((len(t) for t in tgt_bytes), np.int64, len(tgt_bytes))
 
     # one chaining/band-planning pass over every (pair, strand) group
     lo_flat, lo_off_g, nchain = chain_band_native(
@@ -1333,7 +1334,7 @@ def _plan_soa_indexed(
     q_off_j = combo_off[inv]
 
     t_codes = [idx.targets[0] for idx in indexes]
-    t_lens_all = np.fromiter((len(c) for c in t_codes), np.int64, len(t_codes))
+    t_lens_all = tlens_all  # codes are 1:1 with target bytes
     t_off_all = np.zeros(len(t_codes) + 1, dtype=np.int64)
     np.cumsum(t_lens_all, out=t_off_all[1:])
     t_cat = np.concatenate(t_codes) if t_codes else np.zeros(0, np.uint8)

@@ -836,22 +836,26 @@ def twin_reads_from_files(
             smoff = sm_off.tolist()
             ssoff = ss_off.tolist()
             ests, levels = _batched_qual_fields([r.qual for r in recs])
+            k_sz, l_sz = args.kmer_size, args.blockmer_length
+            # positional ctor + pairwise-zipped offsets: the kwarg dict and
+            # the 4 list-index pairs per read cost ~2 us x 100k reads
             trs = [
                 TwinRead(
-                    id=rec.id,
-                    base_id=(rec.id.split() or [rec.id])[0],
-                    codes=codes,
-                    k=args.kmer_size,
-                    l=args.blockmer_length,
-                    qual_levels=ql,
-                    est_id=est,
-                    mini_pos=mp_all[smoff[i] : smoff[i + 1]],
-                    mini_kmers_all=mk_all[smoff[i] : smoff[i + 1]],
-                    snp_pos=sp_all[ssoff[i] : ssoff[i + 1]],
-                    snp_kmers_all=sk_all[ssoff[i] : ssoff[i + 1]],
+                    rec.id,
+                    (rec.id.split(None, 1) or (rec.id,))[0],
+                    codes,
+                    k_sz,
+                    l_sz,
+                    ql,
+                    est,
+                    mp_all[ms:me],
+                    mk_all[ms:me],
+                    sp_all[ss:se],
+                    sk_all[ss:se],
                 )
-                for i, (rec, codes, est, ql) in enumerate(
-                    zip(recs, codes_list, ests, levels)
+                for rec, codes, est, ql, ms, me, ss, se in zip(
+                    recs, codes_list, ests, levels,
+                    smoff, smoff[1:], ssoff, ssoff[1:],
                 )
             ]
             # seq_bytes prefill: decode_seq(codes) is byte-identical to the
@@ -863,13 +867,14 @@ def twin_reads_from_files(
             from ..ops.encode import register_planner_codes_many
 
             pure_idx = np.flatnonzero(pure).tolist()
-            for i in pure_idx:
-                trs[i]._seq_bytes_cache = recs[i].seq
+            pure_seqs = [recs[i].seq for i in pure_idx]
+            for t, s in zip([trs[i] for i in pure_idx], pure_seqs):
+                t._seq_bytes_cache = s
             # keep the planner-codes registry in sync with the prefill
             # (pure-ACGT: encode/decode round-trips, so the stored codes
             # ARE ascii_to_align_codes(rec.seq))
             register_planner_codes_many(
-                [recs[i].seq for i in pure_idx], [codes_list[i] for i in pure_idx]
+                pure_seqs, [codes_list[i] for i in pure_idx]
             )
             if blockmer_sorted is not None and len(blockmer_sorted):
                 for tr, codes, phred in zip(trs, codes_list, phred_list):
