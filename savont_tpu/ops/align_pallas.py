@@ -99,6 +99,14 @@ def _sub_shift_up(x, fill, interpret: bool = False):
     return jnp.where(row <= band - 2, rolled, fill)
 
 
+def _sub_shift_up2(x, fill, interpret: bool = False):
+    """out[j, :] = x[j+2, :] (the dl=2 band-advance shift)."""
+    band = x.shape[0]
+    rolled = _roll_sub(x, band - 2, interpret)
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0).astype(x.dtype)
+    return jnp.where(row <= band - 3, rolled, fill)
+
+
 def _prepare_streams(q, t, lo, tlens, band):
     """XLA/host-side pre-gather: per-row incoming target codes (the band
     column band-1 code for each row) and the initial window t[lo0:lo0+band)
@@ -114,21 +122,30 @@ def _prepare_streams(q, t, lo, tlens, band):
     return lo, new_codes, init_win
 
 
-def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False, emit_payload: bool = False):
+def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, band: int, interpret: bool, plane_i16: bool = False, emit_payload: bool = False, new2_rows=None):
     Lq = q_rows.shape[0]
     P_total = q_rows.shape[1]
     grid = (P_total // PAIR_BLOCK,)
+    has_new2 = new2_rows is not None
 
     # row streams are int32 and consumed as (UNROLL, P) chunk loads at
     # provably-UNROLL-aligned offsets: per-row DYNAMIC single-row loads
     # dominated the kernel (band 64 -> 32 only changed time ~10%, measured
     # on v5e), and Mosaic requires 8-row alignment for sub-32-bit refs.
     # dl/locur replace the lo ref so no row needs two adjacent lo reads.
-    def kernel(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *pay):
+    # new2_rows (optional) carries the SECOND incoming target code per row
+    # (column band-2) and enables exact dl=2 band advances — the d2 shift
+    # selects only compile in when the stream is present.
+    def kernel(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, *rest):
+        if has_new2:
+            new2_ref, out_ref, *pay = rest
+        else:
+            new2_ref = None
+            out_ref, *pay = rest
         _sw_kernel_with_init(
             q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref,
             band=band, n_rows=Lq, plane_i16=plane_i16, interpret=interpret,
-            pay_ref=pay[0] if pay else None,
+            pay_ref=pay[0] if pay else None, new2_ref=new2_ref,
         )
 
     out_specs = pl.BlockSpec((4, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -149,22 +166,29 @@ def _pallas_call_traced(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_wi
         pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         if emit_payload else None
     )
+    in_specs = [
+        pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win]
+    if has_new2:
+        in_specs.append(
+            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(new2_rows)
     return pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=params,
-        in_specs=[
-            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((band, PAIR_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win)
+    )(*args)
 
 
 _pallas_call = jax.jit(_pallas_call_traced, static_argnames=("band", "interpret", "plane_i16", "emit_payload"))
@@ -216,7 +240,7 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
     }
 
 
-def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False, pay_ref=None):
+def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False, pay_ref=None, new2_ref=None):
     """Wrapper passing the initial window from a dedicated input ref.
     Row streams (q / new-code / dl / lo-cur) are int32, loaded as one
     (UNROLL, P) chunk per outer iteration at a provably-aligned offset —
@@ -238,7 +262,8 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
     def body(r, rows, carry):
         """One DP row.  r: traced row number (for best_r); rows: the
         statically-sliced (1, P) int32 q/new/dl/locur rows of this step."""
-        q_row, new_row, dl_row, lo_row = rows
+        q_row, new_row, dl_row, lo_row = rows[:4]
+        new2_row = rows[4] if len(rows) > 4 else None
         H, F, nmh, nmf, win, best_v, best_r, best_j, best_nm = carry
         # broadcast VALUES to full (band, P) shape BEFORE any comparison:
         # comparing a (1, P) row produces a (1, P) i1 whose broadcast to
@@ -247,23 +272,40 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
         qc = jnp.broadcast_to(q_row, (band, P)).astype(pd)
         dl_full = jnp.broadcast_to(dl_row, (band, P)).astype(pd)
         d1 = dl_full == 1
+        # dl=2 support (new2_ref present): the same static-shift scheme one
+        # row deeper — shift-by-2 variants selected where dl==2, exactly the
+        # XLA barrel-shift semantics (align_jax._forward_payload) for dl=2.
+        d2 = (dl_full == 2) if new2_row is not None else None
         cols = jnp.broadcast_to(lo_row, (band, P)).astype(pd) + jrow
         valid = cols < tlen
 
         new_code = jnp.broadcast_to(new_row, (band, P)).astype(pd)
         shifted = _sub_shift_up(win, 0, interpret)
         shifted = jnp.where(jrow == band - 1, new_code, shifted)
-        win = jnp.where(d1, shifted, win)
+        if d2 is not None:
+            new2_code = jnp.broadcast_to(new2_row, (band, P)).astype(pd)
+            shifted2 = _sub_shift_up2(win, 0, interpret)
+            shifted2 = jnp.where(jrow == band - 2, new2_code, shifted2)
+            shifted2 = jnp.where(jrow == band - 1, new_code, shifted2)
+            win = jnp.where(d2, shifted2, jnp.where(d1, shifted, win))
+        else:
+            win = jnp.where(d1, shifted, win)
         tc = win
 
         is_match = (tc == qc) & (qc < 4) & (tc < 4)
         s = jnp.where(is_match, jnp.asarray(MATCH, pd), jnp.asarray(MISMATCH, pd))
 
         def up(a, fill):
-            return jnp.where(d1, _sub_shift_up(a, fill, interpret), a)
+            base = jnp.where(d1, _sub_shift_up(a, fill, interpret), a)
+            if d2 is not None:
+                base = jnp.where(d2, _sub_shift_up2(a, fill, interpret), base)
+            return base
 
         def diag(a, fill):
-            return jnp.where(d1, a, _sub_shift_down(a, fill, interpret))
+            base = jnp.where(d1, a, _sub_shift_down(a, fill, interpret))
+            if d2 is not None:
+                base = jnp.where(d2, _sub_shift_up(a, fill, interpret), base)
+            return base
 
         Hup, Fup = up(H, NEG), up(F, NEG)
         nmh_up, nmf_up = up(nmh, 0), up(nmf, 0)
@@ -348,9 +390,12 @@ def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, ou
         nch = new_ref[pl.ds(base, UNROLL), :]
         dch = dl_ref[pl.ds(base, UNROLL), :]
         lch = locur_ref[pl.ds(base, UNROLL), :]
+        n2ch = new2_ref[pl.ds(base, UNROLL), :] if new2_ref is not None else None
         pays = []
         for u in range(UNROLL):
             rows = (qch[u][None, :], nch[u][None, :], dch[u][None, :], lch[u][None, :])
+            if n2ch is not None:
+                rows = rows + (n2ch[u][None, :],)
             carry, pay = body(base + u + 1, rows, carry)
             if pay_ref is not None:
                 pays.append(pay)
@@ -453,13 +498,16 @@ def sw_forward_pallas(q, t, lo, tlens, band: int = 128, interpret: bool = False)
 
 @partial(jax.jit, static_argnames=("band", "ops_max", "maxrun", "interpret"))
 def _pallas_tb_combined(q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win,
-                        lo_pad, band: int, ops_max: int, maxrun: int, interpret: bool):
-    """Pallas payload forward + XLA walk + RLE in one jit (one dispatch)."""
+                        lo_pad, new2_rows, band: int, ops_max: int, maxrun: int,
+                        interpret: bool):
+    """Pallas payload forward + XLA walk + RLE in one jit (one dispatch).
+    new2_rows enables exact dl<=2 raw-band corridors in the Mosaic forward."""
     from .align_jax import sw_traceback_from_payload
 
     out, pay_words = _pallas_call_traced(
         q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win,
         band=band, interpret=interpret, plane_i16=False, emit_payload=True,
+        new2_rows=new2_rows,
     )
     score = out[0]
     ri = out[1]
@@ -502,6 +550,11 @@ def _pack_jobs_pallas_streams(cjobs, band: int):
         lo = np.concatenate([lo, np.zeros((P - B, lo.shape[1]), lo.dtype)])
         tlens = np.concatenate([tlens, np.full(P - B, t.shape[1], tlens.dtype)])
     lo2, new_codes, init_win = _prepare_streams(q, t, lo, tlens, band)
+    # second incoming code per row (column band-2), consumed only where
+    # dl==2 — the raw-band kernel path (jumps up to 2 per row)
+    Lt_full = t.shape[1]
+    new2_cols = np.minimum(lo2[:, 1:] + band - 2, Lt_full - 1)
+    new2_codes = np.take_along_axis(np.asarray(t), new2_cols, axis=1)
     Lq = q.shape[1]
     Lq4 = ((Lq + UNROLL - 1) // UNROLL) * UNROLL
     if Lq4 != Lq:
@@ -509,6 +562,9 @@ def _pack_jobs_pallas_streams(cjobs, band: int):
         q = np.concatenate([q, np.full((P, pad), 5, q.dtype)], axis=1)
         new_codes = np.concatenate(
             [new_codes, np.zeros((P, pad), new_codes.dtype)], axis=1
+        )
+        new2_codes = np.concatenate(
+            [new2_codes, np.zeros((P, pad), new2_codes.dtype)], axis=1
         )
         lo2 = np.concatenate([lo2, np.repeat(lo2[:, -1:], pad, axis=1)], axis=1)
     dl = lo2[:, 1:] - lo2[:, :-1]
@@ -522,6 +578,7 @@ def _pack_jobs_pallas_streams(cjobs, band: int):
         np.ascontiguousarray(init_win.T, np.int32),
         np.asarray(lo2, np.int32),
         int(t.shape[1]),
+        np.ascontiguousarray(new2_codes.T, np.int32),
     )
 
 
@@ -546,7 +603,10 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
     raw_idx: list[int] = []
     for i, j in enumerate(jobs):
         lo = np.asarray(j.lo, np.int64)
-        if len(lo) < 2 or (lo[1:] - lo[:-1] <= 1).all():
+        if len(lo) < 2 or (lo[1:] - lo[:-1] <= 2).all():
+            # advances up to 2/row ride the Mosaic kernel EXACTLY (the
+            # new2 stream + static shift-by-2 selects); only larger jumps
+            # (structural indels) take the XLA barrel-shift kernel
             smooth_idx.append(i)
         else:
             raw_idx.append(i)
@@ -567,7 +627,8 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
         chunk = order[start : start + bucket]
         cjobs = [jobs[i] for i in chunk]
         streams = _pack_jobs_pallas_streams(cjobs, band)
-        q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2, Lt = streams
+        (q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2,
+         Lt, new2_rows) = streams
         ops_max = q_rows.shape[0] + Lt
         chunks.append(chunk)
         outs.append(_pallas_tb_combined(
@@ -575,6 +636,7 @@ def sw_traceback_pallas_jobs(jobs, band: int = 128, maxrun: int = 512, interpret
             jnp.asarray(dl_rows), jnp.asarray(locur_rows),
             jnp.asarray(tlen_row), jnp.asarray(init_win),
             jnp.asarray(lo2, jnp.int32),
+            jnp.asarray(new2_rows),
             band=band, ops_max=ops_max, maxrun=maxrun, interpret=interpret,
         ))
     hosts = jax.device_get(outs)

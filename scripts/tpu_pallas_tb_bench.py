@@ -73,10 +73,11 @@ def main():
 
     # difference-method timing of the combined dispatch on packed streams
     streams = _pack_jobs_pallas_streams(jobs, band)
-    q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2, Lt = streams
+    (q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2,
+     Lt, new2_rows) = streams
     Lq4 = q_rows.shape[0]
     ops_max = Lq4 + Lt
-    args_d = [jnp.asarray(a) for a in (q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2)]
+    args_d = [jnp.asarray(a) for a in (q_rows, new_rows, dl_rows, locur_rows, tlen_row, init_win, lo2, new2_rows)]
 
     @jax.jit
     def chained(qr, k):

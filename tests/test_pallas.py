@@ -117,6 +117,46 @@ def test_pallas_traceback_jobs_matches_host():
         assert np.array_equal(np.asarray(h[5], np.uint32), np.asarray(d[5], np.uint32))
 
 
+def test_pallas_traceback_dl2_exact():
+    """Corridors with band advances of exactly 2 now ride the Mosaic
+    payload forward (new2 stream + static shift-by-2 selects) instead of
+    the XLA fallback — results must stay byte-identical to host run_jobs.
+    Small 2-6 bp deletions produce dl=2 rows; >2 jumps still take the XLA
+    kernel (the partition is asserted so the d2 path provably runs)."""
+    from savont_tpu.ops.align_pallas import sw_traceback_pallas_jobs
+
+    rng = np.random.default_rng(1234)
+    jobs = []
+    n_d2 = 0
+    for trial in range(10):
+        L = int(rng.integers(300, 900))
+        t = rand_seq(L)
+        q = bytearray(t)
+        for p in rng.choice(len(q), int(0.05 * L), replace=False):
+            q[p] = b"ACGT"[rng.integers(4)]
+        # a few short deletions scattered along the read: each bends the
+        # anchor chain by 2-6 columns, yielding dl=2 rows after chaining
+        for _ in range(int(rng.integers(1, 4))):
+            p = int(rng.integers(30, len(q) - 40))
+            del q[p : p + int(rng.integers(2, 7))]
+        jobs.extend(plan_jobs(TargetIndex([t]), bytes(q), band=48, min_anchors=2))
+    assert jobs
+    for j in jobs:
+        lo = np.asarray(j.lo, np.int64)
+        d = lo[1:] - lo[:-1]
+        if len(d) and d.max() == 2:
+            n_d2 += 1
+    assert n_d2 > 0, "no dl=2 jobs generated — test construction broke"
+    host = run_jobs(jobs, band=48)
+    dev = sw_traceback_pallas_jobs(jobs, band=48, interpret=True)
+    for h, d in zip(host, dev):
+        assert (h is None) == (d is None)
+        if h is None:
+            continue
+        assert h[:5] == d[:5] and h[6] == d[6]
+        assert np.array_equal(np.asarray(h[5], np.uint32), np.asarray(d[5], np.uint32))
+
+
 def test_plane_dtype_guard(monkeypatch):
     """int16 is opt-in (Mosaic can't legalize it on current libtpu); long
     sequences whose scores could overflow int16 must fall back even then."""
