@@ -606,9 +606,23 @@ def sw_pileup_counts(
     backward op stream's positions are reconstructed with cumsums, so the
     walk itself is untouched.
     """
-    B, Lq = q.shape
     payload, score, ri, bj = _forward_payload(q, t, lo, tlens, band)
+    return _pileup_counts_from_payload(
+        payload, lo, score, ri, bj, q, t, lvl, hp, off, tlens,
+        total_L, nq, band, ops_max, slots, use_hp,
+    )
 
+
+def _pileup_counts_from_payload(
+    payload, lo_pad, score, ri, bj, q, t, lvl, hp, off, tlens,
+    total_L: int, nq: int, band: int, ops_max: int, slots: int, use_hp: bool,
+):
+    """Walk + winner + count-matrix scatter half of sw_pileup_counts,
+    consuming a payload from either forward (the XLA barrel-shift scan or
+    the Pallas payload kernel).  lo_pad's row count may exceed q's Lq (the
+    Pallas forward pads rows to a 128 multiple with inert dl=0 rows — the
+    walk starts at ri inside the real rows and only descends)."""
+    B, Lq = q.shape
     if slots > 1:
         # per-pair winner: max score, earliest slot on ties (the AlignJob
         # path's strictly-greater replacement rule)
@@ -621,12 +635,13 @@ def sw_pileup_counts(
     else:
         walk_score = score
 
-    dl_tab = jnp.minimum(lo[:, 1:] - lo[:, :-1], band + 1).astype(jnp.uint8)
+    Lq_pay = lo_pad.shape[1] - 1
+    dl_tab = jnp.minimum(lo_pad[:, 1:] - lo_pad[:, :-1], band + 1).astype(jnp.uint8)
     ops, cnt, nm, nins, ndel = _walk_ops(payload, dl_tab, walk_score, ri, bj, band, ops_max)
     W = ops.shape[1]
 
     q_end = ri
-    t_end = jnp.take_along_axis(lo, jnp.clip(ri, 0, Lq)[:, None], axis=1)[:, 0] + bj + 1
+    t_end = jnp.take_along_axis(lo_pad, jnp.clip(ri, 0, Lq_pay)[:, None], axis=1)[:, 0] + bj + 1
 
     # backward stream -> positions: the i-th backward op consumes
     # t[t_end-1 - #(target-consuming ops before it)] / q[q_end-1 - ...]

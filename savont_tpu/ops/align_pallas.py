@@ -240,6 +240,59 @@ def sw_forward_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False
     }
 
 
+def sw_payload_pallas_traced(q, t, lo, tlens, band: int, interpret: bool = False):
+    """Traced Pallas PAYLOAD forward for use inside jit/shard_map (the mesh
+    stage-4 pileup step): q (B, Lq) / t (B, Lt) / lo (B, Lq+1) / tlens (B,)
+    device arrays.  Returns (payload (B, Lq4*band) i32 bytes, lo_pad
+    (B, Lq4+1) i32, score, ri, bj) for align_jax.sw_traceback_from_payload
+    / _pileup_counts_from_payload.  EXACT on corridors with advances <= 2
+    per row (the new2 stream + static shift-by-2 selects); callers gate
+    larger jumps to the XLA barrel-shift forward.  Lq is padded to a
+    multiple of 128 rows (inert dl=0/qc=5 rows) so the number of distinct
+    Mosaic shapes stays bounded across panels."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    Lq4 = -(-Lq // 128) * 128
+    if Lq4 != Lq:
+        q = jnp.pad(q, ((0, 0), (0, Lq4 - Lq)), constant_values=5)
+        lo = jnp.pad(lo, ((0, 0), (0, Lq4 - Lq)), mode="edge")
+    new_cols = jnp.minimum(lo[:, 1:] + band - 1, Lt - 1)
+    new_codes = jnp.take_along_axis(t, new_cols, axis=1)
+    new2_cols = jnp.minimum(lo[:, 1:] + band - 2, Lt - 1)
+    new2_codes = jnp.take_along_axis(t, new2_cols, axis=1)
+    iw_cols = jnp.minimum(lo[:, :1] + jnp.arange(band, dtype=lo.dtype)[None, :], Lt - 1)
+    init_win = jnp.take_along_axis(t, iw_cols, axis=1)
+    P = ((B + PAIR_BLOCK - 1) // PAIR_BLOCK) * PAIR_BLOCK
+    if P != B:
+        pad = P - B
+        q = jnp.pad(q, ((0, pad), (0, 0)), constant_values=5)
+        new_codes = jnp.pad(new_codes, ((0, pad), (0, 0)))
+        new2_codes = jnp.pad(new2_codes, ((0, pad), (0, 0)))
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        init_win = jnp.pad(init_win, ((0, pad), (0, 0)), constant_values=6)
+        tlens = jnp.pad(tlens, (0, pad))
+    dl = lo[:, 1:] - lo[:, :-1]
+    locur = lo[:, 1:]
+    out, pay_words = _pallas_call_traced(
+        q.T.astype(jnp.int32),
+        new_codes.T.astype(jnp.int32),
+        dl.T.astype(jnp.int32),
+        locur.T.astype(jnp.int32),
+        tlens.astype(jnp.int32)[None, :],
+        init_win.T.astype(jnp.int32),
+        band=band, interpret=interpret, plane_i16=False, emit_payload=True,
+        new2_rows=new2_codes.T.astype(jnp.int32),
+    )
+    score, ri, t_end = out[0], out[1], out[2]
+    lo32 = lo.astype(jnp.int32)
+    lo_ri = jnp.take_along_axis(lo32, jnp.clip(ri, 0, Lq4)[:, None], axis=1)[:, 0]
+    bj = jnp.where(score > 0, t_end - 1 - lo_ri, 0)
+    w = jnp.transpose(pay_words, (2, 0, 1))  # (P, W, band)
+    bts = jnp.stack([(w >> (8 * k)) & 0xFF for k in range(4)], axis=2)
+    payload = bts.reshape(w.shape[0], Lq4 * band)
+    return payload[:B], lo32[:B], score[:B], ri[:B], bj[:B]
+
+
 def _sw_kernel_with_init(q_ref, new_ref, dl_ref, locur_ref, tlen_ref, iw_ref, out_ref, *, band, n_rows, plane_i16=False, interpret=False, pay_ref=None, new2_ref=None):
     """Wrapper passing the initial window from a dedicated input ref.
     Row streams (q / new-code / dl / lo-cur) are int32, loaded as one

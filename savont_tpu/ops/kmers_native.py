@@ -433,6 +433,10 @@ def syncmer_scan_flat_native(
     instead of materializing 100k 4-array tuples."""
     lib = get_scan_lib()
     assert lib is not None
+    if not reads:
+        z64 = np.zeros(1, np.int64)
+        return (np.zeros(0, np.uint32), np.zeros(0, np.uint64),
+                np.zeros(0, np.uint32), np.zeros(0, np.uint64), z64, z64.copy())
     snp_sorted = np.ascontiguousarray(snpmer_sorted, dtype=np.uint64)
     parts: list[tuple] = []
     for s, e in _chunk_spans(reads, k):

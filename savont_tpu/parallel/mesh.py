@@ -1036,13 +1036,16 @@ def _ext_codes(b: bytes) -> np.ndarray:
     return out.astype(np.int8)
 
 
-@_functools.lru_cache(maxsize=4)
+@_functools.lru_cache(maxsize=8)
 def _stage4_step(mesh: Mesh, band: int, total_L: int, nq: int, ops_max: int,
-                 slots: int, use_hp: bool):
+                 slots: int, use_hp: bool, kernel: str = "xla"):
     """Jitted sharded accumulate-step: adds one pair-chunk's pileup counts
     into the running (replicated) accumulators.  Pair rows are sharded with
     their `slots` candidate jobs packed along the feature axis, so a pair's
-    strand winner is decided locally on its device."""
+    strand winner is decided locally on its device.  kernel="pallas" (or
+    "pallas-interpret" on CPU meshes) runs the forward on the Mosaic
+    payload kernel — EXACT for corridors with advances <= 2, which the
+    caller guarantees by routing larger-jump pairs to the "xla" step."""
     from ..ops import align_jax
 
     axis = mesh.axis_names[0]
@@ -1062,10 +1065,22 @@ def _stage4_step(mesh: Mesh, band: int, total_L: int, nq: int, ops_max: int,
         tidc = jnp.clip(tid, 0, t_pool.shape[0] - 1)
         t = t_pool[tidc]
         tl = tlens_pool[tidc]
-        out = align_jax.sw_pileup_counts(
-            q, t, lo, tl, lvl, hp, off,
-            total_L, nq, band, ops_max, slots=slots, use_hp=use_hp,
-        )
+        if kernel in ("pallas", "pallas-interpret"):
+            from ..ops.align_pallas import sw_payload_pallas_traced
+
+            payload, lo_pad, score, ri, bj = sw_payload_pallas_traced(
+                q, t, lo, tl, band=band,
+                interpret=kernel == "pallas-interpret",
+            )
+            out = align_jax._pileup_counts_from_payload(
+                payload, lo_pad, score, ri, bj, q, t, lvl, hp, off, tl,
+                total_L, nq, band, ops_max, slots, use_hp,
+            )
+        else:
+            out = align_jax.sw_pileup_counts(
+                q, t, lo, tl, lvl, hp, off,
+                total_L, nq, band, ops_max, slots=slots, use_hp=use_hp,
+            )
         keys = ["bq", "dels", "ins"] + (["hph"] if use_hp else [])
         return tuple(a + lax.psum(out[k], axis) for a, k in zip(acc, keys))
 
@@ -1078,6 +1093,10 @@ def _stage4_step(mesh: Mesh, band: int, total_L: int, nq: int, ops_max: int,
             P(axis, None), P(axis, None), P(None, None), P(None),
         ),
         out_specs=acc_specs,
+        # pallas_call outputs carry no vma annotation; replication of the
+        # accumulators is enforced by the explicit psum (stage-7 does the
+        # same for its Mosaic step)
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=tuple(range(n_acc)))
 
@@ -1211,7 +1230,6 @@ def mesh_stage4_pileups(twin_reads, consensuses, args, mesh: Mesh | None = None)
             target_rows = max(512, min(Pn * max(C, 1), cap_rows))
         pair_chunk = max(n_dev, (-(-target_rows // max(C, 1)) // n_dev) * n_dev)
 
-        step = _stage4_step(mesh, int(band), total_L, NQ, ops_max, C, use_hp)
         accs = [
             jnp.zeros(total_L * NQ * 2, jnp.int32),
             jnp.zeros(total_L, jnp.int32),
@@ -1221,31 +1239,62 @@ def mesh_stage4_pileups(twin_reads, consensuses, args, mesh: Mesh | None = None)
         t_pool_d = replicate_to_mesh(mesh, t_pool)
         tlens_d = replicate_to_mesh(mesh, tlens_pool)
 
-        for s in range(0, Pn, pair_chunk):
-            e = min(s + pair_chunk, Pn)
-            rows = e - s
-            pad = (-rows) % n_dev
-            sl = slice(s * C, e * C)
+        # Mosaic routing: pairs whose EVERY job's corridor advances <= 2
+        # per row ride the Pallas payload forward (exact — the dl<=2
+        # kernel); any pair with a larger jump (structural indel) takes
+        # the XLA barrel-shift step.  Integer count accumulation is
+        # order-independent, so splitting the dispatch stream cannot
+        # change the matrices.
+        kern = os.environ.get("SAVONT_MESH_KERNEL")
+        if not kern:
+            kern = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if kern in ("pallas", "pallas-interpret"):
+            pair_ok = np.ones(Pn, dtype=bool)
+            for k in range(len(owner_j)):
+                n = int(q_lens_j[k])
+                s0 = int(lo_off_j[k])
+                d = np.diff(lo_flat[s0 : s0 + n])
+                if len(d) and int(d.max()) > 2:
+                    pair_ok[int(owner_j[k])] = False
+            groups = [
+                (np.flatnonzero(pair_ok), kern),
+                (np.flatnonzero(~pair_ok), "xla"),
+            ]
+        else:
+            groups = [(np.arange(Pn), "xla")]
 
-            def pad_rows(a, fill=0):
-                part = a[sl].reshape(rows, -1)
-                if pad:
-                    part = np.concatenate(
-                        [part, np.full((pad,) + part.shape[1:], fill, a.dtype)]
-                    )
-                return np.ascontiguousarray(part)
+        slot_cols = np.arange(C)[None, :]
+        for p_idx, kname in groups:
+            if not len(p_idx):
+                continue
+            step = _stage4_step(
+                mesh, int(band), total_L, NQ, ops_max, C, use_hp, kname
+            )
+            for s in range(0, len(p_idx), pair_chunk):
+                sel = p_idx[s : s + pair_chunk]
+                rows = len(sel)
+                pad = (-rows) % n_dev
+                row_idx = (sel[:, None] * C + slot_cols).reshape(-1)
 
-            accs = list(step(
-                *accs,
-                shard_reads(mesh, pad_rows(q_panel, 5)),
-                shard_reads(mesh, pad_rows(lo_panel)),
-                shard_reads(mesh, pad_rows(lvl_panel)),
-                shard_reads(mesh, pad_rows(hp_panel)),
-                shard_reads(mesh, pad_rows(off_panel)),
-                shard_reads(mesh, pad_rows(tid_panel, -1)),
-                t_pool_d,
-                tlens_d,
-            ))
+                def pad_rows(a, fill=0):
+                    part = a[row_idx].reshape(rows, -1)
+                    if pad:
+                        part = np.concatenate(
+                            [part, np.full((pad,) + part.shape[1:], fill, a.dtype)]
+                        )
+                    return np.ascontiguousarray(part)
+
+                accs = list(step(
+                    *accs,
+                    shard_reads(mesh, pad_rows(q_panel, 5)),
+                    shard_reads(mesh, pad_rows(lo_panel)),
+                    shard_reads(mesh, pad_rows(lvl_panel)),
+                    shard_reads(mesh, pad_rows(hp_panel)),
+                    shard_reads(mesh, pad_rows(off_panel)),
+                    shard_reads(mesh, pad_rows(tid_panel, -1)),
+                    t_pool_d,
+                    tlens_d,
+                ))
         fetched = jax.device_get(accs)
         bq += fetched[0].astype(np.int64)
         dels += fetched[1].astype(np.int64)
