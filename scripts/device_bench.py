@@ -77,7 +77,13 @@ def main() -> int:
         # mesh.  Honest number THROUGH THE TUNNEL: stages 4-6 issue many
         # small dispatches, each paying the ~30 ms RPC floor, so this
         # config only wins on locally-attached chips.
-        os.environ["SAVONT_ALIGN_BACKEND"] = "jax"
+        # On TPU the pallas backend runs the Mosaic payload forward for
+        # stage 4-6 CIGAR work (0.17 ms/pair vs 0.86 for the XLA forward,
+        # TB_TPU_BENCH.json) with the exact XLA kernel for band-jump jobs;
+        # stage-4 mesh pileups likewise auto-pick the Mosaic payload
+        # forward for dl<=2 corridors.  Correctness-gated at 18/18 NM=0.
+        fd_backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        os.environ["SAVONT_ALIGN_BACKEND"] = fd_backend
         os.environ["SAVONT_STAGE4_BACKEND"] = "mesh"
         try:
             walls_fd = _run_pipeline_walls(3)
@@ -201,15 +207,15 @@ def main() -> int:
             "pipeline_wall_s": round(wall, 2),
             "pipeline_full_device_wall_s": round(wall_fd, 2),
             "pipeline_full_device_all_nm0": ok_fd,
+            "full_device_backend": fd_backend,
             "full_device_note": (
-                "SAVONT_ALIGN_BACKEND=jax + SAVONT_STAGE4_BACKEND=mesh + "
-                "stage-7 mesh: every alignment (CIGARs incl.) on device. "
-                "Round 5: stage 4-6 dispatches are megabatched on "
-                "high-latency links (1024-job tb buckets; stage-4 pileups "
-                "one dispatch), so the remaining wall is on-device EXECUTE "
-                "of the traceback forward+walk scans (~2.3 s stage-4 "
-                "pileups + ~2.0 s vote-round tb), not RPC count — further "
-                "gains need a Mosaic traceback walk kernel"
+                f"SAVONT_ALIGN_BACKEND={fd_backend} + "
+                "SAVONT_STAGE4_BACKEND=mesh + stage-7 mesh: every "
+                "alignment (CIGARs incl.) on device.  Stage 4-6 dispatches "
+                "are megabatched on high-latency links (1024-job tb "
+                "buckets; stage-4 pileups one dispatch); on TPU the "
+                "forwards run on the Mosaic payload kernel (dl<=2 "
+                "corridors; exact XLA barrel-shift for band-jump jobs)"
             ),
             "jax_persistent_cache": True,
             "device_kmers_reads_per_s": round(n_dk / dk_wall, 1),
