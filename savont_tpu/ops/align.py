@@ -309,6 +309,46 @@ def window_minimizers_flat_batch(
     )
 
 
+def prime_idmini_cache(queries: list[bytes], threads: int = 2,
+                       stop=None, chunk: int = 8192) -> int:
+    """Background prefill of the (w=10, k=15) planner id-cache.
+
+    The stage-7 tie-break planner's first touch of each read's seq_bytes
+    is a native minimizer scan (~1.6 s of cpu at 100k reads) that lands
+    on the critical path.  The driver calls this from a helper thread
+    while stages 4-6 run — the scan itself is a GIL-releasing ctypes
+    call, so it rides the cores those stages leave idle and stage-7's
+    id-probe then hits.  Values are IDENTICAL to the in-line scan (same
+    kernel, same entry construction as window_minimizers_flat_batch's
+    miss path); the cache is an identity-keyed memo, so a partial fill
+    (stop event set, or races with stage-4's own inserts) only changes
+    WHO computes an entry, never its value.  Returns #entries added;
+    best-effort — any exception abandons the remaining chunks."""
+    from .kmers_native import get_scan_lib, window_minimizers_flat_native
+
+    if get_scan_lib() is None:
+        return 0
+    added = 0
+    try:
+        for s in range(0, len(queries), chunk):
+            if stop is not None and stop.is_set():
+                break
+            qs = [q for q in queries[s : s + chunk]
+                  if (e := _IDMINI_CACHE.get(id(q))) is None or e[0] is not q]
+            if not qs:
+                continue
+            codes = _encode_queries_registry(qs)
+            oh, op, of_, oo = window_minimizers_flat_native(codes, 15, 10, threads)
+            for q, e in zip(qs, _mini_entries(qs, range(len(qs)), oh, op, of_, oo)):
+                _IDMINI_CACHE[id(q)] = e
+            added += len(qs)
+    except Exception:  # pragma: no cover - optimization only, never fatal
+        import logging
+
+        logging.getLogger("savont").debug("idmini prefetch aborted", exc_info=True)
+    return added
+
+
 def _window_minimizers(codes4: np.ndarray, w: int, k: int):
     """Canonical window minimizers -> (hash u64, pos, is_fwd_canonical).
 

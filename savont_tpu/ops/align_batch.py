@@ -25,6 +25,7 @@ from .align import (
     _traceback,
     _window_minimizers,
     ascii_to_align_codes,
+    evict_half,
 )
 from .encode import revcomp_bytes
 

@@ -33,6 +33,58 @@ def log_memory_usage(message: str) -> None:
         log.info("Memory usage: unknown (WARNING)")
 
 
+def _start_mini_prefetch(twin_reads):
+    """Launch the stage-7 minimizer-scan prefetch thread (see the stage-4
+    call site).  OPT-IN via SAVONT_MINI_PREFETCH=1: on the 4-core build
+    VM the background scan thread thrashes the stage 4-6 OMP kernels /
+    allocator (interleaved 100k A/B: cpu 43-67 s -> 76-99 s even with a
+    single-threaded scan), so the default is off; the flag exists for
+    many-core hosts where stages 4-6 leave real idle capacity.  Returns
+    (thread, stop_event) or None when disabled, the readset is too small
+    for the planner's id-cache path (< 2048 reads), or the native scan
+    kernel is unavailable."""
+    if len(twin_reads) < 2048 or os.environ.get("SAVONT_MINI_PREFETCH") != "1":
+        return None
+    from ..ops.kmers_native import get_scan_lib
+
+    if get_scan_lib() is None:
+        return None
+    import threading
+
+    stop = threading.Event()
+
+    def worker():
+        from ..core import TwinRead
+        from ..ops.align import prime_idmini_cache
+
+        CH = 8192
+        done = 0
+        for s in range(0, len(twin_reads), CH):
+            if stop.is_set():
+                break
+            chunk = twin_reads[s : s + CH]
+            TwinRead.warm_seq_bytes(chunk)
+            done += prime_idmini_cache(
+                [t.seq_bytes() for t in chunk], threads=1, stop=stop
+            )
+        log.debug("mini-prefetch primed %d/%d reads", done, len(twin_reads))
+
+    th = threading.Thread(target=worker, name="mini-prefetch", daemon=True)
+    th.start()
+    return th, stop
+
+
+def _join_mini_prefetch(pf) -> None:
+    """Stop the prefetch after its current chunk and wait for it.  Any
+    reads it didn't reach are simply scanned inline by the stage-7
+    planner, exactly as without the prefetch."""
+    if pf is None:
+        return
+    th, stop = pf
+    stop.set()
+    th.join()
+
+
 def _checkpoint_key(args: ClusterArgs) -> str:
     """Identity of a stage-3 checkpoint: inputs + every clustering tunable."""
     import hashlib
@@ -145,6 +197,12 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
             log.info("Wrote stage-3 checkpoint to %s", ckpt_path)
 
     log.info("=== STAGE 4: consensus + polish ===")
+    # Overlap stage-7's first-touch minimizer scans with stages 4-6: a
+    # helper thread prefills the planner id-cache for every read's
+    # seq_bytes while these stages leave cores idle (the scan is a
+    # GIL-releasing native call).  Joined before stage 7; the cache is a
+    # pure memo so a partial fill only changes who computes an entry.
+    mini_prefetch = _start_mini_prefetch(twin_reads)
     consensuses = stage4_consensus.align_and_consensus(twin_reads, clusters, args)
     # alignment.rs:399-402 uses the standard writer (decompressed + N-trim
     # + full debug header) for the initial dump too (the writer peeks, so
@@ -173,8 +231,10 @@ def _run_cluster_inner(args: ClusterArgs) -> Path:
         consensuses = stage6_chimera.filter_chimeras(consensuses, chimeric)
     else:
         log.info("Skipping chimera detection as per user request.")
+        _join_mini_prefetch(mini_prefetch)
         return out_dir
 
+    _join_mini_prefetch(mini_prefetch)
     log.info("=== STAGE 7: EM depth refinement ===")
     em_fasta = temp_dir / "final_asvs_for_em.fasta"
     write_consensus_fasta(consensuses, em_fasta, "em_refinement")

@@ -131,3 +131,54 @@ def test_qcodes_big_batch_matches_small_path_incl_U():
     for (qb, st), g in zip(items, got):
         want = ascii_to_align_codes(qb if st == 1 else revcomp_bytes(qb))
         np.testing.assert_array_equal(g, want)
+
+
+def test_idcode_cache_eviction_no_nameerror():
+    """Crossing _IDCODE_CACHE_MAX must evict, not NameError: the evict
+    branch only fires in long-lived processes (several 100k-read runs in
+    one interpreter), which no other test reaches."""
+    from savont_tpu.ops import align_batch as ab
+
+    old_max = ab._IDCODE_CACHE_MAX
+    ab._IDCODE_CACHE.clear()
+    ab._IDCODE_CACHE_MAX = 4
+    try:
+        items = [(bytes(b"ACGTAC") + bytes([65 + i]), 1) for i in range(16)]
+        got = ab._qcodes_cached_batch(items)
+        assert len(got) == 16
+        assert len(ab._IDCODE_CACHE) <= 4 + 16
+    finally:
+        ab._IDCODE_CACHE_MAX = old_max
+
+
+def test_prime_idmini_cache_matches_inline_scan():
+    """prime_idmini_cache (the stage 4-6 background prefetch) must leave
+    the planner's id-cache with entries BIT-IDENTICAL to the inline
+    first-touch scan of window_minimizers_flat_batch."""
+    from savont_tpu.ops import align
+    from savont_tpu.ops.kmers_native import get_scan_lib
+
+    if get_scan_lib() is None:
+        pytest.skip("native scan kernel unavailable")
+    rng = np.random.default_rng(7)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    queries = [rng.choice(BASES, int(rng.integers(200, 1500))).tobytes()
+               for _ in range(64)]
+    ref = align.window_minimizers_flat_batch(list(queries), 10, 15)
+
+    for q in queries:
+        align._IDMINI_CACHE.pop(id(q), None)
+    added = align.prime_idmini_cache(queries, threads=2, chunk=17)
+    assert added == len(queries)
+    for q in queries:
+        e = align._IDMINI_CACHE.get(id(q))
+        assert e is not None and e[0] is q
+    # the primed entries serve a big-batch call without any native rescan
+    # (2048+ dummy hits share the id-cache path); spot-check pool equality
+    h, p, f, off = ref
+    for i, q in enumerate(queries):
+        e = align._IDMINI_CACHE[id(q)]
+        s = e[8]
+        np.testing.assert_array_equal(e[1][s : s + e[7]], h[off[i] : off[i + 1]])
+        np.testing.assert_array_equal(e[2][s : s + e[7]], p[off[i] : off[i + 1]])
+        np.testing.assert_array_equal(e[3][s : s + e[7]], f[off[i] : off[i + 1]])
