@@ -1325,3 +1325,106 @@ def mesh_stage4_pileups(twin_reads, consensuses, args, mesh: Mesh | None = None)
         else:
             cons.hp_lengths = np.ones(len(cons.sequence), dtype=np.uint8)
     return pms
+
+
+# ── stage-1 split-kmer counting on the mesh ─────────────────────────────────
+
+
+def sharded_split_kmer_count(
+    mesh: Mesh, code_list, phred_list, k: int, min_bq: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stage-1 flagged split-kmer counting sharded over the mesh — the
+    SURVEY §2.3 "k-mer table shard-by-hash + merge ≈ all-to-all" mapping
+    (the reference shards counters by `kmer % threads` over channel-fed
+    hash maps, seq_parse.rs:316-497; here the same partition rides XLA
+    collectives).
+
+    Reads are dp-sharded.  Each device (1) extracts its shard's flagged
+    canonical split k-mers (ops.kmers_jax.split_kmers_batch — exact
+    seeding.rs:975-1068 semantics), (2) routes every key to the device
+    owning its keyspace slice (canonical-kmer low bits % n_dev) with ONE
+    lax.all_to_all of per-destination buckets, and (3) the owner lexsorts
+    its slice's (hi, lo) uint32 planes and segment-reduces run lengths.
+    Returns (kmers u64 ascending, counts i64) — identical to
+    np.unique(all extracted flagged kmers, return_counts=True)
+    (tests/test_multichip.py pins parity vs the native host scan).
+
+    Validation-scale shapes: per-destination buckets are padded to the
+    worst case (a shard's every key on one destination), so device memory
+    is n_dev x the shard's key-slot count.  A production pod would cap
+    bucket size with overflow rounds; the collective pattern — extract
+    local, all-to-all by key ownership, reduce local — is the point.
+    """
+    from ..ops.kmers_jax import _combine64, pad_reads, split_kmers_batch
+
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if not code_list:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    codes, phred, lens = pad_reads(code_list, phred_list, pad_to=64)
+    has_qual = phred_list is not None and any(p is not None for p in phred_list)
+    N, L = codes.shape
+    pad_n = (-N) % n_dev
+    if pad_n:
+        codes = np.concatenate([codes, np.zeros((pad_n, L), codes.dtype)])
+        phred = np.concatenate([phred, np.zeros((pad_n, L), phred.dtype)])
+        lens = np.concatenate([lens, np.zeros(pad_n, lens.dtype)])
+    Nd = (N + pad_n) // n_dev
+    n = L - k + 1
+    E = Nd * n          # key slots per shard (incl. invalid)
+    NS = n_dev * E      # worst-case slots landing on one owner
+
+    U32c = jnp.uint32
+    SENT = U32c(0xFFFFFFFF)  # unreachable as a real key: hi <= 2^31|2^(2k-32)
+
+    def step(codes_s, phred_s, lens_s):
+        khi, klo, canon, valid = split_kmers_batch(
+            codes_s, phred_s, lens_s, k, min_bq, has_qual
+        )
+        hi = (khi | (canon.astype(U32c) << U32c(31))).reshape(-1)
+        lo = klo.reshape(-1)
+        v = valid.reshape(-1)
+        hi = jnp.where(v, hi, SENT)
+        lo = jnp.where(v, lo, SENT)
+        dest = (klo.reshape(-1) % U32c(n_dev)).astype(jnp.int32)
+        dest = jnp.where(v, dest, jnp.int32(n_dev - 1))
+        # group by destination: stable sort + within-group rank -> one
+        # scatter into fixed (n_dev, E) buckets
+        order = jnp.argsort(dest, stable=True)
+        dsort = dest[order]
+        first = jnp.searchsorted(dsort, jnp.arange(n_dev, dtype=dsort.dtype))
+        rank = jnp.arange(E) - first[dsort]
+        buck_hi = jnp.full((n_dev, E), SENT).at[dsort, rank].set(hi[order])
+        buck_lo = jnp.full((n_dev, E), SENT).at[dsort, rank].set(lo[order])
+        # ONE all-to-all: bucket row d -> device d; received row s is the
+        # slice of keys source s owes this device
+        rh = lax.all_to_all(buck_hi, axis, 0, 0, tiled=True).reshape(-1)
+        rl = lax.all_to_all(buck_lo, axis, 0, 0, tiled=True).reshape(-1)
+        o = jnp.lexsort((rl, rh))
+        sh, sl = rh[o], rl[o]
+        newseg = jnp.concatenate(
+            [jnp.ones(1, bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
+        )
+        seg = jnp.cumsum(newseg) - 1
+        live = ~((sh == SENT) & (sl == SENT))
+        cnt = jax.ops.segment_sum(live.astype(jnp.int32), seg, num_segments=NS)
+        out_cnt = jnp.where(newseg & live, cnt[seg], 0)
+        out_hi = jnp.where(newseg & live, sh, SENT)
+        out_lo = jnp.where(newseg & live, sl, SENT)
+        return out_hi[None], out_lo[None], out_cnt[None]
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+    )
+    oh, ol, oc = jax.jit(sharded)(codes, phred, lens)
+    oh = np.asarray(oh).reshape(-1)
+    ol = np.asarray(ol).reshape(-1)
+    oc = np.asarray(oc).reshape(-1).astype(np.int64)
+    keep = (oc > 0) & ~((oh == 0xFFFFFFFF) & (ol == 0xFFFFFFFF))
+    kmers = _combine64(oh[keep], ol[keep])
+    counts = oc[keep]
+    o = np.argsort(kmers, kind="stable")
+    return kmers[o], counts[o]

@@ -360,3 +360,40 @@ def test_stage7_mesh_packed_v2_u_reads_fall_back(monkeypatch):
     best_2, abund_2, count_2 = _tie_break_results(pairs, rr, ca, n_reads, A, mesh)
     assert best_1 == best_2 and count_1 == count_2
     assert np.array_equal(abund_1, abund_2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_split_kmer_count_matches_host():
+    """Mesh-sharded stage-1 counting (extract local -> all_to_all by key
+    ownership -> owner-side segment reduce) must equal np.unique over the
+    host-parity extraction, including multiplicities (duplicated reads)
+    and the mid-base quality gate."""
+    from savont_tpu.ops.kmers_jax import device_split_kmers
+    from savont_tpu.parallel.mesh import make_mesh, sharded_split_kmer_count
+
+    rng = np.random.default_rng(5)
+    base = [rng.integers(0, 4, int(rng.integers(60, 400))).astype(np.uint8)
+            for _ in range(9)]
+    # duplicates drive counts > 1; varying lengths exercise the padding
+    code_list = base + [b.copy() for b in base[:5]] + base[2:4]
+    phred_list = [rng.integers(10, 45, len(c)).astype(np.uint8) for c in code_list]
+    k, min_bq = 17, 25
+
+    mesh = make_mesh(8)
+    km, ct = sharded_split_kmer_count(mesh, code_list, phred_list, k, min_bq)
+    flat = np.concatenate(device_split_kmers(code_list, phred_list, k, min_bq))
+    ek, ec = np.unique(flat, return_counts=True)
+    np.testing.assert_array_equal(km, ek)
+    np.testing.assert_array_equal(ct, ec.astype(np.int64))
+    assert int(ct.max()) >= 2  # the duplicates really produced multiplicities
+
+    # host-native oracle for full independence from the JAX extraction
+    from savont_tpu.ops.kmers_native import get_scan_lib, split_kmers_flat_native
+
+    if get_scan_lib() is not None:
+        host_flat = split_kmers_flat_native(
+            [c for c in code_list], [p for p in phred_list], k, min_bq, 2
+        )
+        hk, hc = np.unique(host_flat, return_counts=True)
+        np.testing.assert_array_equal(km, hk)
+        np.testing.assert_array_equal(ct, hc.astype(np.int64))
