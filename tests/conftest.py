@@ -16,3 +16,12 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode Mosaic kernel tests (~0.5-2 min each; the "
+        "full suite runs them — deselect with -m 'not slow' for quick "
+        "iteration, but ALWAYS run the full suite before committing)",
+    )

@@ -74,6 +74,7 @@ def test_structural_indel_triggers_gate_and_smoothed_kernel_diverges():
     )
 
 
+@pytest.mark.slow
 def test_pallas_nm_gate_matches_host_on_structural_indel(monkeypatch):
     if get_lib() is None:
         pytest.skip("native kernel unavailable")

@@ -206,6 +206,7 @@ def test_stage7_mesh_backend_end_to_end(tmp_path, monkeypatch):
         assert a == b, f"{rel} differs between host and mesh stage-7"
 
 
+@pytest.mark.slow
 def test_stage7_mesh_pallas_kernel_matches_scan():
     """The Mosaic kernel option of the mesh stage-7 step must produce the
     same tie-break results and abundances as the XLA scan kernel (both run

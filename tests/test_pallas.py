@@ -13,6 +13,7 @@ def rand_seq(n):
     return RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n).astype(np.uint8).tobytes()
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_host():
     import jax.numpy as jnp
 
@@ -54,6 +55,7 @@ def test_pallas_interpret_matches_host():
         assert want == got
 
 
+@pytest.mark.slow
 def test_pallas_int16_matches_int32(monkeypatch):
     """The int16 DP planes (default for amplicon lengths) must equal the
     int32 planes value-for-value (interpret mode; no overflow by
@@ -84,6 +86,7 @@ def test_pallas_int16_matches_int32(monkeypatch):
     assert (out16[:, 0] > 0).all()
 
 
+@pytest.mark.slow
 def test_pallas_traceback_jobs_matches_host():
     """sw_traceback_pallas_jobs (Mosaic payload forward + XLA walk) returns
     the exact host run_jobs tuples — score/coords/NM AND full CIGARs — on a
@@ -117,6 +120,7 @@ def test_pallas_traceback_jobs_matches_host():
         assert np.array_equal(np.asarray(h[5], np.uint32), np.asarray(d[5], np.uint32))
 
 
+@pytest.mark.slow
 def test_pallas_traceback_dl2_exact():
     """Corridors with band advances of exactly 2 now ride the Mosaic
     payload forward (new2 stream + static shift-by-2 selects) instead of

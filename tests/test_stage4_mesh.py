@@ -71,6 +71,7 @@ def test_stage4_mesh_backend_end_to_end(tmp_path, monkeypatch, use_hpc):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_stage4_mesh_pallas_payload_end_to_end(tmp_path, monkeypatch):
     """Stage-4 pileups with the Mosaic payload forward (interpret mode on
     the CPU mesh; SAVONT_MESH_KERNEL=pallas-interpret) must stay
