@@ -2,9 +2,9 @@
 """Benchmark: fastq -> ASV throughput.
 
 Prints TWO JSON lines:
-  1. steady-state throughput on 20k synthetic reads (best of 3; large-N
+  1. steady-state throughput on 20k synthetic reads (best of 4; large-N
      behavior can't be flattered by small-N fixed costs),
-  2. the headline 902-read ONT Zymo number (best of 3; the driver reads the
+  2. the headline 902-read ONT Zymo number (best of 7; the driver reads the
      LAST line).
 
 Baseline denominator: single-thread Rust savont on the same 902-read file.
@@ -86,12 +86,12 @@ def main() -> int:
     work = Path(tempfile.mkdtemp(prefix="savont_bench_"))
     try:
         # ── line 1: 20k synthetic steady state ────────────────────────────
-        # best of 3 (like the 902 line): hypervisor steal on this VM can
+        # best of 4 (vs 7 on the 902 line): hypervisor steal on this VM can
         # inflate any single run 50%+
         synth = work / "synth20k.fq.gz"
         _gen_synth(synth)
         out20k = work / "out20k"
-        wall20k = min(_run_once(synth, out20k) for _ in range(3))
+        wall20k = min(_run_once(synth, out20k) for _ in range(4))
         res20k = validate_asvs(str(out20k / "final_asvs.fasta"), str(REF_ASVS))
         ok20k = len(res20k) >= 8 and all(r.nm == 0 for r in res20k)
         print(
