@@ -86,12 +86,14 @@ def main() -> int:
     work = Path(tempfile.mkdtemp(prefix="savont_bench_"))
     try:
         # ── line 1: 20k synthetic steady state ────────────────────────────
-        # best of 4 (vs 7 on the 902 line): hypervisor steal on this VM can
-        # inflate any single run 50%+
+        # best of 6 (vs 7 on the 902 line): hypervisor steal on this VM can
+        # inflate any single run 50%+, and bursts last tens of seconds — a
+        # 4-run span (~30 s) can sit entirely inside one burst, so spread
+        # the samples wider
         synth = work / "synth20k.fq.gz"
         _gen_synth(synth)
         out20k = work / "out20k"
-        wall20k = min(_run_once(synth, out20k) for _ in range(4))
+        wall20k = min(_run_once(synth, out20k) for _ in range(6))
         res20k = validate_asvs(str(out20k / "final_asvs.fasta"), str(REF_ASVS))
         ok20k = len(res20k) >= 8 and all(r.nm == 0 for r in res20k)
         print(
